@@ -1,0 +1,21 @@
+"""backupdeduplicator_spark — a PySpark-native duplicate-detection engine.
+
+A from-scratch re-expression of 0xCCF4/BackupDeduplicator's query semantics
+(reference at /root/reference, Rust) over an Iceberg/Parquet table of
+source-code repositories with columns (repo, path, commit, lang, content).
+
+Tiers:
+  * exact duplicates  — per-file sha256 groupBy (reference:
+    src/stages/analyze/cmd.rs:93-96 collision filter semantics)
+  * Merkle tree       — bottom-up directory/repo composite hashes
+    (reference: src/stages/build/cmd/worker/directory.rs:81-153)
+  * near duplicates   — char-shingle MinHash + LSH banding + connected
+    components (north_rule addition; not in the reference)
+
+Everything is DataFrame-first: built-in pyspark.sql.functions on the hot
+path, vectorized pandas/Arrow UDFs for the hash kernels, driver-side loops
+only for the three inherently iterative steps (Merkle depth levels, CC
+fixpoint, LSH rounds).
+"""
+
+__version__ = "0.1.0"

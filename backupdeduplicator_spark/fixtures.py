@@ -1,0 +1,206 @@
+"""Deterministic synthetic source-code-repo table (FIXTURES.md §1).
+
+Generates the pipeline input table ``(repo, path, commit, lang, content)``
+from a fixed seed, with injected ground truth:
+
+  * exact file duplicates (~10% of base files copied verbatim elsewhere)
+  * duplicated subtrees (~20 dirs recursively copied under new prefixes)
+  * duplicated repos (2 whole repos cloned under new names)
+  * near duplicates (~5% copied with small deterministic edits at
+    controlled edit ratios bracketing the Jaccard threshold)
+  * skew: a mega content group (>=1% of rows share identical content) and
+    a mega repo (>=10% of rows)
+  * edge rows: empty content, 1-char, non-ASCII, content == another file's
+    hash hex string
+
+No external data; everything derives from ``random.Random(seed)``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+_LANG_BY_EXT = {
+    "py": "py", "rs": "rs", "js": "js", "java": "java",
+    "go": "go", "md": "md", "txt": "txt",
+}
+_EXTS = list(_LANG_BY_EXT)
+
+_IDENTS = [
+    "buffer", "cursor", "handler", "index", "offset", "parser", "queue",
+    "result", "stream", "token", "worker", "cache", "config", "logger",
+]
+_KEYWORDS = ["def", "fn", "func", "let", "var", "return", "if", "for", "while"]
+
+_LICENSE = (
+    "Copyright (c) 2024 Example Authors\n"
+    "Permission is hereby granted, free of charge, to any person obtaining\n"
+    "a copy of this software to deal in the Software without restriction.\n"
+)
+
+
+def _commit_hex(rng: random.Random) -> str:
+    return "".join(rng.choice("0123456789abcdef") for _ in range(40))
+
+
+def _gen_line(rng: random.Random) -> str:
+    kw = rng.choice(_KEYWORDS)
+    a, b = rng.choice(_IDENTS), rng.choice(_IDENTS)
+    n = rng.randrange(1000)
+    forms = [
+        f"{kw} {a}_{n}({b}):",
+        f"    {a} = {b}[{n}] + {rng.randrange(100)}",
+        f"    {kw} {a}.{b}({n})",
+        f"# {a} handles {b} case {n}",
+        f"    if {a} > {n}: {b} = {a}",
+    ]
+    return rng.choice(forms)
+
+
+def _gen_content(rng: random.Random, min_lines: int = 5, max_lines: int = 80) -> str:
+    n = rng.randrange(min_lines, max_lines + 1)
+    return "\n".join(_gen_line(rng) for _ in range(n)) + "\n"
+
+
+def _edit_content(rng: random.Random, content: str, edit_ratio: float) -> str:
+    """Apply ~edit_ratio fraction of line-level edits: identifier rename,
+    line insert/delete, whitespace churn. Deterministic given rng state."""
+    lines = content.split("\n")
+    n_edits = max(1, int(len(lines) * edit_ratio))
+    for _ in range(n_edits):
+        op = rng.randrange(4)
+        i = rng.randrange(len(lines)) if lines else 0
+        if op == 0 and lines:  # identifier rename within one line
+            old = rng.choice(_IDENTS)
+            lines[i] = lines[i].replace(old, old + "x")
+        elif op == 1:  # insert
+            lines.insert(i, _gen_line(rng))
+        elif op == 2 and len(lines) > 2:  # delete
+            lines.pop(i)
+        elif lines:  # whitespace churn
+            lines[i] = lines[i] + "  "
+    return "\n".join(lines)
+
+
+@dataclass
+class Fixture:
+    """The generated table plus injected ground-truth bookkeeping."""
+
+    df: pd.DataFrame  # columns: repo, path, commit, lang, content
+    exact_dup_sources: list[tuple[str, str, str, str]] = field(default_factory=list)
+    near_dup_pairs: list[dict] = field(default_factory=list)  # {id1,id2,edit_ratio}
+    duplicated_subtrees: list[tuple[str, str, str, str]] = field(default_factory=list)
+    duplicated_repos: list[tuple[str, str]] = field(default_factory=list)
+    mega_repo: str = ""
+
+
+def generate(n_files: int = 2000, seed: int = 42) -> Fixture:
+    rng = random.Random(seed)
+    n_repos = max(4, n_files // 400)
+    repos = [f"org-{i % 7:03d}/repo-{i:03d}" for i in range(n_repos)]
+    mega_repo = repos[0]
+
+    # per-repo directory pools (depth 1..7)
+    dir_pool: dict[str, list[str]] = {}
+    for repo in repos:
+        dirs = ["src", "docs"]
+        for _ in range(rng.randrange(4, 12)):
+            parent = rng.choice(dirs)
+            dirs.append(f"{parent}/d{rng.randrange(50)}")
+        dir_pool[repo] = [d for d in dirs if d.count("/") < 7]
+
+    rows: list[tuple[str, str, str, str, str]] = []
+    seen: set[tuple[str, str]] = set()
+
+    def add_row(repo: str, path: str, commit: str, lang: str, content: str) -> bool:
+        key = (repo, path)
+        if key in seen:
+            return False
+        seen.add(key)
+        rows.append((repo, path, commit, lang, content))
+        return True
+
+    # --- base files ---
+    for i in range(n_files):
+        # mega repo absorbs ~12% of rows for skew
+        repo = mega_repo if rng.random() < 0.12 else rng.choice(repos)
+        ext = rng.choice(_EXTS)
+        d = rng.choice(dir_pool[repo])
+        path = f"{d}/f{i}.{ext}"
+        if rng.random() < 0.012:  # mega content group (skew)
+            content = _LICENSE if rng.random() < 0.7 else ""
+        else:
+            content = _gen_content(rng)
+        add_row(repo, path, _commit_hex(rng), _LANG_BY_EXT[ext], content)
+
+    base = list(rows)
+    fx = Fixture(df=pd.DataFrame(), mega_repo=mega_repo)
+
+    # --- duplicated repos: clone 2 whole repos (first, so the clone is an
+    # exact snapshot; cloned sources are protected from later injections
+    # to keep root hashes equal) ---
+    protected = set(repos[1:3])
+    for src_repo in repos[1:3]:
+        dst_repo = src_repo + "-fork"
+        for (r, p, _c, lang, content) in [x for x in base if x[0] == src_repo]:
+            add_row(dst_repo, p, _commit_hex(rng), lang, content)
+        fx.duplicated_repos.append((src_repo, dst_repo))
+    open_repos = [r for r in repos if r not in protected]
+
+    # --- exact duplicates: ~10% of base copied verbatim elsewhere ---
+    for repo, path, _c, lang, content in rng.sample(base, max(1, len(base) // 10)):
+        dst_repo = rng.choice(open_repos)
+        dst_path = f"{rng.choice(dir_pool[dst_repo])}/copy_{path.rsplit('/', 1)[-1]}"
+        if add_row(dst_repo, dst_path, _commit_hex(rng), lang, content):
+            fx.exact_dup_sources.append((repo, path, dst_repo, dst_path))
+
+    # --- duplicated subtrees: ~20 dirs with >=2 files copied whole ---
+    by_dir: dict[tuple[str, str], list[tuple]] = {}
+    for r in base:
+        d = r[1].rsplit("/", 1)[0] if "/" in r[1] else ""
+        by_dir.setdefault((r[0], d), []).append(r)
+    rich_dirs = sorted(k for k, v in by_dir.items() if len(v) >= 2 and k[1])
+    for repo, d in rng.sample(rich_dirs, min(20, len(rich_dirs))):
+        dst_repo = rng.choice(open_repos)
+        dst_prefix = f"vendor/{d.replace('/', '_')}"
+        copied = False
+        for (srepo, spath, _c, lang, content) in by_dir[(repo, d)]:
+            rel = spath[len(d) + 1:]
+            copied |= add_row(dst_repo, f"{dst_prefix}/{rel}",
+                              _commit_hex(rng), lang, content)
+        if copied:
+            fx.duplicated_subtrees.append((repo, d, dst_repo, dst_prefix))
+
+    # --- near duplicates: ~5% with edits bracketing the Jaccard threshold ---
+    ratios = [0.01, 0.03, 0.08, 0.15, 0.30, 0.50]
+    candidates = [r for r in base if len(r[4]) > 200]
+    for j, (repo, path, _c, lang, content) in enumerate(
+        rng.sample(candidates, min(len(candidates), max(1, len(base) // 20)))
+    ):
+        ratio = ratios[j % len(ratios)]
+        dst_repo = rng.choice(open_repos)
+        dst_path = f"{rng.choice(dir_pool[dst_repo])}/near_{j}_{path.rsplit('/', 1)[-1]}"
+        edited = _edit_content(rng, content, ratio)
+        if edited != content and add_row(dst_repo, dst_path, _commit_hex(rng), lang, edited):
+            fx.near_dup_pairs.append(
+                {"id1": f"{repo}/{path}", "id2": f"{dst_repo}/{dst_path}",
+                 "edit_ratio": ratio}
+            )
+
+    # --- edge rows ---
+    er = repos[-1]
+    add_row(er, "edge/empty.txt", _commit_hex(rng), "txt", "")
+    add_row(er, "edge/one.txt", _commit_hex(rng), "txt", "x")
+    add_row(er, "edge/utf8.md", _commit_hex(rng), "md", "héllo wörld — ünïcode ✓ 日本語\n")
+    victim = base[0]
+    add_row(er, "edge/hashstr.txt", _commit_hex(rng), "txt",
+            hashlib.sha256(victim[4].encode()).hexdigest())
+
+    df = pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+    df = df.sort_values(["repo", "path"], ignore_index=True)
+    fx.df = df
+    return fx

@@ -1,0 +1,93 @@
+"""Content / Merkle hash kernels (reference semantics, Spark-native form).
+
+Reference semantics reproduced here (citations into /root/reference):
+  * file content hash — sha256 over the raw content bytes
+    (src/data/hash.rs:509-528; algorithm default sha256 src/main.rs:59-60).
+    Our rows carry ``content: string``; bytes are its UTF-8 encoding
+    (per-row invariant mandated by BASELINE.json input_hint).
+  * directory (Merkle) hash — sha256 over the concatenation of the raw
+    digest bytes of the children, sorted ascending by digest bytes
+    (sort: src/stages/build/cmd/worker/directory.rs:89; digest loop:
+    src/data/hash.rs:540-553). Empty directory == sha256 of empty input.
+  * hex serialization "<TYPE>:<hex>" (src/data/hash.rs:237-291) — we expose
+    plain lowercase hex via the built-in ``hex()``; the type tag is fixed
+    (sha256) engine-wide.
+
+All kernels are vectorized pandas UDFs (Arrow batches; no row-at-a-time
+Python UDFs). hashlib releases the GIL per call and has no batch API, so the
+per-element ``map`` inside the Arrow batch is the canonical vectorized form.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BinaryType, LongType
+
+
+@pandas_udf(BinaryType())
+def sha256_content(content: pd.Series) -> pd.Series:
+    """sha256 digest (32 raw bytes) of the UTF-8 encoding of ``content``.
+
+    Null content hashes like the reference's NULL-hash 'Other' entries
+    (src/data/hash.rs:389-403): we return None so it can be filtered /
+    treated as a non-joining hash downstream.
+    """
+    def _h(text: object) -> bytes | None:
+        if text is None:
+            return None
+        return hashlib.sha256(str(text).encode("utf-8")).digest()
+
+    return content.map(_h)
+
+
+@pandas_udf(BinaryType())
+def merkle_hash(children: pd.Series) -> pd.Series:
+    """Directory digest: sha256 of concatenated child digests.
+
+    The caller MUST pass children already sorted ascending by digest bytes
+    (use ``F.sort_array`` — Spark's BinaryType ordering is unsigned
+    lexicographic, identical to Rust's ``[u8; N]`` ordering used at
+    src/stages/build/cmd/worker/directory.rs:89). NULL child hashes
+    contribute zero bytes (reference: NULL.as_bytes() is empty,
+    src/data/hash.rs:389-403).
+    """
+    def _h(kids: object) -> bytes:
+        hasher = hashlib.sha256()
+        if kids is not None:
+            for k in kids:
+                if k is not None:
+                    hasher.update(bytes(k))
+        return hasher.digest()
+
+    return children.map(_h)
+
+
+@pandas_udf(LongType())
+def sha256_prefix64(digest: pd.Series) -> pd.Series:
+    """First 8 digest bytes as a signed int64 — a compact node id for graph
+    stages (connected components). Collision probability ~n^2/2^64."""
+    def _p(d: object) -> int | None:
+        if d is None:
+            return None
+        return int.from_bytes(bytes(d)[:8], "big", signed=True)
+
+    return digest.map(_p)
+
+
+def content_size(content_col: str | Column) -> Column:
+    """Byte length of the UTF-8 content — the reference's file ``size``
+    (bytes-read counter, src/data/hash.rs:509-528). Pure built-in."""
+    col = F.col(content_col) if isinstance(content_col, str) else content_col
+    return F.octet_length(col).cast("long")
+
+
+def hex_hash(hash_col: str | Column) -> Column:
+    """Lowercase hex of a binary digest (reference Display form minus the
+    type tag, src/data/hash.rs:237-291). Built-in, JVM-side."""
+    col = F.col(hash_col) if isinstance(hash_col, str) else hash_col
+    return F.lower(F.hex(col))

@@ -1,0 +1,39 @@
+"""Path algebra as built-in column expressions (no Python on the hot path).
+
+Re-expresses the reference's FilePath child/parent operations
+(/root/reference/src/data/path.rs:158-232) over plain POSIX repo-relative
+path strings. The repo root is the empty string ``''``; a directory exists
+iff it prefixes some file path (FIXTURES.md §1). Depth counts path
+segments: depth('') == 0, depth('a') == 1, depth('a/b') == 2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def parent_path(col: str | Column) -> Column:
+    """Dirname: 'a/b/c.py' -> 'a/b', 'a.py' -> '' (repo root).
+
+    JVM-side regexp (whole-stage codegen friendly), no UDF.
+    """
+    p = _c(col)
+    return F.when(
+        p.contains("/"), F.regexp_replace(p, "/[^/]*$", "")
+    ).otherwise(F.lit(""))
+
+
+def path_depth(col: str | Column) -> Column:
+    """Segment count; '' is depth 0."""
+    p = _c(col)
+    return F.when(p == "", F.lit(0)).otherwise(F.size(F.split(p, "/"))).cast("int")
+
+
+def base_name(col: str | Column) -> Column:
+    """Last path segment."""
+    return F.substring_index(_c(col), "/", -1)

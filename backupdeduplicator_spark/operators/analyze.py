@@ -1,0 +1,136 @@
+"""Analyze stage: hash-tree entries -> duplicate sets.
+
+Reference pipeline (/root/reference/src/stages/analyze/cmd.rs:45-194):
+  P1 collision filter   — keep hash groups with >=2 members (cmd.rs:93-96)
+  P2 collision semi-join — keep only colliding entries (cmd.rs:100-102)
+  A3 SetKey refinement  — sub-group by (hash, size, file_type, children)
+                          to guard against hash collisions (cmd.rs:200-227)
+  G2 parent suppression — "minimal duplicated set": don't report every file
+                          inside a duplicated directory (cmd.rs:136-190).
+                          We use the deterministic superset rule
+                          (SURVEY.md §3.2): emit iff >=1 member's parent is
+                          not itself in a colliding hash group.
+  A4 duplicated bytes   — sum(size * (n-1)) over emitted sets (cmd.rs:255)
+
+Scale notes:
+  * P1+P2 prune before anything expensive — same ordering the reference
+    uses; Catalyst pushes the semi-join below the wide aggregation.
+  * Mega hash-groups (empty files, license boilerplate) are the skew
+    hazard. ``duplicate_sets`` caps materialized member lists
+    (``max_members``) and always carries the true ``n_members``;
+    ``duplicate_pairs`` emits (representative, member) edges with no
+    collect_list at all — linear in group size, the shape to use at 100 TB.
+  * All joins are equi-joins on (repo, ppath) or hash; AQE handles skew
+    splitting, and the dup-hash dictionary is typically small enough that
+    AQE converts the semi-joins to broadcasts on its own.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.paths import parent_path
+
+
+def colliding_hashes(entries: DataFrame) -> DataFrame:
+    """P1: hashes appearing >=2 times. Columns: hash, n."""
+    return (
+        entries.groupBy("hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+
+
+def colliding_entries(entries: DataFrame) -> DataFrame:
+    """P2: entries whose hash collides (left-semi against P1)."""
+    return entries.join(colliding_hashes(entries).select("hash"), "hash", "left_semi")
+
+
+def _with_parent_flag(entries: DataFrame) -> DataFrame:
+    """Attach parent_conflicting: does my parent's hash collide? (J2 + J3)
+
+    Repo roots (path='') have no parent -> not conflicting, matching the
+    reference where the analysis root has no parent in the tree.
+    """
+    dup_h = colliding_hashes(entries).select("hash")
+    members = colliding_entries(entries)
+
+    parents = entries.select(
+        F.col("repo"),
+        F.col("path").alias("ppath"),
+        F.col("hash").alias("parent_hash"),
+    )
+    dup_parents = parents.join(
+        dup_h.withColumnRenamed("hash", "parent_hash"), "parent_hash", "left_semi"
+    ).withColumn("parent_conflicting", F.lit(True))
+
+    # repo roots (path='') have no parent: NULL join key never matches
+    m = members.withColumn(
+        "ppath",
+        F.when(F.col("path") == "", F.lit(None)).otherwise(parent_path("path")),
+    )
+    m = m.join(dup_parents, ["repo", "ppath"], "left")
+    return m.withColumn(
+        "parent_conflicting", F.coalesce("parent_conflicting", F.lit(False))
+    )
+
+
+def duplicate_sets(entries: DataFrame, max_members: int = 10000) -> DataFrame:
+    """Emitted duplicate sets, one row per SetKey group.
+
+    Columns: file_type, size, hash, children, n_members,
+    conflicting (array<struct<repo,path>>, sorted, capped at max_members).
+    """
+    m = _with_parent_flag(entries)
+    groups = (
+        m.groupBy("hash", "size", "file_type", "children")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(~F.col("parent_conflicting")).alias("any_parent_ok"),
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("repo", "path"))),
+                1,
+                max_members,
+            ).alias("conflicting"),
+        )
+        .filter((F.col("n_members") >= 2) & F.col("any_parent_ok"))
+        .select("file_type", "size", "hash", "children", "n_members", "conflicting")
+    )
+    return groups
+
+
+def duplicate_pairs(entries: DataFrame) -> DataFrame:
+    """Skew-safe pair form: (representative, member) per emitted group,
+    member != representative. No collect_list — linear in group size.
+
+    Columns: hash, file_type, size, repo, path, rep_repo, rep_path.
+    """
+    m = _with_parent_flag(entries)
+    key = ["hash", "size", "file_type", "children"]
+    stats = (
+        m.groupBy(*key)
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(~F.col("parent_conflicting")).alias("any_parent_ok"),
+            F.min(F.struct("repo", "path")).alias("rep"),
+        )
+        .filter((F.col("n_members") >= 2) & F.col("any_parent_ok"))
+        .select(*key, F.col("rep.repo").alias("rep_repo"),
+                F.col("rep.path").alias("rep_path"))
+    )
+    out = m.join(stats, key).select(
+        "hash", "file_type", "size", "repo", "path", "rep_repo", "rep_path"
+    )
+    return out.filter(
+        (F.col("repo") != F.col("rep_repo")) | (F.col("path") != F.col("rep_path"))
+    )
+
+
+def duplicated_bytes(dupsets: DataFrame) -> DataFrame:
+    """A4: total duplicated bytes = sum(size * (n-1)) over emitted sets."""
+    return dupsets.agg(
+        F.coalesce(
+            F.sum(F.col("size") * (F.col("n_members") - F.lit(1))), F.lit(0)
+        ).alias("duplicated_bytes")
+    )

@@ -1,0 +1,149 @@
+"""Build stage: source table -> hash-tree entries table.
+
+Re-expresses the reference's recursive build
+(/root/reference/src/stages/build/cmd/cmd.rs:46 + worker/*.rs) without any
+recursion or job graph: all files are already rows of the input table
+(SURVEY.md §2.1 S1); directories are *derived* as distinct path prefixes;
+the Merkle aggregation (A1) runs as a driver-side loop over depth levels,
+one shuffle per level (deepest first), exactly the dependency order the
+reference's Arc-countdown scheduler enforced
+(/root/reference/src/stages/build/cmd/worker.rs:191-200).
+
+Scale notes (100 TB design point):
+  * the per-level groupBy shuffles only the rows of that level, keyed by
+    (repo, parent dir) — directory fan-in is the natural combiner key and
+    map-side partial aggregation applies to collect_list per group;
+  * each level's result is localCheckpoint()ed to truncate lineage (on a
+    real cluster use a reliable checkpoint dir / Iceberg stage table — see
+    plans/checkpoint.py);
+  * max source-repo path depth is ~tens, so the loop is short and its
+    driver cost is O(depth), independent of row count;
+  * content hashing is one pandas-UDF projection over the scan — no
+    shuffle, whole files never leave their input partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import content_size, merkle_hash, sha256_content
+from ..functions.paths import parent_path, path_depth
+
+ENTRY_COLUMNS = ["repo", "path", "file_type", "modified", "size", "hash",
+                 "children", "depth"]
+
+
+def hash_files(files: DataFrame) -> DataFrame:
+    """File-level entries: sha256(content) + byte size (reference F1,
+    /root/reference/src/data/hash.rs:509-528). One projection, no shuffle."""
+    return (
+        files.select(
+            "repo",
+            "path",
+            F.lit("File").alias("file_type"),
+            F.lit(0).cast("long").alias("modified"),
+            content_size("content").alias("size"),
+            sha256_content("content").alias("hash"),
+            F.array().cast("array<binary>").alias("children"),
+            path_depth("path").alias("depth"),
+        )
+    )
+
+
+def merkle_directories(file_entries: DataFrame) -> DataFrame:
+    """Bottom-up Merkle aggregation (reference A1/O2,
+    /root/reference/src/stages/build/cmd/worker/directory.rs:81-153):
+
+    dir.hash = sha256(concat(child digests sorted ascending by bytes))
+    dir.size = number of children (hashtreefile.rs:56)
+
+    Spark's BinaryType sort order (unsigned lexicographic) matches Rust's
+    [u8; N] ordering, so ``sort_array`` reproduces the reference's
+    ``finished.sort_by(hash)`` exactly.
+    """
+    spark = file_entries.sparkSession
+
+    # contributions of files to their parent dir, keyed by parent depth
+    file_contrib = (
+        file_entries.select(
+            "repo",
+            parent_path("path").alias("path"),
+            "hash",
+        )
+        .withColumn("pdepth", path_depth("path"))
+        .persist()
+    )
+    max_depth_row = file_contrib.agg(F.max("pdepth")).collect()[0][0]
+    if max_depth_row is None:
+        file_contrib.unpersist()
+        return spark.createDataFrame([], schema=_dir_schema())
+
+    dir_levels: list[DataFrame] = []
+    dir_contrib: DataFrame | None = None  # contributions from child dirs
+    for d in range(int(max_depth_row), -1, -1):
+        level = file_contrib.filter(F.col("pdepth") == d).select("repo", "path", "hash")
+        if dir_contrib is not None:
+            level = level.unionByName(dir_contrib)
+        dirs_d = (
+            level.groupBy("repo", "path")
+            .agg(
+                F.sort_array(F.collect_list("hash")).alias("children"),
+                F.count(F.lit(1)).alias("size"),
+            )
+            .select(
+                "repo",
+                "path",
+                F.lit("Directory").alias("file_type"),
+                F.lit(0).cast("long").alias("modified"),
+                F.col("size").cast("long"),
+                merkle_hash("children").alias("hash"),
+                "children",
+                F.lit(d).cast("int").alias("depth"),
+            )
+            # truncate lineage per level; at cluster scale swap for a
+            # reliable checkpoint / Iceberg stage table
+            .localCheckpoint(eager=True)
+        )
+        dir_levels.append(dirs_d)
+        if d > 0:
+            dir_contrib = dirs_d.select(
+                "repo", parent_path("path").alias("path"), "hash"
+            )
+
+    file_contrib.unpersist()
+    out = dir_levels[0]
+    for lvl in dir_levels[1:]:
+        out = out.unionByName(lvl)
+    return out
+
+
+def _dir_schema():
+    from pyspark.sql.types import (ArrayType, BinaryType, IntegerType,
+                                   LongType, StringType, StructField,
+                                   StructType)
+
+    return StructType(
+        [
+            StructField("repo", StringType()),
+            StructField("path", StringType()),
+            StructField("file_type", StringType()),
+            StructField("modified", LongType()),
+            StructField("size", LongType()),
+            StructField("hash", BinaryType()),
+            StructField("children", ArrayType(BinaryType())),
+            StructField("depth", IntegerType()),
+        ]
+    )
+
+
+def build_entries(files: DataFrame) -> DataFrame:
+    """Full hash-tree table: file entries ∪ derived directory/root entries.
+
+    Mirrors the reference's persisted HashTreeFileEntryV1 rows
+    (/root/reference/src/stages/build/output/hashtreefile.rs:63-71) with
+    (repo, path) as node identity and path='' as the repo root.
+    """
+    fe = hash_files(files)
+    dirs = merkle_directories(fe)
+    return fe.select(*ENTRY_COLUMNS).unionByName(dirs.select(*ENTRY_COLUMNS))

@@ -1,0 +1,160 @@
+"""Pure-Python oracle of the reference's build/analyze semantics.
+
+A direct, slow, obviously-correct reimplementation of
+0xCCF4/BackupDeduplicator's rules (citations into /root/reference), used
+only in tests to validate the Spark engine:
+
+  1. file hash = sha256(content utf-8 bytes); size = byte count
+     (src/data/hash.rs:509-528)
+  2. directory hash = sha256(concat(child digests sorted ascending by raw
+     bytes)); size = number of children
+     (src/stages/build/cmd/worker/directory.rs:89, src/data/hash.rs:540-553,
+     hashtreefile.rs:56)
+  3. collision filter: keep hash groups with >=2 members
+     (src/stages/analyze/cmd.rs:93-96)
+  4. SetKey refinement: sub-group by (size, file_type, children hash list)
+     (src/stages/analyze/cmd.rs:200-205,219-227)
+  5. parent suppression, deterministic superset rule (SURVEY.md §3.2):
+     emit a sub-group of >=2 iff at least one member's parent is NOT itself
+     in a colliding hash group (reference: cmd.rs:136-190; we supersede its
+     load-order-dependent first-member quirk).
+
+A directory exists iff it prefixes some file path; the repo root is ''.
+Node identity is (repo, path).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class Entry:
+    repo: str
+    path: str  # '' for repo root
+    file_type: str  # 'File' | 'Directory'
+    size: int
+    hash: bytes
+    children: tuple[bytes, ...]  # sorted ascending, () for files
+
+
+def _parent(path: str) -> str | None:
+    """'' (root) has no parent; 'a' -> ''; 'a/b' -> 'a'."""
+    if path == "":
+        return None
+    return path.rsplit("/", 1)[0] if "/" in path else ""
+
+
+def build_entries(rows: list[tuple[str, str, str]]) -> list[Entry]:
+    """rows: (repo, path, content) -> hash-tree entries (files + dirs + roots)."""
+    entries: list[Entry] = []
+    # direct children digests per (repo, dirpath)
+    kids: dict[tuple[str, str], list[bytes]] = {}
+
+    for repo, path, content in rows:
+        data = content.encode("utf-8")
+        h = hashlib.sha256(data).digest()
+        entries.append(Entry(repo, path, "File", len(data), h, ()))
+        p = _parent(path)
+        assert p is not None
+        kids.setdefault((repo, p), [])  # ensure dir exists
+        kids[(repo, p)].append(h)
+        # materialize all ancestor dirs
+        while p != "":
+            gp = _parent(p)
+            assert gp is not None
+            kids.setdefault((repo, gp), [])
+            p = gp
+
+    # register dir-in-dir membership (content added bottom-up later)
+    dir_children: dict[tuple[str, str], list[tuple[str, str]]] = {}
+    for (repo, d) in kids:
+        if d == "":
+            continue
+        p = _parent(d)
+        assert p is not None
+        dir_children.setdefault((repo, p), []).append((repo, d))
+
+    # bottom-up by depth
+    def depth(d: str) -> int:
+        return 0 if d == "" else d.count("/") + 1
+
+    dir_hash: dict[tuple[str, str], bytes] = {}
+    for key in sorted(kids, key=lambda k: -depth(k[1])):
+        child_digests = list(kids[key])
+        for sub in dir_children.get(key, []):
+            child_digests.append(dir_hash[sub])
+        child_digests.sort()
+        h = hashlib.sha256(b"".join(child_digests)).digest()
+        dir_hash[key] = h
+        entries.append(
+            Entry(key[0], key[1], "Directory", len(child_digests), h,
+                  tuple(child_digests))
+        )
+    return entries
+
+
+@dataclass(frozen=True)
+class DupSet:
+    file_type: str
+    size: int
+    hash: bytes
+    children: tuple[bytes, ...]
+    members: tuple[tuple[str, str], ...]  # sorted (repo, path)
+
+
+def analyze(entries: list[Entry]) -> list[DupSet]:
+    """Collision filter -> SetKey refinement -> parent suppression (superset
+    rule). Returns emitted duplicate sets, deterministically sorted."""
+    by_hash: dict[bytes, list[Entry]] = {}
+    for e in entries:
+        by_hash.setdefault(e.hash, []).append(e)
+    colliding = {h for h, es in by_hash.items() if len(es) >= 2}
+
+    entry_by_id = {(e.repo, e.path): e for e in entries}
+
+    def parent_conflicting(e: Entry) -> bool:
+        p = _parent(e.path)
+        if p is None:
+            return False
+        pe = entry_by_id.get((e.repo, p))
+        return pe is not None and pe.hash in colliding
+
+    groups: dict[tuple, list[Entry]] = {}
+    for e in entries:
+        if e.hash not in colliding:
+            continue
+        groups.setdefault((e.hash, e.size, e.file_type, e.children), []).append(e)
+
+    out: list[DupSet] = []
+    for (h, size, ftype, children), es in groups.items():
+        if len(es) < 2:
+            continue
+        if not any(not parent_conflicting(e) for e in es):
+            continue  # every member sits inside a duplicated directory
+        members = tuple(sorted((e.repo, e.path) for e in es))
+        out.append(DupSet(ftype, size, h, children, members))
+    out.sort(key=lambda d: (d.hash, d.file_type, d.size, d.members))
+    return out
+
+
+def duplicated_bytes(dupsets: list[DupSet]) -> int:
+    """Sum of size*(n-1) over emitted sets (src/stages/analyze/cmd.rs:255)."""
+    return sum(d.size * (len(d.members) - 1) for d in dupsets)
+
+
+# ---------------------------------------------------------------- near-dup
+
+
+def char_shingles(text: str, k: int = 5) -> set[str]:
+    if len(text) < k:
+        return {text} if text else set()
+    return {text[i:i + k] for i in range(len(text) - k + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    u = len(a | b)
+    return len(a & b) / u if u else 0.0

@@ -1,0 +1,53 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults chosen for the 100 TB design point, scaled down for local mode:
+AQE on (runtime re-planning, skew-join splitting, partition coalescing),
+Arrow on (all our kernels are pandas UDFs), shuffle partitions ~ cores in
+local mode (on a real cluster: 2-3x total executor cores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "backupdeduplicator-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``cores`` controls local-mode parallelism (``local[N]``); defaults to
+    $SPARK_GRAFT_CPUS or all cores. On a real cluster you would submit with
+    spark-submit and these local[] settings are ignored.
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        # -- correctness-relevant --
+        .config("spark.sql.session.timeZone", "UTC")
+        # -- adaptivity: runtime re-plan, skew-join splitting, coalescing --
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # -- shuffle sizing --
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # -- Arrow / pandas-UDF path --
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # -- keep the UI off in tests/bench --
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

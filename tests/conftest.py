@@ -1,0 +1,24 @@
+from __future__ import annotations
+
+import pytest
+
+from backupdeduplicator_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("bd-spark-tests", cores=8, shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def small_fixture():
+    from backupdeduplicator_spark.fixtures import generate
+
+    return generate(n_files=400, seed=42)
+
+
+@pytest.fixture(scope="session")
+def small_files_df(spark, small_fixture):
+    return spark.createDataFrame(small_fixture.df).repartition(8).cache()

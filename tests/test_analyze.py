@@ -1,0 +1,100 @@
+"""Analyze stage vs oracle: identical emitted duplicate sets (SURVEY §5.2.2),
+pair form consistency, duplicated-bytes total, subtree suppression."""
+
+from __future__ import annotations
+
+import pytest
+
+from backupdeduplicator_spark import oracle
+from backupdeduplicator_spark.operators.analyze import (
+    duplicate_pairs, duplicate_sets, duplicated_bytes)
+from backupdeduplicator_spark.operators.build import build_entries
+
+
+@pytest.fixture(scope="module")
+def oracle_sets(small_fixture):
+    rows = list(
+        small_fixture.df[["repo", "path", "content"]].itertuples(index=False, name=None)
+    )
+    return oracle.analyze(oracle.build_entries(rows))
+
+
+@pytest.fixture(scope="module")
+def spark_entries(small_files_df):
+    return build_entries(small_files_df).cache()
+
+
+def test_duplicate_sets_match_oracle(spark_entries, oracle_sets):
+    got_rows = duplicate_sets(spark_entries).collect()
+    got = {
+        (
+            bytes(r["hash"]),
+            r["size"],
+            r["file_type"],
+            tuple(bytes(c) for c in r["children"]),
+        ): tuple(sorted((m["repo"], m["path"]) for m in r["conflicting"]))
+        for r in got_rows
+    }
+    expected = {
+        (d.hash, d.size, d.file_type, tuple(d.children)): d.members
+        for d in oracle_sets
+    }
+    assert got.keys() == expected.keys(), (
+        f"group keys differ: {len(got)} vs {len(expected)}"
+    )
+    for k in expected:
+        assert got[k] == expected[k], k
+
+
+def test_duplicated_bytes_matches_oracle(spark_entries, oracle_sets):
+    got = duplicated_bytes(duplicate_sets(spark_entries)).collect()[0][0]
+    assert got == oracle.duplicated_bytes(oracle_sets)
+
+
+def test_pairs_consistent_with_sets(spark_entries, oracle_sets):
+    """pair count per group == n_members - 1; same groups as the set form."""
+    pairs = duplicate_pairs(spark_entries).collect()
+    per_group: dict[tuple, int] = {}
+    for r in pairs:
+        per_group[(bytes(r["hash"]), r["size"], r["file_type"])] = (
+            per_group.get((bytes(r["hash"]), r["size"], r["file_type"]), 0) + 1
+        )
+    exp: dict[tuple, int] = {}
+    for d in oracle_sets:
+        k = (d.hash, d.size, d.file_type)
+        exp[k] = exp.get(k, 0) + len(d.members) - 1
+    assert per_group == exp
+
+
+def test_subtree_children_suppressed(small_fixture, spark_entries, oracle_sets):
+    """A duplicated subtree surfaces as one Directory group; its member
+    files do not each get their own emitted group (minimal-set rule)."""
+    sets = duplicate_sets(spark_entries).collect()
+    emitted_paths = {
+        (m["repo"], m["path"]) for r in sets for m in r["conflicting"]
+    }
+    dir_groups = {
+        (m["repo"], m["path"])
+        for r in sets
+        if r["file_type"] == "Directory"
+        for m in r["conflicting"]
+    }
+    # at least one injected subtree must surface as a Directory group
+    injected = {
+        (sr, sd) for (sr, sd, dr, dd) in small_fixture.duplicated_subtrees
+    } | {(dr, dd) for (sr, sd, dr, dd) in small_fixture.duplicated_subtrees}
+    assert injected & dir_groups, "no injected subtree surfaced as a dir group"
+    # the minimal-set rule: no emitted group may consist ENTIRELY of members
+    # living inside duplicated directories (such groups are suppressed; a
+    # group with >=1 member outside is emitted whole — superset rule)
+    dup_dir_prefixes = injected & dir_groups
+    def inside_dup_dir(repo: str, path: str) -> bool:
+        return any(
+            r == repo and path.startswith(d + "/") for (r, d) in dup_dir_prefixes
+        )
+    for r in sets:
+        members = [(m["repo"], m["path"]) for m in r["conflicting"]]
+        assert not all(inside_dup_dir(*m) for m in members), (
+            f"fully-contained group leaked: {members}"
+        )
+    assert emitted_paths  # sanity

@@ -1,0 +1,48 @@
+"""Spark build stage must equal the pure-Python oracle exactly
+(SURVEY.md §5.2.2): per-row sha256, Merkle dir hashes, sizes, children."""
+
+from __future__ import annotations
+
+from backupdeduplicator_spark import oracle
+from backupdeduplicator_spark.operators.build import build_entries
+
+
+def _oracle_entries(fx):
+    rows = list(fx.df[["repo", "path", "content"]].itertuples(index=False, name=None))
+    return oracle.build_entries(rows)
+
+
+def test_build_matches_oracle(spark, small_fixture, small_files_df):
+    expected = {
+        (e.repo, e.path): (e.file_type, e.size, e.hash, tuple(e.children))
+        for e in _oracle_entries(small_fixture)
+    }
+    got_rows = build_entries(small_files_df).collect()
+    got = {
+        (r["repo"], r["path"]): (
+            r["file_type"],
+            r["size"],
+            bytes(r["hash"]),
+            tuple(bytes(c) for c in r["children"]),
+        )
+        for r in got_rows
+    }
+    assert len(got_rows) == len(got), "duplicate (repo,path) node ids"
+    assert got.keys() == expected.keys()
+    mismatches = {k: (got[k], expected[k]) for k in expected if got[k] != expected[k]}
+    assert not mismatches, f"{len(mismatches)} mismatching entries, e.g. " + str(
+        next(iter(mismatches.items()))
+    )
+
+
+def test_repo_roots_present(spark, small_fixture, small_files_df):
+    entries = build_entries(small_files_df)
+    roots = entries.filter("path = ''").select("repo").distinct().count()
+    assert roots == small_fixture.df["repo"].nunique()
+
+
+def test_duplicated_repo_roots_share_hash(spark, small_fixture, small_files_df):
+    entries = build_entries(small_files_df).filter("path = ''").collect()
+    by_repo = {r["repo"]: bytes(r["hash"]) for r in entries}
+    for src, dst in small_fixture.duplicated_repos:
+        assert by_repo[src] == by_repo[dst], (src, dst)

@@ -1,0 +1,59 @@
+"""Known-vector tests (SURVEY.md §5.2.1).
+
+The reference documents sha256("Hello, world!") ==
+315f5bdb76d078c43b8ac0064e4a0164612b1fce77c869345bfc94c75894edd3
+(/root/reference/src/data/hash.rs:39) and an empty directory hashing to the
+digest of empty input (e3b0c442...).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from backupdeduplicator_spark.functions.hashing import (
+    content_size, hex_hash, merkle_hash, sha256_content)
+
+HELLO = "315f5bdb76d078c43b8ac0064e4a0164612b1fce77c869345bfc94c75894edd3"
+EMPTY = "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
+
+
+def test_sha256_known_vectors(spark):
+    df = spark.createDataFrame(
+        [("Hello, world!",), ("",), ("héllo ✓",)], ["content"]
+    )
+    rows = df.select(
+        hex_hash(sha256_content("content")).alias("h"),
+        content_size("content").alias("size"),
+        F.col("content"),
+    ).collect()
+    got = {r["content"]: (r["h"], r["size"]) for r in rows}
+    assert got["Hello, world!"] == (HELLO, 13)
+    assert got[""] == (EMPTY, 0)
+    # utf-8 byte length, not char length
+    assert got["héllo ✓"] == (
+        hashlib.sha256("héllo ✓".encode()).hexdigest(),
+        len("héllo ✓".encode()),
+    )
+
+
+def test_merkle_sorted_children(spark):
+    """Directory digest = sha256 of child digests sorted ascending by bytes,
+    regardless of arrival order (directory.rs:89)."""
+    ha = hashlib.sha256(b"a").digest()
+    hb = hashlib.sha256(b"b").digest()
+    hc = hashlib.sha256(b"c").digest()
+    expected = hashlib.sha256(b"".join(sorted([ha, hb, hc]))).hexdigest()
+
+    df = spark.createDataFrame([([hc, ha, hb],)], "children: array<binary>")
+    got = df.select(
+        hex_hash(merkle_hash(F.sort_array("children"))).alias("h")
+    ).collect()[0]["h"]
+    assert got == expected
+
+
+def test_merkle_empty_dir(spark):
+    df = spark.createDataFrame([([],)], "children: array<binary>")
+    got = df.select(hex_hash(merkle_hash("children")).alias("h")).collect()[0]["h"]
+    assert got == EMPTY
