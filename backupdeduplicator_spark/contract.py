@@ -1,0 +1,316 @@
+"""Driver-contract queries: each SURVEY.md §2 operator exposed as a named
+query over the driver's parquet tables, with a DuckDB-oracle SQL twin.
+
+Two kinds of entries:
+  * SQL-twin queries — the Spark side runs Spark-dialect SQL (or an
+    engine-backed DataFrame with identical semantics), the oracle side is
+    DuckDB SQL over the same views; the driver hash-compares results.
+  * engine-only queries — semantics DuckDB can't reproduce exactly
+    (raw-byte Merkle digests, MinHash/LSH clustering); these ship without
+    an oracle twin and get the driver's rows-only check. Their deep
+    conformance is covered by tests/ against the pure-Python oracle.
+
+Column names are aliased identically on both sides (driver compares
+sorted-by-name value hashes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sources.tables import _FILES_SQL, D
+
+_DIRNAME = "regexp_replace({p}, '/[^/]*$', '')"
+
+
+def _files_cte(d: D) -> str:
+    return f"WITH files AS ({_FILES_SQL})"
+
+
+def _fh_cte(d: D) -> str:
+    """files + fh (per-file hash_hex + size)."""
+    return (
+        f"{_files_cte(d)}, fh AS (SELECT repo, path, "
+        f"{d.sha256('content')} AS hash_hex, "
+        f"CAST({d.bytes_len('content')} AS BIGINT) AS size FROM files)"
+    )
+
+
+# ---------------------------------------------------------------- queries
+# each builder returns dialect-parameterized SQL; duckdb gets D('duckdb'),
+# the Spark side D('spark')
+
+
+def q_file_hashes(d: D) -> str:
+    return f"{_fh_cte(d)} SELECT repo, path, hash_hex, size FROM fh"
+
+
+def q_p1_collision_filter(d: D) -> str:
+    return (
+        f"{_fh_cte(d)} SELECT hash_hex, COUNT(*) AS n FROM fh "
+        f"GROUP BY hash_hex HAVING COUNT(*) >= 2"
+    )
+
+
+def q_p2_collision_semijoin(d: D) -> str:
+    return (
+        f"{_fh_cte(d)}, dup AS (SELECT hash_hex FROM fh GROUP BY hash_hex "
+        f"HAVING COUNT(*) >= 2) "
+        f"SELECT repo, path, hash_hex FROM fh "
+        f"WHERE hash_hex IN (SELECT hash_hex FROM dup)"
+    )
+
+
+def q_a3_exact_dup_groups(d: D) -> str:
+    member = "repo || '/' || path"
+    return (
+        f"{_fh_cte(d)} SELECT hash_hex, size, COUNT(*) AS n_members, "
+        f"{d.sorted_concat(member, ',')} AS members FROM fh "
+        f"GROUP BY hash_hex, size HAVING COUNT(*) >= 2"
+    )
+
+
+def q_a4_dup_bytes_total(d: D) -> str:
+    return (
+        f"{_fh_cte(d)}, g AS (SELECT size, COUNT(*) AS n FROM fh "
+        f"GROUP BY hash_hex, size HAVING COUNT(*) >= 2) "
+        f"SELECT COALESCE(SUM(size * (n - 1)), 0) AS duplicated_bytes FROM g"
+    )
+
+
+def q_a1_merkle_level1(d: D) -> str:
+    dirname = _DIRNAME.format(p="path")
+    return (
+        f"{_fh_cte(d)} SELECT repo, {dirname} AS dir, "
+        f"{d.sha256(d.sorted_concat('hash_hex'))} AS dir_hash_hex, "
+        f"COUNT(*) AS n_children FROM fh GROUP BY repo, {dirname}"
+    )
+
+
+def _dir_levels_cte(d: D) -> str:
+    """fh + d2/d1/d0 hex-variant Merkle levels (the derived files view has
+    fixed depth 2, so three dir levels cover the whole tree)."""
+    dn_path = _DIRNAME.format(p="path")
+    return (
+        f"{_fh_cte(d)}, "
+        f"d2 AS (SELECT repo, {dn_path} AS path, "
+        f"{d.sha256(d.sorted_concat('hash_hex'))} AS hash_hex, "
+        f"COUNT(*) AS size, {d.sorted_concat('hash_hex', ',')} AS ckey "
+        f"FROM fh GROUP BY repo, {dn_path}), "
+        f"d1 AS (SELECT repo, {dn_path} AS path, "
+        f"{d.sha256(d.sorted_concat('hash_hex'))} AS hash_hex, "
+        f"COUNT(*) AS size, {d.sorted_concat('hash_hex', ',')} AS ckey "
+        f"FROM d2 GROUP BY repo, {dn_path}), "
+        f"d0 AS (SELECT repo, '' AS path, "
+        f"{d.sha256(d.sorted_concat('hash_hex'))} AS hash_hex, "
+        f"COUNT(*) AS size, {d.sorted_concat('hash_hex', ',')} AS ckey "
+        f"FROM d1 GROUP BY repo)"
+    )
+
+
+def q_merkle_roots(d: D) -> str:
+    return f"{_dir_levels_cte(d)} SELECT repo, hash_hex AS root_hash_hex, size AS n_top FROM d0"
+
+
+def q_bd_dup_sets(d: D) -> str:
+    """DuckDB twin of the flagship duplicate_sets over the derived view.
+
+    Uses the hex-concat Merkle variant: collision structure is isomorphic
+    to the engine's raw-byte variant (equal child lists <=> equal digests,
+    whp), so group membership and parent suppression agree even though the
+    directory digest values differ. Hash values are therefore NOT in the
+    output — groups are identified by (file_type, size, members).
+    """
+    member = "repo || '/' || path"
+    return (
+        f"{_dir_levels_cte(d)}, "
+        f"entries AS ("
+        f"SELECT repo, path, 'File' AS ftype, size, hash_hex, '' AS ckey FROM fh "
+        f"UNION ALL SELECT repo, path, 'Directory', size, hash_hex, ckey FROM d2 "
+        f"UNION ALL SELECT repo, path, 'Directory', size, hash_hex, ckey FROM d1 "
+        f"UNION ALL SELECT repo, path, 'Directory', size, hash_hex, ckey FROM d0), "
+        f"dup AS (SELECT hash_hex FROM entries GROUP BY hash_hex HAVING COUNT(*) >= 2), "
+        f"parents AS (SELECT repo, path AS ppath, hash_hex AS parent_h FROM entries), "
+        f"m AS (SELECT e.*, CASE WHEN e.path = '' THEN NULL ELSE "
+        f"{_DIRNAME.format(p='e.path')} END AS ppath FROM entries e "
+        f"WHERE e.hash_hex IN (SELECT hash_hex FROM dup)), "
+        f"mf AS (SELECT m.*, COALESCE(p.parent_h IN (SELECT hash_hex FROM dup), FALSE) AS pc "
+        f"FROM m LEFT JOIN parents p ON m.repo = p.repo AND m.ppath = p.ppath) "
+        f"SELECT ftype AS file_type, size, COUNT(*) AS n_members, "
+        f"{d.sorted_concat(member, ',')} AS members FROM mf "
+        f"GROUP BY hash_hex, size, ftype, ckey "
+        f"HAVING COUNT(*) >= 2 AND BOOL_OR(NOT pc)"
+    )
+
+
+def q_j2_parent_join(d: D) -> str:
+    dn = _DIRNAME.format(p="f.path")
+    dn_plain = _DIRNAME.format(p="path")
+    return (
+        f"{_files_cte(d)}, dirs AS (SELECT repo, {dn_plain} AS dir, "
+        f"COUNT(*) AS n_children FROM files GROUP BY repo, {dn_plain}) "
+        f"SELECT f.repo AS repo, f.path AS path, d.n_children AS siblings "
+        f"FROM files f JOIN dirs d ON f.repo = d.repo AND {dn} = d.dir"
+    )
+
+
+def q_w1_latest_event_per_user(d: D) -> str:
+    return (
+        "SELECT user_id, event_id, event_type FROM ("
+        "SELECT user_id, event_id, event_type, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+        "FROM events) t WHERE rn = 1"
+    )
+
+
+def q_t1_token_counts(d: D) -> str:
+    return (
+        f"SELECT doc_id, CAST({d.token_count('text')} AS BIGINT) AS n_tokens "
+        f"FROM documents"
+    )
+
+
+def q_t2_doc_quality(d: D) -> str:
+    alpha = d.strip_nonalpha("text")
+    return (
+        f"SELECT doc_id, CAST({d.bytes_len('text')} AS BIGINT) AS n_bytes, "
+        f"ROUND(length({alpha}) * CAST(1.0 AS DOUBLE) / GREATEST(length(text), 1), 4) "
+        f"AS alpha_ratio, "
+        f"CAST({d.token_count('text')} AS BIGINT) AS n_tokens "
+        f"FROM documents"
+    )
+
+
+def q_s2_ann_topk(d: D) -> str:
+    if d.dialect == "spark":
+        dot = (
+            "aggregate(zip_with(q.qe, e.embedding, (x, y) -> "
+            "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, v) -> a + v)"
+        )
+        nrm = (
+            "sqrt(aggregate(transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+            "0D, (a, v) -> a + v))"
+        )
+        sim = f"{dot} / ({nrm.format(v='q.qe')} * {nrm.format(v='e.embedding')})"
+    else:
+        sim = "list_cosine_similarity(q.qe, e.embedding)"
+    return (
+        f"WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
+        f"WHERE vec_id < 5), "
+        f"c AS (SELECT q.query_id, e.vec_id AS neighbor_id, {sim} AS sim "
+        f"FROM q JOIN embeddings e ON e.vec_id <> q.query_id) "
+        f"SELECT query_id, neighbor_id, rank FROM ("
+        f"SELECT query_id, neighbor_id, "
+        f"ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank "
+        f"FROM c) t WHERE rank <= 10"
+    )
+
+
+SQL_QUERIES: dict[str, Callable[[D], str]] = {
+    "file_hashes": q_file_hashes,
+    "p1_collision_filter": q_p1_collision_filter,
+    "p2_collision_semijoin": q_p2_collision_semijoin,
+    "a3_exact_dup_groups": q_a3_exact_dup_groups,
+    "a4_dup_bytes_total": q_a4_dup_bytes_total,
+    "a1_merkle_level1": q_a1_merkle_level1,
+    "merkle_roots": q_merkle_roots,
+    "bd_dup_sets": q_bd_dup_sets,
+    "j2_parent_join": q_j2_parent_join,
+    "w1_latest_event_per_user": q_w1_latest_event_per_user,
+    "t1_token_counts": q_t1_token_counts,
+    "t2_doc_quality": q_t2_doc_quality,
+    "s2_ann_topk": q_s2_ann_topk,
+}
+
+
+# ----------------------------------------------------- engine-backed side
+
+
+def _spark_bd_dup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full engine pipeline (pandas-UDF hashing, raw-byte Merkle,
+    SetKey + suppression), projected to the oracle-comparable columns."""
+    from .operators.analyze import duplicate_sets
+    from .operators.build import build_entries
+    from .sources.tables import files_df
+
+    files = files_df(spark, sf_dir)
+    sets = duplicate_sets(build_entries(files))
+    member = F.concat_ws(
+        ",",
+        F.sort_array(
+            F.transform(
+                "conflicting", lambda s: F.concat_ws("/", s["repo"], s["path"])
+            )
+        ),
+    )
+    return sets.select(
+        "file_type",
+        F.col("size").cast("long").alias("size"),
+        F.col("n_members").cast("long").alias("n_members"),
+        member.alias("members"),
+    )
+
+
+def _spark_file_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine kernel (pandas UDF) rather than builtin sha2 — same result,
+    exercises the vectorized hash path the pipeline actually uses."""
+    from .functions.hashing import content_size, hex_hash, sha256_content
+    from .sources.tables import files_df
+
+    files = files_df(spark, sf_dir)
+    return files.select(
+        "repo",
+        "path",
+        hex_hash(sha256_content("content")).alias("hash_hex"),
+        content_size("content").alias("size"),
+    )
+
+
+def _spark_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-only (no SQL twin): MinHash/LSH/CC near-dup clusters over the
+    derived files view. Driver records a rows-only check."""
+    from .operators.minhash import near_duplicate_clusters
+    from .sources.tables import files_df
+
+    files = files_df(spark, sf_dir).withColumn("commit", F.lit("")).withColumn(
+        "lang", F.lit("")
+    )
+    return near_duplicate_clusters(files).orderBy("component", "repo", "path")
+
+
+ENGINE_BACKED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "file_hashes": _spark_file_hashes,
+    "bd_dup_sets": _spark_bd_dup_sets,
+}
+
+ENGINE_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "near_dup_clusters": _spark_near_dup_clusters,
+}
+
+
+def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """queries() for __spark_entry__."""
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    def _sql_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from .sources.tables import register_views
+
+            register_views(spark, sf_dir)
+            return spark.sql(SQL_QUERIES[name](D("spark")))
+
+        return run
+
+    for name in SQL_QUERIES:
+        out[name] = ENGINE_BACKED.get(name) or _sql_runner(name)
+    out.update(ENGINE_ONLY)
+    return out
+
+
+def build_oracle_sql() -> dict[str, str]:
+    """oracle_sql() for __spark_entry__ — DuckDB dialect."""
+    d = D("duckdb")
+    return {name: fn(d) for name, fn in SQL_QUERIES.items()}

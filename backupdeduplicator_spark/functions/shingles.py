@@ -1,0 +1,95 @@
+"""Character-shingle MinHash kernels (north_rule F10/F11; not in the
+reference, which only does exact hashing).
+
+Vectorized numpy inside Arrow-batched pandas UDFs — no per-row Python UDFs.
+
+Config (pinned in FIXTURES.md §4): k=5 char shingles, 128 permutations,
+LSH b=32 bands x r=4 rows => S-curve midpoint (1/b)^(1/r) ≈ 0.42.
+
+Math: shingle hash = polynomial rolling hash of the UTF-8 bytes modulo the
+Mersenne prime p = 2^31 - 1 (values < 2^31 keep a*x + b inside uint64);
+permutation i is h_i(x) = (a_i * x + b_i) mod p with (a_i, b_i) drawn from
+a fixed seed. Signature element i = min over shingles of h_i.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+K_SHINGLE = 5
+NUM_PERMS = 128
+LSH_BANDS = 32
+LSH_ROWS = 4
+_P = np.uint64((1 << 31) - 1)
+_SEED = 1337
+
+_rs = np.random.RandomState(_SEED)
+# a in [1, p), b in [0, p) — fixed engine-wide so signatures are comparable
+_A = _rs.randint(1, int(_P), size=NUM_PERMS).astype(np.uint64)
+_B = _rs.randint(0, int(_P), size=NUM_PERMS).astype(np.uint64)
+# polynomial base powers for k-byte windows
+_BASE = np.uint64(257)
+_POW = np.empty(K_SHINGLE, dtype=np.uint64)
+_POW[K_SHINGLE - 1] = np.uint64(1)
+for _i in range(K_SHINGLE - 2, -1, -1):
+    _POW[_i] = (_POW[_i + 1] * _BASE) % _P
+
+# signature of the empty shingle set: sentinel p everywhere, so two empty
+# documents estimate similarity 1.0 (matches oracle.jaccard(∅,∅) == 1)
+_EMPTY_SIG = np.full(NUM_PERMS, int(_P), dtype=np.int64)
+
+
+def shingle_hashes(text: str, k: int = K_SHINGLE) -> np.ndarray:
+    """Distinct k-char shingle hashes of ``text`` (uint64 < 2^31).
+
+    Texts shorter than k (but non-empty) yield one shingle = whole text,
+    mirroring oracle.char_shingles.
+    """
+    data = text.encode("utf-8")
+    if len(data) == 0:
+        return np.empty(0, dtype=np.uint64)
+    b = np.frombuffer(data, dtype=np.uint8)
+    if len(b) < k:
+        w = b.astype(np.uint64)[None, :]
+        pows = _POW[-len(b):]
+    else:
+        w = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+        pows = _POW
+    # products < 2^8 * 2^31 = 2^39; sum of k terms < 2^42 — no overflow
+    h = (w * pows[None, :]).sum(axis=1) % _P
+    return np.unique(h)
+
+
+def minhash_from_shingles(h: np.ndarray) -> np.ndarray:
+    """128-element MinHash signature (int64) from shingle hashes."""
+    if h.size == 0:
+        return _EMPTY_SIG
+    sig = np.empty(NUM_PERMS, dtype=np.int64)
+    # block over permutations to bound the (perms x shingles) temp at
+    # 16 * n_shingles u64s (~8 MB for a 64 KiB document)
+    for i in range(0, NUM_PERMS, 16):
+        block = (_A[i:i + 16, None] * h[None, :] + _B[i:i + 16, None]) % _P
+        sig[i:i + 16] = block.min(axis=1).astype(np.int64)
+    return sig
+
+
+@pandas_udf(ArrayType(LongType()))
+def minhash_signature(content: pd.Series) -> pd.Series:
+    """content -> 128-long MinHash signature (array<long>)."""
+    def _sig(text: object) -> list[int]:
+        if text is None:
+            return _EMPTY_SIG.tolist()
+        return minhash_from_shingles(shingle_hashes(str(text))).tolist()
+
+    return content.map(_sig)
+
+
+@pandas_udf(LongType())
+def shingle_count(content: pd.Series) -> pd.Series:
+    """Number of distinct k-shingles (diagnostics / weighting)."""
+    return content.map(
+        lambda t: 0 if t is None else int(shingle_hashes(str(t)).size)
+    )

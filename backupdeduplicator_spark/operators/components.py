@@ -1,0 +1,96 @@
+"""Connected components via alternating large-star / small-star (G3).
+
+Implements the MapReduce CC algorithm of Kiveris et al., "Connected
+Components in MapReduce and Beyond" (SOCC'14) as plain DataFrame ops with a
+driver-side fixpoint loop — the idiomatic Spark shape for iterative graph
+algorithms without GraphX/GraphFrames dependencies.
+
+  large-star: every node points its larger neighbors at its minimum
+              neighbor (or itself) — halves long chains.
+  small-star: every node points its smaller-or-equal neighbors (and
+              itself) at its minimum neighbor — flattens stars.
+
+Converges in O(log^2 n) rounds; each round is two shuffles keyed by node
+id. Lineage is truncated per round with localCheckpoint (swap for a
+reliable checkpoint dir on a real cluster). Convergence is detected by a
+(count, checksum) fingerprint of the edge set — one cheap aggregate, no
+expensive exceptAll.
+
+Skew note: the groupBy key is the node id; mega-components skew the 'min'
+aggregation only mildly (min is a cheap partial agg), and AQE splits any
+skewed post-join partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Undirected edge set as (u > v) pairs, no self-loops, distinct."""
+    e = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    return e.filter(F.col("u") != F.col("v")).distinct()
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    nbrs = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = mins.select("u", F.least("u", "mv").alias("m"))
+    out = (
+        nbrs.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    nbrs = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("m"))
+    out = (
+        nbrs.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(mins.select(F.col("u"), F.col("m").alias("v")))
+    )
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def _fingerprint(e: DataFrame) -> tuple[int, int]:
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("chk"),
+    ).collect()[0]
+    return int(row["n"]), int(row["chk"])
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """edges(u, v) -> labels(id, component) where component = min member id.
+
+    Node ids may be any orderable type (long or string). Isolated nodes
+    don't appear in ``edges`` and so get no row — callers union them back
+    with component = own id if needed.
+    """
+    e = _canonical(edges).localCheckpoint(eager=True)
+    prev = _fingerprint(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+    # at fixpoint every edge points a node at its component minimum
+    labels = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    return labels.unionByName(roots).groupBy("id").agg(
+        F.min("component").alias("component")
+    )

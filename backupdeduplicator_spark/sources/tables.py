@@ -1,0 +1,94 @@
+"""Test-table loading + the derived `files` view used by the driver
+contract (__spark_entry__.py) and bench.py.
+
+The driver provisions TPC-H-ish parquet tables plus `documents` and
+`embeddings` (TESTDATA.md). The dedup pipeline's input shape is
+(repo, path, commit, lang, content) — we derive a deterministic `files`
+view from `documents` with injected exact duplicates (every doc_id % 10
+== 0 mirrored under a second path), expressed identically in the Spark
+and DuckDB dialects so the driver's DuckDB oracle sees the same input.
+
+Layout of the derived view: every file sits at depth 2
+(`src/d<k>/f<id>.txt` or `mirror/m<k>/f<id>.txt`), so the directory tree
+is exactly 3 levels (root '' -> src|mirror -> d<k>|m<k>) — fixed depth
+makes the Merkle aggregation SQL-expressible for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.01"
+
+# one source of truth for the derived files view, per dialect
+_FILES_SQL = """
+SELECT
+  'org-' || CAST(doc_id % 5 AS STRING) || '/repo-' || CAST(doc_id % 11 AS STRING) AS repo,
+  'src/d' || CAST(doc_id % 17 AS STRING) || '/f' || CAST(doc_id AS STRING) || '.txt' AS path,
+  text AS content
+FROM documents
+UNION ALL
+SELECT
+  'org-' || CAST((doc_id + 1) % 5 AS STRING) || '/repo-' || CAST((doc_id + 3) % 11 AS STRING) AS repo,
+  'mirror/m' || CAST(doc_id % 3 AS STRING) || '/f' || CAST(doc_id AS STRING) || '.txt' AS path,
+  text AS content
+FROM documents
+WHERE doc_id % 10 = 0
+"""
+
+FILES_CTE = f"WITH files AS ({_FILES_SQL})"
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register each parquet table as a temp view, plus the derived
+    `files` view."""
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    spark.sql(_FILES_SQL).createOrReplaceTempView("files")
+
+
+def files_df(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """The derived (repo, path, content) input table as a DataFrame."""
+    register_views(spark, sf_dir)
+    return spark.table("files")
+
+
+class D:
+    """Per-dialect SQL snippets (spark | duckdb). Everything the contract
+    queries need that differs between engines."""
+
+    def __init__(self, dialect: str):
+        assert dialect in ("spark", "duckdb")
+        self.dialect = dialect
+
+    def sha256(self, x: str) -> str:
+        return f"sha2({x}, 256)" if self.dialect == "spark" else f"sha256({x})"
+
+    def bytes_len(self, x: str) -> str:
+        if self.dialect == "spark":
+            return f"octet_length({x})"
+        return f"octet_length(encode({x}))"
+
+    def sorted_concat(self, col: str, sep: str = "") -> str:
+        """Order-insensitive aggregate: concatenation of ``col`` values
+        sorted ascending."""
+        if self.dialect == "spark":
+            return f"concat_ws('{sep}', sort_array(collect_list({col})))"
+        return f"string_agg({col}, '{sep}' ORDER BY {col})"
+
+    def token_count(self, x: str) -> str:
+        if self.dialect == "spark":
+            arr = f"split(trim({x}), '\\\\s+')"
+            return f"CASE WHEN length(trim({x})) = 0 THEN 0 ELSE size({arr}) END"
+        arr = f"regexp_split_to_array(trim({x}), '\\s+')"
+        return f"CASE WHEN length(trim({x})) = 0 THEN 0 ELSE len({arr}) END"
+
+    def strip_nonalpha(self, x: str) -> str:
+        if self.dialect == "spark":
+            return f"regexp_replace({x}, '[^A-Za-z]', '')"
+        return f"regexp_replace({x}, '[^A-Za-z]', '', 'g')"

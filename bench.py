@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline pipeline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+  {"metric": "e2e_pipeline_sec", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "rows": N, "files_per_sec": ...}
+
+Bench input is generated Spark-side (deterministic, no driver loops): the
+`documents` table is expanded ``BENCH_MULT``x with JVM-only expressions —
+25% exact copies and 75% small-suffix near-dup variants — so the bench
+exercises exact groups, Merkle, LSH buckets, and CC at a size controlled
+by SPARK_GRAFT_BENCH_MULT (default 24, ~120k files at sf0.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def bench_files(spark: SparkSession, sf_dir: str, mult: int) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    variants = spark.range(mult).withColumnRenamed("id", "variant")
+    big = docs.crossJoin(variants)
+    return big.select(
+        F.concat(
+            F.lit("org-"), (F.col("doc_id") % 5).cast("string"),
+            F.lit("/repo-"), ((F.col("doc_id") * 7 + F.col("variant")) % 37).cast("string"),
+        ).alias("repo"),
+        F.concat(
+            F.lit("src/d"), (F.col("doc_id") % 17).cast("string"),
+            F.lit("/f"), F.col("doc_id").cast("string"),
+            F.lit("_"), F.col("variant").cast("string"), F.lit(".txt"),
+        ).alias("path"),
+        F.lit("0000000000000000000000000000000000000000").alias("commit"),
+        F.col("lang"),
+        F.when(F.col("variant") % 4 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit("\n// variant "),
+                            F.col("variant").cast("string")))
+        .alias("content"),
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    mult = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "24"))
+
+    from backupdeduplicator_spark.operators.analyze import (
+        duplicate_pairs, duplicate_sets)
+    from backupdeduplicator_spark.operators.build import build_entries
+    from backupdeduplicator_spark.operators.minhash import (
+        near_duplicate_clusters)
+    from backupdeduplicator_spark.session import get_spark
+
+    spark = get_spark(
+        "bd-spark-bench",
+        cores=cpus,
+        shuffle_partitions=max(cpus * 2, 16),
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    files = bench_files(spark, sf_dir, mult).persist()
+    n_rows = files.count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    entries = None
+
+    def _build():
+        nonlocal entries
+        entries = build_entries(files).persist()
+        entries.count()
+
+    timed("q1_build_hash_merkle", _build)
+    timed("q2_exact_dup_sets", lambda: duplicate_sets(entries).count())
+    timed("q3_dup_pairs", lambda: duplicate_pairs(entries).count())
+    timed("q4_near_dup_clusters", lambda: near_duplicate_clusters(files).count())
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "e2e_pipeline_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "rows": n_rows,
+        "files_per_sec": round(n_rows / total, 1) if total else None,
+        "cpus": cpus,
+        "bench_mult": mult,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

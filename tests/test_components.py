@@ -1,0 +1,40 @@
+"""Connected-components unit tests (G3): chains, stars, multiple comps."""
+
+from __future__ import annotations
+
+from backupdeduplicator_spark.operators.components import connected_components
+
+
+def _labels(spark, edges):
+    df = spark.createDataFrame(edges, "u: string, v: string")
+    return {
+        r["id"]: r["component"] for r in connected_components(df).collect()
+    }
+
+
+def test_chain_and_separate_component(spark):
+    got = _labels(
+        spark,
+        [("b", "a"), ("b", "c"), ("c", "d"), ("x", "y")],
+    )
+    assert got == {
+        "a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"
+    }
+
+
+def test_long_chain_converges(spark):
+    n = 64
+    edges = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n)]
+    got = _labels(spark, edges)
+    assert set(got.values()) == {"n000"}
+    assert len(got) == n + 1
+
+
+def test_duplicate_and_reversed_edges(spark):
+    got = _labels(spark, [("a", "b"), ("b", "a"), ("a", "b"), ("b", "b")])
+    assert got == {"a": "a", "b": "a"}
+
+
+def test_empty_edges(spark):
+    df = spark.createDataFrame([], "u: string, v: string")
+    assert connected_components(df).count() == 0

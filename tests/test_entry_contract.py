@@ -1,0 +1,80 @@
+"""Mirror of the driver's correctness gate: run every queries() entry at
+sf0.01 and compare against its oracle_sql() twin through DuckDB —
+row count, column names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in entry_mod.build_queries.__module__ and [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def _normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() >= 0
+    assert df.columns
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))
+def test_query_matches_duckdb(spark, duck, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    spark_cols = sorted(c.lower() for c in sdf.columns)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    rel = duck.sql(entry_mod.oracle_sql()[name])
+    duck_cols = sorted(c.lower() for c in rel.columns)
+    duck_rows = rel.fetchall()
+
+    assert spark_cols == duck_cols, f"{name}: columns {spark_cols} vs {duck_cols}"
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: {len(spark_rows)} vs {len(duck_rows)} rows"
+    )
+    a = _normalize(spark_rows, [c.lower() for c in sdf.columns])
+    b = _normalize(duck_rows, [c.lower() for c in rel.columns])
+    if a != b:
+        diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diff}")
+
+
+def test_engine_only_queries_run(spark):
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    engine_only = set(qs) - set(oracles)
+    assert engine_only, "expected at least one engine-only query"
+    for name in engine_only:
+        df = qs[name](spark, SF_DIR)
+        assert df.count() >= 0, name

@@ -1,0 +1,122 @@
+"""Near-dup tier gates (SURVEY §5.2.4 / BASELINE.md):
+
+  * signature agreement is an accurate Jaccard estimator
+  * dup-pair recall >= 0.99 against exact-Jaccard ground truth at the
+    pinned config (k=5 shingles, 128 perms, b=32 x r=4) for pairs with
+    true Jaccard >= 0.7
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from backupdeduplicator_spark import oracle
+from backupdeduplicator_spark.fixtures import generate
+from backupdeduplicator_spark.functions.shingles import (
+    minhash_from_shingles, shingle_hashes)
+from backupdeduplicator_spark.operators.minhash import near_duplicate_clusters
+
+JACCARD_DUP = 0.7
+
+
+def test_signature_estimates_jaccard():
+    rng = np.random.RandomState(0)
+    base = "".join(rng.choice(list("abcdefgh \n"), size=2000))
+    # perturb ~15% of characters
+    chars = list(base)
+    for i in rng.choice(len(chars), size=300, replace=False):
+        chars[i] = "z"
+    other = "".join(chars)
+
+    exact = oracle.jaccard(oracle.char_shingles(base), oracle.char_shingles(other))
+    s1 = minhash_from_shingles(shingle_hashes(base))
+    s2 = minhash_from_shingles(shingle_hashes(other))
+    est = float((s1 == s2).mean())
+    assert abs(est - exact) < 0.15, (est, exact)
+
+
+@pytest.fixture(scope="module")
+def recall_fixture():
+    return generate(n_files=1500, seed=42)
+
+
+def test_dup_pair_recall(spark, recall_fixture):
+    fx = recall_fixture
+    content_by_id = {
+        f"{r.repo}/{r.path}": r.content for r in fx.df.itertuples(index=False)
+    }
+    # ground truth: exact shingle Jaccard on the injected near-dup pairs
+    truth = []
+    for p in fx.near_dup_pairs:
+        j = oracle.jaccard(
+            oracle.char_shingles(content_by_id[p["id1"]]),
+            oracle.char_shingles(content_by_id[p["id2"]]),
+        )
+        if j >= JACCARD_DUP:
+            truth.append((p["id1"], p["id2"]))
+    assert len(truth) >= 10, "fixture must inject enough true near-dup pairs"
+
+    clusters = near_duplicate_clusters(
+        spark.createDataFrame(fx.df).repartition(8)
+    ).collect()
+    comp = {f"{r['repo']}/{r['path']}": r["component"] for r in clusters}
+
+    hits = sum(
+        1 for (a, b) in truth if a in comp and b in comp and comp[a] == comp[b]
+    )
+    recall = hits / len(truth)
+    assert recall >= 0.99, f"recall {recall} over {len(truth)} true pairs"
+
+
+def test_exact_dups_share_cluster(spark, recall_fixture):
+    """Exact copies must land in the same cluster as their near-dup source
+    (they share the content-hash id)."""
+    fx = recall_fixture
+    clusters = near_duplicate_clusters(
+        spark.createDataFrame(fx.df).repartition(8)
+    ).collect()
+    by_id: dict[str, set] = {}
+    for r in clusters:
+        by_id.setdefault(r["id"], set()).add(r["component"])
+    assert by_id, "no clusters found"
+    for cid, comps in by_id.items():
+        assert len(comps) == 1, f"content {cid} split across components {comps}"
+
+
+def test_cluster_members_have_plausible_similarity(spark, recall_fixture):
+    """Spot check: files clustered together should share most shingles with
+    at least one other member (anti-garbage check on a sample)."""
+    fx = recall_fixture
+    clusters = near_duplicate_clusters(
+        spark.createDataFrame(fx.df).repartition(8)
+    ).collect()
+    content_by_id = {
+        f"{r.repo}/{r.path}": r.content for r in fx.df.itertuples(index=False)
+    }
+    by_comp: dict[str, list[str]] = {}
+    for r in clusters:
+        by_comp.setdefault(r["component"], []).append(f"{r['repo']}/{r['path']}")
+    checked = 0
+    for comp, members in sorted(by_comp.items())[:20]:
+        distinct = {
+            hashlib.sha256(content_by_id[m].encode()).hexdigest(): m
+            for m in members
+        }
+        if len(distinct) < 2:
+            continue
+        reps = sorted(distinct.values())[:4]
+        shingle_sets = {
+            m: oracle.char_shingles(content_by_id[m]) for m in reps
+        }
+        for m in reps:
+            best = max(
+                oracle.jaccard(shingle_sets[m], shingle_sets[o])
+                for o in reps
+                if o != m
+            )
+            assert best >= 0.3, f"member {m} of {comp} looks unrelated ({best})"
+            checked += 1
+    assert checked > 0
