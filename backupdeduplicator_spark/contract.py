@@ -209,6 +209,59 @@ def q_s2_ann_topk(d: D) -> str:
     )
 
 
+def q_o1_top_largest_files(d: D) -> str:
+    """Sorts/limits (SURVEY §2.6): deterministic total order + LIMIT."""
+    return (
+        f"{_fh_cte(d)} SELECT repo, path, size FROM fh "
+        f"ORDER BY size DESC, repo, path LIMIT 20"
+    )
+
+
+def q_set1_repo_except(d: D) -> str:
+    """Set ops (SURVEY §2.7): repos with src files but no mirror files."""
+    return (
+        f"{_files_cte(d)} "
+        f"SELECT DISTINCT repo FROM files WHERE path LIKE 'src/%' "
+        f"EXCEPT SELECT DISTINCT repo FROM files WHERE path LIKE 'mirror/%'"
+    )
+
+
+def q_t4_ngram_jaccard(d: D) -> str:
+    """Exact k=5 char-shingle Jaccard pairs >= 0.2 over documents — the
+    relational ground-truth formulation (engine twin: dedup_extra)."""
+    if d.dialect == "spark":
+        shingles = (
+            "CASE WHEN length(text) < 5 THEN "
+            "CASE WHEN length(text) = 0 THEN array() ELSE array(text) END "
+            "ELSE transform(sequence(1, length(text) - 4), i -> substring(text, i, 5)) END"
+        )
+        sh = (
+            f"SELECT doc_id AS id, explode(array_distinct({shingles})) AS s "
+            f"FROM documents"
+        )
+    else:
+        shingles = (
+            "CASE WHEN length(text) < 5 THEN "
+            "CASE WHEN length(text) = 0 THEN CAST([] AS VARCHAR[]) ELSE [text] END "
+            "ELSE list_transform(range(1, length(text) - 3), i -> substr(text, i, 5)) END"
+        )
+        sh = (
+            f"SELECT doc_id AS id, unnest(list_distinct({shingles})) AS s "
+            f"FROM documents"
+        )
+    return (
+        f"WITH sh AS ({sh}), "
+        f"counts AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id), "
+        f"inter AS (SELECT a.id AS id1, b.id AS id2, COUNT(*) AS i "
+        f"FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY a.id, b.id) "
+        f"SELECT id1, id2, "
+        f"ROUND(i * CAST(1.0 AS DOUBLE) / (c1.n + c2.n - i), 6) AS jaccard "
+        f"FROM inter JOIN counts c1 ON inter.id1 = c1.id "
+        f"JOIN counts c2 ON inter.id2 = c2.id "
+        f"WHERE i * CAST(1.0 AS DOUBLE) / (c1.n + c2.n - i) >= 0.2"
+    )
+
+
 SQL_QUERIES: dict[str, Callable[[D], str]] = {
     "file_hashes": q_file_hashes,
     "p1_collision_filter": q_p1_collision_filter,
@@ -223,6 +276,9 @@ SQL_QUERIES: dict[str, Callable[[D], str]] = {
     "t1_token_counts": q_t1_token_counts,
     "t2_doc_quality": q_t2_doc_quality,
     "s2_ann_topk": q_s2_ann_topk,
+    "o1_top_largest_files": q_o1_top_largest_files,
+    "set1_repo_except": q_set1_repo_except,
+    "t4_ngram_jaccard": q_t4_ngram_jaccard,
 }
 
 
@@ -281,13 +337,62 @@ def _spark_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_duplicate_clusters(files).orderBy("component", "repo", "path")
 
 
+def _spark_t4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine twin for t4: dedup_extra.ngram_jaccard_pairs (relational
+    shingle join), checked against the DuckDB SQL formulation."""
+    from .operators.dedup_extra import ngram_jaccard_pairs
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return ngram_jaccard_pairs(spark.table("documents"), threshold=0.2)
+
+
+def _spark_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup_extra import simhash_pairs
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return simhash_pairs(spark.table("documents"), max_hamming=8).orderBy(
+        "id1", "id2"
+    )
+
+
+def _spark_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import doc_fingerprint, lang_id, quality_score
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.table("documents").select(
+        "doc_id",
+        lang_id("text").alias("lang_guess"),
+        quality_score(F.col("text")).alias("quality"),
+        doc_fingerprint("text").alias("fingerprint"),
+    )
+
+
+def _spark_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine_topk_lsh
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return cosine_topk_lsh(
+        emb, emb.filter("vec_id < 5"), dim=dim, k=10, bands=32, bits=4
+    )
+
+
 ENGINE_BACKED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "file_hashes": _spark_file_hashes,
     "bd_dup_sets": _spark_bd_dup_sets,
+    "t4_ngram_jaccard": _spark_t4_ngram_jaccard,
 }
 
 ENGINE_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_clusters": _spark_near_dup_clusters,
+    "x1_simhash_pairs": _spark_simhash_pairs,
+    "t3_lang_quality_fingerprint": _spark_lang_id,
+    "s3_ann_lsh_topk": _spark_ann_lsh,
 }
 
 

@@ -30,12 +30,20 @@ _rs = np.random.RandomState(_SEED)
 # a in [1, p), b in [0, p) — fixed engine-wide so signatures are comparable
 _A = _rs.randint(1, int(_P), size=NUM_PERMS).astype(np.uint64)
 _B = _rs.randint(0, int(_P), size=NUM_PERMS).astype(np.uint64)
-# polynomial base powers for k-byte windows
+# polynomial base powers for k-byte windows (cached per k)
 _BASE = np.uint64(257)
-_POW = np.empty(K_SHINGLE, dtype=np.uint64)
-_POW[K_SHINGLE - 1] = np.uint64(1)
-for _i in range(K_SHINGLE - 2, -1, -1):
-    _POW[_i] = (_POW[_i + 1] * _BASE) % _P
+_POW_CACHE: dict[int, np.ndarray] = {}
+
+
+def _pows(k: int) -> np.ndarray:
+    p = _POW_CACHE.get(k)
+    if p is None:
+        p = np.empty(k, dtype=np.uint64)
+        p[k - 1] = np.uint64(1)
+        for i in range(k - 2, -1, -1):
+            p[i] = (p[i + 1] * _BASE) % _P
+        _POW_CACHE[k] = p
+    return p
 
 # signature of the empty shingle set: sentinel p everywhere, so two empty
 # documents estimate similarity 1.0 (matches oracle.jaccard(∅,∅) == 1)
@@ -54,10 +62,10 @@ def shingle_hashes(text: str, k: int = K_SHINGLE) -> np.ndarray:
     b = np.frombuffer(data, dtype=np.uint8)
     if len(b) < k:
         w = b.astype(np.uint64)[None, :]
-        pows = _POW[-len(b):]
+        pows = _pows(k)[-len(b):]
     else:
         w = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
-        pows = _POW
+        pows = _pows(k)
     # products < 2^8 * 2^31 = 2^39; sum of k terms < 2^42 — no overflow
     h = (w * pows[None, :]).sum(axis=1) % _P
     return np.unique(h)

@@ -1,0 +1,151 @@
+"""Text-analysis kernels for large-scale training-data pipelines:
+language ID (n-gram heuristic), quality scoring, token counting,
+document fingerprinting (rolling hash). All built-ins or Arrow-batched
+pandas UDFs — no row-at-a-time Python.
+
+These are engine additions beyond the reference (which has no text ops);
+they run over any string column (the `documents.text` test table or the
+pipeline's `content`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, LongType, StringType
+
+from .shingles import _P, shingle_hashes
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# ------------------------------------------------------------- built-ins
+def token_count(col: str | Column) -> Column:
+    """Whitespace token count, 0 for blank. JVM-side."""
+    t = F.trim(_c(col))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("long")
+
+
+def bpe_ish_token_count(col: str | Column) -> Column:
+    """BPE-flavored token estimate: count word pieces, numbers, and
+    punctuation runs separately (a cheap stand-in for a real tokenizer —
+    deterministic and JVM-side)."""
+    t = _c(col)
+    pieces = F.regexp_extract_all(
+        t, F.lit(r"[A-Za-z]{1,8}|[0-9]{1,4}|[^\sA-Za-z0-9]"), 0
+    )
+    return F.size(pieces).cast("long")
+
+
+def quality_features(col: str | Column) -> list[Column]:
+    """Standard quality-score ingredients: length, alpha ratio,
+    punctuation ratio, whitespace ratio, mean token length."""
+    t = _c(col)
+    n = F.greatest(F.length(t), F.lit(1)).cast("double")
+    alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", "")).cast("double")
+    punct = F.length(F.regexp_replace(t, r"[^\p{Punct}]", "")).cast("double")
+    ws = F.length(F.regexp_replace(t, r"[^\s]", "")).cast("double")
+    toks = token_count(t)
+    return [
+        F.length(t).cast("long").alias("n_chars"),
+        F.round(alpha / n, 6).alias("alpha_ratio"),
+        F.round(punct / n, 6).alias("punct_ratio"),
+        F.round(ws / n, 6).alias("ws_ratio"),
+        toks.alias("n_tokens"),
+        F.round(
+            (F.length(t) - F.length(F.regexp_replace(t, r"\s", "")))
+            .cast("double") / F.greatest(toks, F.lit(1)),
+            6,
+        ).alias("ws_per_token"),
+    ]
+
+
+# ------------------------------------------------ pandas-UDF kernels
+_LANG_PROFILES: dict[str, set[str]] = {
+    # tiny trigram profiles — deterministic heuristic, not a real model
+    "en": {"the", "and", "ing", "ion", "ent", "for", " th", "he ", "er ", "al "},
+    "de": {"der", "die", "und", "sch", "ein", "ich", "en ", "ch ", "ung", "ber"},
+    "fr": {"les", "des", "ent", "que", "ion", "de ", "la ", "le ", " le", "es "},
+    "es": {"los", "las", "que", "ión", "de ", "la ", "el ", " de", "os ", "as "},
+    "code": {"def", "fn ", "var", "let", "== ", "();", "=> ", "for", "if ", "ret"},
+}
+
+
+@pandas_udf(StringType())
+def lang_id(text: pd.Series) -> pd.Series:
+    """Trigram-overlap language guess over {en,de,fr,es,code}; 'und' when
+    nothing matches. Vectorized per Arrow batch."""
+    def _guess(t: object) -> str:
+        if t is None or len(str(t)) < 3:
+            return "und"
+        s = str(t).lower()
+        grams = {s[i:i + 3] for i in range(0, min(len(s) - 2, 4000))}
+        best, score = "und", 0
+        for lang, prof in _LANG_PROFILES.items():
+            k = len(grams & prof)
+            if k > score:
+                best, score = lang, k
+        return best
+
+    return text.map(_guess)
+
+
+@pandas_udf(LongType())
+def doc_fingerprint(text: pd.Series) -> pd.Series:
+    """64-bit document fingerprint: min-of-rolling-hashes (a 1-perm
+    MinHash) — stable under small reorderings, cheap to compare."""
+    def _fp(t: object) -> int:
+        if t is None:
+            return 0
+        h = shingle_hashes(str(t), k=8)
+        return int(h.min()) if h.size else 0
+
+    return text.map(_fp)
+
+
+@pandas_udf(LongType())
+def simhash64(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over k=5 char shingles: sign of the per-bit sum of
+    shingle-hash bits. Near-dup docs differ in few bits (Hamming)."""
+    def _sh(t: object) -> int:
+        if t is None:
+            return 0
+        h = shingle_hashes(str(t))
+        if h.size == 0:
+            return 0
+        # expand each 31-bit shingle hash to 64 bits via two mixes
+        h64 = (h * np.uint64(0x9E3779B97F4A7C15)) ^ (h >> np.uint64(7))
+        bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+        sums = bits.sum(axis=0)
+        vec = (sums * 2 > h64.size).astype(np.uint64)
+        out = np.uint64(0)
+        for i in range(64):
+            out |= vec[i] << np.uint64(i)
+        return int(out.astype(np.int64))
+
+    return text.map(_sh)
+
+
+@pandas_udf(DoubleType())
+def quality_score(text: pd.Series) -> pd.Series:
+    """Composite [0,1] quality score from length/alpha/ws heuristics —
+    the shape used to filter training corpora. Deterministic."""
+    def _q(t: object) -> float:
+        if t is None or not str(t).strip():
+            return 0.0
+        s = str(t)
+        n = len(s)
+        alpha = sum(c.isalpha() for c in s[:8000]) / min(n, 8000)
+        length_term = min(n / 500.0, 1.0)
+        ws = s.count(" ") / max(n, 1)
+        ws_term = 1.0 - min(abs(ws - 0.15) * 3, 1.0)
+        return round(0.4 * alpha + 0.4 * length_term + 0.2 * ws_term, 6)
+
+    return text.map(_q)

@@ -76,20 +76,50 @@ def _with_parent_flag(entries: DataFrame) -> DataFrame:
     )
 
 
-def duplicate_sets(entries: DataFrame, max_members: int = 10000) -> DataFrame:
+def duplicate_sets(
+    entries: DataFrame, max_members: int = 10000, salt_buckets: int = 16
+) -> DataFrame:
     """Emitted duplicate sets, one row per SetKey group.
 
     Columns: file_type, size, hash, children, n_members,
     conflicting (array<struct<repo,path>>, sorted, capped at max_members).
+
+    Skew defence: mega hash-groups (empty files, license boilerplate —
+    FIXTURES.md plants one with >=1% of all rows) would funnel their whole
+    membership through a single reducer in a naive
+    groupBy(hash).collect_list. The aggregation is therefore SALTED
+    two-phase: phase 1 groups by (SetKey, salt) and collects a *capped*
+    sorted partial member list per salt bucket (counts and the
+    parent-ok flag fold exactly); phase 2 merges the <=salt_buckets
+    partials per group. Per-reducer memory is bounded by
+    max_members * salt_buckets regardless of group size, and the global
+    first-max_members members are preserved (ascending member order makes
+    each partial's cap a superset of its contribution to the global cap).
     """
     m = _with_parent_flag(entries)
-    groups = (
-        m.groupBy("hash", "size", "file_type", "children")
+    key = ["hash", "size", "file_type", "children"]
+    phase1 = (
+        m.withColumn(
+            "salt", F.pmod(F.xxhash64("repo", "path"), F.lit(salt_buckets))
+        )
+        .groupBy(*key, "salt")
         .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.max(~F.col("parent_conflicting")).alias("any_parent_ok"),
+            F.count(F.lit(1)).alias("pn"),
+            F.max(~F.col("parent_conflicting")).alias("pok"),
             F.slice(
                 F.sort_array(F.collect_list(F.struct("repo", "path"))),
+                1,
+                max_members,
+            ).alias("pmembers"),
+        )
+    )
+    groups = (
+        phase1.groupBy(*key)
+        .agg(
+            F.sum("pn").alias("n_members"),
+            F.max("pok").alias("any_parent_ok"),
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("pmembers"))),
                 1,
                 max_members,
             ).alias("conflicting"),

@@ -1,0 +1,115 @@
+"""Archive traversal (reference S6 — designed but unimplemented there):
+explode tar/zip blobs into member rows with component-stack paths.
+
+The reference's FilePath is a stack of path components where crossing
+into an archive pushes a component (/root/reference/src/data/path.rs:36-53;
+ArchiveType {Tar, Zip} at :8-12). Our rows carry ``path_stack:
+array<string>``: [archive_path, member_path]. Exploded members then hash
+like ordinary files, so duplicate detection sees *into* archives.
+
+Decoding runs in mapInPandas (Arrow batches, stdlib tarfile/zipfile —
+both available everywhere); archives that fail to parse yield an 'Other'
+row with NULL content, matching the reference's error rule
+(src/stages/build/cmd/worker.rs:126-132).
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import tarfile
+import zipfile
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (ArrayType, StringType, StructField, StructType)
+
+MEMBER_SCHEMA = StructType(
+    [
+        StructField("repo", StringType()),
+        StructField("path_stack", ArrayType(StringType())),
+        StructField("member_type", StringType()),  # File | Other
+        StructField("content", StringType()),
+    ]
+)
+
+
+def _extract_members(path: str, payload: bytes) -> list[tuple[str, str, str]]:
+    """-> [(member_path, member_type, content_str)]"""
+    out: list[tuple[str, str, str]] = []
+    try:
+        if path.endswith((".zip",)):
+            with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+                for info in zf.infolist():
+                    if info.is_dir():
+                        continue
+                    data = zf.read(info)
+                    out.append((info.filename, "File", data.decode("utf-8", "replace")))
+        elif path.endswith((".tar", ".tar.gz", ".tgz")):
+            mode = "r:gz" if path.endswith(("gz",)) else "r:"
+            with tarfile.open(fileobj=io.BytesIO(payload), mode=mode) as tf:
+                for m in tf.getmembers():
+                    if not m.isfile():
+                        continue
+                    f = tf.extractfile(m)
+                    data = f.read() if f else b""
+                    out.append((m.name, "File", data.decode("utf-8", "replace")))
+        else:
+            return [("", "Other", "")]
+    except Exception:
+        return [("", "Other", "")]
+    return out
+
+
+def explode_archives(
+    files: DataFrame, content_is_base64: bool = True
+) -> DataFrame:
+    """Rows whose path looks like an archive -> one row per member with
+    path_stack [archive_path, member_path]. Non-archive rows pass through
+    with a single-component stack (reference FilePath today,
+    src/data/path.rs:64-67)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: list[tuple] = []
+            for r in pdf.itertuples(index=False):
+                path = r.path
+                is_arch = path.endswith((".zip", ".tar", ".tar.gz", ".tgz"))
+                if not is_arch:
+                    rows.append((r.repo, [path], "File", r.content))
+                    continue
+                try:
+                    payload = (
+                        base64.b64decode(r.content)
+                        if content_is_base64
+                        else str(r.content).encode("latin-1")
+                    )
+                except Exception:
+                    rows.append((r.repo, [path], "Other", None))
+                    continue
+                members = _extract_members(path, payload)
+                for (mp, mt, mc) in members:
+                    stack = [path, mp] if mp else [path]
+                    rows.append((r.repo, stack, mt, mc if mt == "File" else None))
+            yield pd.DataFrame(
+                rows, columns=["repo", "path_stack", "member_type", "content"]
+            )
+
+    return files.select("repo", "path", "content").mapInPandas(
+        _batches, schema=MEMBER_SCHEMA
+    )
+
+
+def flatten_member_paths(members: DataFrame) -> DataFrame:
+    """path_stack -> a single logical path ('archive.zip!inner/file.py')
+    so exploded members can flow through build_entries unchanged."""
+    from pyspark.sql import functions as F
+
+    return members.select(
+        "repo",
+        F.array_join("path_stack", "!").alias("path"),
+        F.lit("").alias("commit"),
+        F.lit("").alias("lang"),
+        "content",
+    ).filter(F.col("member_type") == "File")

@@ -101,9 +101,11 @@ def merkle_directories(file_entries: DataFrame) -> DataFrame:
                 "children",
                 F.lit(d).cast("int").alias("depth"),
             )
-            # truncate lineage per level; at cluster scale swap for a
-            # reliable checkpoint / Iceberg stage table
-            .localCheckpoint(eager=True)
+            # truncate lineage per level; lazy — materialized by the first
+            # downstream action, so the whole Merkle loop is ONE Spark job
+            # instead of one per level. At cluster scale swap for a
+            # reliable checkpoint / Iceberg stage table.
+            .localCheckpoint(eager=False)
         )
         dir_levels.append(dirs_d)
         if d > 0:
@@ -137,13 +139,24 @@ def _dir_schema():
     )
 
 
-def build_entries(files: DataFrame) -> DataFrame:
+def build_entries(files: DataFrame, materialize: bool = True) -> DataFrame:
     """Full hash-tree table: file entries ∪ derived directory/root entries.
 
     Mirrors the reference's persisted HashTreeFileEntryV1 rows
     (/root/reference/src/stages/build/output/hashtreefile.rs:63-71) with
     (repo, path) as node identity and path='' as the repo root.
+
+    ``materialize`` (default) localCheckpoints the file entries: the
+    sha256 pandas-UDF pass runs exactly once, even though downstream
+    consumers (Merkle levels, collision filter, parent join, semi-joins)
+    reference the entries many times — without it the plan re-hashes the
+    whole corpus per reference (observed 6x in duplicate_sets' physical
+    plan). The checkpointed projection drops `content`, so it is tiny
+    (hash + path metadata). On a real cluster this is the `entries`
+    Iceberg stage table (plans/checkpoint.py) instead.
     """
     fe = hash_files(files)
+    if materialize:
+        fe = fe.localCheckpoint(eager=True)
     dirs = merkle_directories(fe)
     return fe.select(*ENTRY_COLUMNS).unionByName(dirs.select(*ENTRY_COLUMNS))

@@ -1,0 +1,144 @@
+"""Clean stage + incremental-build cache joins.
+
+Reference semantics (citations into /root/reference):
+  * keep-latest-per-path — last JSONL line wins on load
+    (src/stages/build/output/hashtreefile.rs:229-239) -> row_number window.
+  * existence/type filter — drop entries whose path vanished or changed
+    type (src/stages/clean/cmd.rs:58-96) -> anti/semi join against the
+    current source snapshot.
+  * subtree filter (clean --root) — keep entries under a prefix
+    (src/stages/clean/cmd.rs:18) -> startswith filter.
+  * cache-validity join (build continue_file) — reuse a prior hash when
+    the validity token is unchanged (file: (modified,size),
+    src/stages/build/cmd/worker/file.rs:26-40). Our source table carries
+    no mtime; the `commit` column is the validity token: same
+    (repo, path, commit) => content unchanged => reuse prior hash and
+    skip the expensive content-hash kernel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import content_size, sha256_content
+from ..functions.paths import path_depth
+
+
+def keep_latest_per_path(entries: DataFrame, ts_col: str = "modified") -> DataFrame:
+    """One row per (repo, path): highest ts wins (ties: stable on row hash).
+    The Spark form of the reference's last-line-wins map insert."""
+    w = Window.partitionBy("repo", "path").orderBy(
+        F.col(ts_col).desc(), F.xxhash64("hash").desc()
+    )
+    return (
+        entries.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def clean_entries(entries: DataFrame, current_files: DataFrame) -> DataFrame:
+    """P6: keep file entries whose (repo, path) still exists in the current
+    source snapshot; directory entries are derived, so they are kept iff
+    they still prefix a surviving file (recomputed cheaply here)."""
+    live = current_files.select("repo", "path").distinct()
+    files = entries.filter(F.col("file_type") == "File").join(
+        live, ["repo", "path"], "left_semi"
+    )
+    dirs = entries.filter(F.col("file_type") == "Directory")
+    # a directory survives iff some surviving file sits under it; explode
+    # each file's ancestor prefixes ('' root included) and equi-semi-join —
+    # no theta/startswith join, scales as a plain shuffle on (repo, path)
+    ancestors = files.select(
+        "repo",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(split(path, '/')) - 1), "
+                "i -> array_join(slice(split(path, '/'), 1, i), '/'))"
+            )
+        ).alias("path"),
+    ).distinct()
+    surviving_dirs = dirs.join(ancestors, ["repo", "path"], "left_semi")
+    return files.unionByName(surviving_dirs)
+
+
+def subtree_filter(entries: DataFrame, root: str) -> DataFrame:
+    """P7: entries under ``root`` (or everything when root='')."""
+    if root == "":
+        return entries
+    return entries.filter(
+        (F.col("path") == root) | F.col("path").startswith(root + "/")
+    )
+
+
+FILE_HASH_COLUMNS = ["repo", "path", "commit", "size", "hash"]
+
+
+def file_hash_snapshot(files: DataFrame) -> DataFrame:
+    """(repo, path, commit, size, hash) — the incremental-build cache
+    table persisted between runs."""
+    return files.select(
+        "repo", "path", "commit",
+        content_size("content").alias("size"),
+        sha256_content("content").alias("hash"),
+    )
+
+
+def incremental_file_hashes(
+    files: DataFrame, prior: DataFrame | None
+) -> DataFrame:
+    """file_hash_snapshot, but reusing prior hashes where the validity
+    token (commit) is unchanged — the sha256 kernel runs only on new or
+    changed rows (reference J1 cache join + P3 validity predicate).
+
+    Left join against the prior cache on (repo, path); the UDF receives
+    NULL content for reused rows (cheap early-out inside the kernel), and
+    coalesce picks the cached digest.
+    """
+    if prior is None:
+        return file_hash_snapshot(files)
+
+    p = prior.select(
+        "repo", "path",
+        F.col("commit").alias("_old_commit"),
+        F.col("hash").alias("_old_hash"),
+        F.col("size").alias("_old_size"),
+    )
+    joined = files.join(p, ["repo", "path"], "left")
+    reuse = F.col("_old_commit").isNotNull() & (
+        F.col("commit") == F.col("_old_commit")
+    )
+    return joined.select(
+        "repo",
+        "path",
+        "commit",
+        F.when(reuse, F.col("_old_size"))
+        .otherwise(content_size("content"))
+        .cast("long")
+        .alias("size"),
+        F.when(reuse, F.col("_old_hash"))
+        .otherwise(
+            sha256_content(F.when(reuse, F.lit(None)).otherwise(F.col("content")))
+        )
+        .alias("hash"),
+    )
+
+
+def entries_from_file_hashes(fh: DataFrame) -> DataFrame:
+    """Hash-tree entries (files + Merkle dirs) from a file-hash table —
+    the cheap tail of the build once content hashing is cached."""
+    from .build import ENTRY_COLUMNS, merkle_directories
+
+    fe = fh.select(
+        "repo",
+        "path",
+        F.lit("File").alias("file_type"),
+        F.lit(0).cast("long").alias("modified"),
+        F.col("size").cast("long"),
+        "hash",
+        F.array().cast("array<binary>").alias("children"),
+        path_depth("path").alias("depth"),
+    )
+    dirs = merkle_directories(fe)
+    return fe.select(*ENTRY_COLUMNS).unionByName(dirs.select(*ENTRY_COLUMNS))

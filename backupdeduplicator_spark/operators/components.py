@@ -75,10 +75,12 @@ def connected_components(
     don't appear in ``edges`` and so get no row — callers union them back
     with component = own id if needed.
     """
-    e = _canonical(edges).localCheckpoint(eager=True)
+    # lazy checkpoints: the fingerprint aggregate is the materializing
+    # action, so each round costs one job, not two
+    e = _canonical(edges).localCheckpoint(eager=False)
     prev = _fingerprint(e)
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = _fingerprint(e)
         if cur == prev:
             break

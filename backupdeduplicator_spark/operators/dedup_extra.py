@@ -1,0 +1,177 @@
+"""Additional dedup families beyond exact+MinHash (training-data pipeline
+staples): SimHash Hamming near-dup, exact n-gram Jaccard, and
+embedding-cosine near-dup. Each returns pair or cluster tables compatible
+with operators.components.connected_components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import simhash64
+from .components import connected_components
+from .similarity import _COS, rhp_signature
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    block_bits: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Banding: split the 64-bit fingerprint into 64/block_bits blocks; by
+    pigeonhole, any pair within Hamming distance (blocks - 1) shares at
+    least one exact block — candidates come from equi-joins on
+    (block_idx, block_value), never an all-pairs scan. By default
+    block_bits is derived from the radius: the largest power-of-two block
+    such that 64/block_bits > max_hamming (radius 3 -> 16-bit blocks,
+    radius 8 -> 4-bit blocks).
+    """
+    if block_bits is None:
+        block_bits = 32
+        while 64 // block_bits <= max_hamming:
+            block_bits //= 2
+        if block_bits == 0:
+            raise ValueError("max_hamming must be < 64")
+    n_blocks = 64 // block_bits
+    assert max_hamming <= n_blocks - 1, "raise block count for that radius"
+    sh = docs.select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
+    )
+    blocks = sh.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_blocks - 1}), "
+                f"i -> (sh >> (i * {block_bits})) & {(1 << block_bits) - 1})"
+            )
+        ).alias("block_idx", "block_val"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.sh").alias("sh1"),
+            F.col("b.sh").alias("sh2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """EXACT character-k-gram Jaccard pairs >= threshold, computed fully
+    relationally: explode distinct shingles, self-join on shingle,
+    count intersections, derive union via per-doc shingle counts.
+
+    This is the ground-truth oracle for the MinHash tier (quadratic in
+    shared-shingle pairs — use at validation scale, not 100 TB).
+    """
+    shingles = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"CASE WHEN length({text_col}) < {k} THEN "
+                        f"CASE WHEN length({text_col}) = 0 THEN array() "
+                        f"ELSE array({text_col}) END "
+                        f"ELSE transform(sequence(1, length({text_col}) - {k} + 1), "
+                        f"i -> substring({text_col}, i, {k})) END"
+                    )
+                )
+            ).alias("sh"),
+        )
+    )
+    counts = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    c1 = counts.select(F.col("id").alias("id1"), F.col("n").alias("n1"))
+    c2 = counts.select(F.col("id").alias("id2"), F.col("n").alias("n2"))
+    return (
+        inter.join(c1, "id1")
+        .join(c2, "id2")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def embedding_cosine_pairs(
+    vectors: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bands: int = 8,
+    bits: int = 10,
+) -> DataFrame:
+    """Embedding near-dup pairs: RHP-LSH candidate generation + exact
+    cosine filter >= threshold."""
+    sig = rhp_signature(
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        "v", dim, bands, bits,
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("a.v").alias("v1"),
+            F.col("b.id").alias("id2"),
+            F.col("b.v").alias("v2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("sim", F.expr(_COS.format(a="v1", b="v2")))
+        .filter(F.col("sim") >= threshold)
+        .select("id1", "id2", F.round("sim", 6).alias("sim"))
+    )
+
+
+def pairs_to_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2") -> DataFrame:
+    """(id, component) labels from any of the pair tables above."""
+    return connected_components(
+        pairs.select(F.col(id1).alias("u"), F.col(id2).alias("v"))
+    )

@@ -101,6 +101,12 @@ def lsh_candidate_pairs(
     )
     a = eligible.alias("a")
     b = eligible.alias("b")
+    # groupBy-count instead of distinct: same dedup, but band_matches lets
+    # callers pre-filter candidates BEFORE the (wide) signature join — the
+    # partial count is map-side combinable, so the extra column is ~free.
+    # P(pair shares >= m bands) at true Jaccard J is Binomial(32, J^4)
+    # tail: at J=0.7, m=2 keeps 99.8% — the cheap knob that kills the
+    # boilerplate-corpus candidate explosion.
     pairs = (
         a.join(
             b,
@@ -108,8 +114,8 @@ def lsh_candidate_pairs(
             & (F.col("a.bandhash") == F.col("b.bandhash"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-        .distinct()
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("band_matches"))
     )
     return CandidateStats(pairs, int(drop_row["k"]), int(drop_row["rows"]))
 
@@ -137,6 +143,8 @@ def near_duplicate_clusters(
     files: DataFrame,
     sim_threshold: float = 0.55,
     max_bucket: int = 2000,
+    min_band_matches: int = 2,
+    ids: DataFrame | None = None,
 ) -> DataFrame:
     """Full near-dup tier. Returns (repo, path, id, component): every file
     whose content belongs to a near-dup cluster of >=2 distinct contents,
@@ -144,17 +152,24 @@ def near_duplicate_clusters(
 
     Exact duplicates (same sha256) are implicitly members of their
     representative's cluster via the final join on content hash.
+
+    ``ids`` (repo, path, id=sha256 hex) skips the second content-hash pass
+    when the build stage's file_hashes table already exists — the shape
+    the checkpointed pipeline uses (plans/pipeline.py).
     """
     sigs = distinct_content_signatures(files).persist()
     cand = lsh_candidate_pairs(sigs, max_bucket=max_bucket)
+    candidates = cand.pairs.filter(
+        F.col("band_matches") >= min_band_matches
+    ).select("id1", "id2")
     edges = (
-        signature_similarity(cand.pairs, sigs)
+        signature_similarity(candidates, sigs)
         .filter(F.col("est_sim") >= sim_threshold)
         .select(F.col("id1").alias("u"), F.col("id2").alias("v"))
     )
     labels = connected_components(edges)  # (id, component)
 
-    files_ids = files.select(
+    files_ids = ids if ids is not None else files.select(
         "repo", "path", hex_hash(sha256_content("content")).alias("id")
     )
     out = files_ids.join(labels, "id")

@@ -1,0 +1,124 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing (schemas, mapInPandas batch shape, partitioning)
+is real and tested; the actual media decoding is STUBBED — the image/audio
+libraries are not in this container. ``decode_fn='fake'`` substitutes a
+deterministic sha256-seeded feature vector so the pipeline shape can be
+exercised end-to-end; ``decode_fn='real'`` raises NotImplementedError at
+the exact point a Pillow/ffmpeg call would go.
+
+Schema convention for a multimodal table:
+    media(id: long, kind: string, meta: struct<width:int, height:int,
+          sample_rate:int, duration_ms:long>, payload: binary)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, FloatType, LongType, StringType,
+                               StructField, StructType)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("kind", StringType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("width", LongType()),
+                    StructField("height", LongType()),
+                    StructField("sample_rate", LongType()),
+                    StructField("duration_ms", LongType()),
+                ]
+            ),
+        ),
+        StructField("payload", StringType()),  # binary carried as base64 str
+    ]
+)
+
+FEATURE_DIM = 64
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("kind", StringType()),
+        StructField("feature", ArrayType(FloatType())),
+        StructField("payload_sha256", StringType()),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for a real decoder: expand the payload's
+    sha256 into FEATURE_DIM floats in [0, 1)."""
+    out = np.empty(FEATURE_DIM, dtype=np.float32)
+    h = b""
+    seed = hashlib.sha256(payload).digest()
+    for i in range(0, FEATURE_DIM, 8):
+        h = hashlib.sha256(seed + i.to_bytes(4, "big")).digest()
+        chunk = np.frombuffer(h, dtype=np.uint32)[:8]
+        out[i:i + 8] = chunk.astype(np.float32) / np.float32(2**32)
+    return out
+
+
+def extract_features(media: DataFrame, decode_fn: str = "fake") -> DataFrame:
+    """payload -> feature vector via mapInPandas (Arrow batch iterator —
+    the shape a real GPU/CPU decode stage uses: one Python worker per
+    partition, batches in, batches out, no driver involvement)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import base64
+
+        for pdf in it:
+            feats, shas = [], []
+            for payload_b64 in pdf["payload"]:
+                raw = base64.b64decode(payload_b64 or "")
+                if decode_fn == "fake":
+                    feats.append(_fake_decode(raw).tolist())
+                else:
+                    raise NotImplementedError(
+                        "real media decode requires Pillow/ffmpeg — "
+                        "not available in this environment"
+                    )
+                shas.append(hashlib.sha256(raw).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "kind": pdf["kind"],
+                    "feature": feats,
+                    "payload_sha256": shas,
+                }
+            )
+
+    return media.mapInPandas(_batches, schema=FEATURES_SCHEMA)
+
+
+def media_exact_dups(media: DataFrame, decode_fn: str = "fake") -> DataFrame:
+    """Exact media dedup: group by payload sha256 (same rule as text)."""
+    feats = extract_features(media, decode_fn)
+    return (
+        feats.groupBy("payload_sha256")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sort_array(F.collect_list("id")).alias("members"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plumbing: one row per planned frame timestamp
+    (sequence over duration) — the decode itself is the stubbed stage."""
+    return media.filter(F.col("kind") == "video").select(
+        "id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("meta.duration_ms"), F.lit(every_ms))
+        ).alias("frame_ms"),
+    )

@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, as a training-data pipeline needs at 100 TB:
+  * brute-force cosine top-k — exact baseline: broadcast the (small) query
+    set, score every corpus vector JVM-side (zip_with/aggregate — stays in
+    whole-stage codegen), rank with a window. Linear scan; right answer,
+    O(corpus x queries).
+  * LSH-bucketed ANN — scale path: random-hyperplane signatures bucket the
+    corpus; queries only score candidates sharing a bucket in any band.
+    Probe cost drops to the bucket population; recall tunable via
+    (bands x bits).
+
+The hyperplanes are generated deterministically from a fixed seed and
+broadcast via a literal array column — no Python in the scoring loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_COS = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " 0D, (acc, v) -> acc + v) / "
+    "(sqrt(aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D,"
+    " (acc, v) -> acc + v)) * "
+    "sqrt(aggregate(transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D,"
+    " (acc, v) -> acc + v)))"
+)
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: (query_id, neighbor_id, sim, rank). ``queries`` is
+    expected to be small — it is broadcast; the corpus is scanned once."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ce")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.expr(_COS.format(a="qe", b="ce")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+def _hyperplane_literal(dim: int, bands: int, bits: int, seed: int = 7) -> F.Column:
+    """bands*bits deterministic random hyperplanes as a nested literal
+    array column: planes[i][j] is the j-th component of plane i."""
+    rs = np.random.RandomState(seed)
+    planes = rs.normal(size=(bands * bits, dim)).astype(float)
+    return F.array(
+        *[
+            F.array(*[F.lit(float(v)) for v in row])
+            for row in planes
+        ]
+    )
+
+
+def rhp_signature(
+    df: DataFrame, vec_col: str, dim: int, bands: int = 8, bits: int = 12,
+    seed: int = 7,
+) -> DataFrame:
+    """Attach `band`/`bucket`: random-hyperplane LSH keys, one row per band.
+
+    bucket = integer of ``bits`` sign bits of the vector against that
+    band's hyperplanes. Two vectors collide in a band with probability
+    (1 - theta/pi)^bits — standard SimHash ANN banding.
+    """
+    planes = _hyperplane_literal(dim, bands, bits, seed)
+    sig = F.expr(
+        f"transform(sequence(0, {bands - 1}), b -> "
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> "
+        f"acc * 2 + if(aggregate(zip_with(planes[b * {bits} + i], {vec_col}, "
+        f"(p, x) -> p * CAST(x AS DOUBLE)), 0D, (a, v) -> a + v) >= 0, 1L, 0L)))"
+    )
+    return (
+        df.withColumn("planes", planes)
+        .withColumn("sig", sig)
+        .drop("planes")
+        .select("*", F.posexplode("sig").alias("band", "bucket"))
+        .drop("sig")
+    )
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    bands: int = 8,
+    bits: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: only candidates sharing >=1 RHP bucket with the
+    query are scored. Same output shape as the brute-force tier."""
+    cb = rhp_signature(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ce")),
+        "ce", dim, bands, bits,
+    )
+    qb = rhp_signature(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe")),
+        "qe", dim, bands, bits,
+    )
+    cand = (
+        qb.join(cb, ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qe", "neighbor_id", "ce")
+        .distinct()
+    )
+    scored = cand.withColumn("sim", F.expr(_COS.format(a="qe", b="ce")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )

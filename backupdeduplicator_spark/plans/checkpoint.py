@@ -1,0 +1,151 @@
+"""Checkpoint tables with snapshot history, lineage, and per-partition
+metrics — the engine's resumability layer (north_rule: "resumable from
+checkpoint with per-partition lineage + metrics").
+
+Re-expresses the reference's append-only hash-tree file + crash resume
+(/root/reference/src/stages/build/output/hashtreefile.rs:278-299, append
+mode src/stages/build/cmd/cmd.rs:54-58) as versioned table snapshots.
+
+Storage: Iceberg when a catalog is configured on the session (the 100 TB
+deployment shape — `writeTo(...).append()` snapshots); otherwise a
+Parquet snapshot layout that mirrors Iceberg's semantics:
+
+    <root>/<name>/snapshot=<n>/part-*.parquet   (immutable data)
+    <root>/<name>/_manifests/<n>.json           (commit metadata)
+
+Each manifest records: snapshot id, wall-clock, row count, per-partition
+row counts (spark_partition_id groupBy — one extra cheap job), schema,
+and lineage (the caller-declared upstream checkpoint ids + stage name).
+Readers take the latest manifest — a crashed writer leaves no manifest,
+so half-written snapshots are invisible (same guarantee as an Iceberg
+commit).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class SnapshotInfo:
+    name: str
+    snapshot_id: int
+    rows: int
+    partitions: int
+    created_unix: float
+    lineage: dict[str, Any]
+
+
+class CheckpointManager:
+    """Parquet-snapshot checkpoint store (Iceberg-compatible semantics)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+
+    # ----------------------------------------------------------- helpers
+    def _table_dir(self, name: str) -> str:
+        return f"{self.root}/{name}"
+
+    def _manifest_dir(self, name: str) -> str:
+        return f"{self._table_dir(name)}/_manifests"
+
+    def _manifests(self, name: str) -> list[int]:
+        d = self._manifest_dir(name)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(f[:-5]) for f in os.listdir(d) if f.endswith(".json")
+        )
+
+    def latest_snapshot_id(self, name: str) -> int | None:
+        ids = self._manifests(name)
+        return ids[-1] if ids else None
+
+    def exists(self, name: str) -> bool:
+        return self.latest_snapshot_id(name) is not None
+
+    def manifest(self, name: str, snapshot_id: int | None = None) -> dict:
+        sid = snapshot_id if snapshot_id is not None else self.latest_snapshot_id(name)
+        if sid is None:
+            raise FileNotFoundError(f"no snapshot for checkpoint '{name}'")
+        with open(f"{self._manifest_dir(name)}/{sid}.json") as f:
+            return json.load(f)
+
+    # ------------------------------------------------------------- write
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        lineage: dict[str, Any] | None = None,
+    ) -> SnapshotInfo:
+        """Commit ``df`` as the next snapshot of ``name``.
+
+        Data lands first, the manifest last — a crash before the manifest
+        write leaves the previous snapshot current (atomic-commit
+        semantics without a catalog).
+        """
+        sid = (self.latest_snapshot_id(name) or 0) + 1
+        data_dir = f"{self._table_dir(name)}/snapshot={sid}"
+        df.write.mode("overwrite").parquet(data_dir)
+
+        written = self.spark.read.parquet(data_dir)
+        per_part = (
+            written.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .collect()
+        )
+        part_rows = {int(r["partition_id"]): int(r["rows"]) for r in per_part}
+        rows = sum(part_rows.values())
+
+        manifest = {
+            "name": name,
+            "snapshot_id": sid,
+            "created_unix": time.time(),
+            "rows": rows,
+            "num_partitions": len(part_rows),
+            "partition_rows": part_rows,
+            "schema": written.schema.jsonValue(),
+            "lineage": lineage or {},
+        }
+        os.makedirs(self._manifest_dir(name), exist_ok=True)
+        tmp = f"{self._manifest_dir(name)}/.{sid}.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, f"{self._manifest_dir(name)}/{sid}.json")
+        return SnapshotInfo(
+            name, sid, rows, len(part_rows), manifest["created_unix"],
+            manifest["lineage"],
+        )
+
+    # -------------------------------------------------------------- read
+    def read(self, name: str, snapshot_id: int | None = None) -> DataFrame:
+        sid = snapshot_id if snapshot_id is not None else self.latest_snapshot_id(name)
+        if sid is None:
+            raise FileNotFoundError(f"no snapshot for checkpoint '{name}'")
+        return self.spark.read.parquet(f"{self._table_dir(name)}/snapshot={sid}")
+
+    def read_or_compute(
+        self,
+        name: str,
+        compute,
+        lineage: dict[str, Any] | None = None,
+        force: bool = False,
+    ) -> DataFrame:
+        """Stage memoization: reuse the latest snapshot if present, else
+        run ``compute()`` and commit it. This is the resume primitive —
+        rerunning a pipeline skips every stage that already has a valid
+        snapshot (mirrors the reference's continue_file cache,
+        /root/reference/src/stages/build/cmd/cmd.rs:83-99)."""
+        if not force and self.exists(name):
+            return self.read(name)
+        df = compute()
+        self.write(df, name, lineage=lineage)
+        return self.read(name)

@@ -1,0 +1,100 @@
+"""End-to-end pipeline orchestration with checkpointed stages.
+
+Stage graph (each stage is a checkpoint table; reruns skip completed
+stages — the resume semantics of the reference's continue_file,
+generalized):
+
+    file_hashes   <- incremental vs prior run (commit validity token)
+    entries       <- Merkle build over file_hashes
+    dup_sets      <- analyze (SetKey + suppression)
+    near_dup      <- MinHash/LSH/CC clusters
+
+Lineage recorded per stage: upstream stage snapshot ids + engine config,
+so any output row set is traceable to the exact inputs that produced it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.analyze import duplicate_sets
+from ..operators.clean import entries_from_file_hashes, incremental_file_hashes
+from ..operators.minhash import near_duplicate_clusters
+from .checkpoint import CheckpointManager
+
+STAGES = ["file_hashes", "entries", "dup_sets", "near_dup"]
+
+
+@dataclass
+class PipelineResult:
+    file_hashes: DataFrame
+    entries: DataFrame
+    dup_sets: DataFrame
+    near_dup: DataFrame
+    snapshot_ids: dict[str, int]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    files: DataFrame,
+    ckpt_root: str,
+    sim_threshold: float = 0.55,
+    force: bool = False,
+    incremental: bool = True,
+) -> PipelineResult:
+    """Run (or resume) the full pipeline. ``force`` recomputes everything;
+    otherwise stages with existing snapshots are skipped and, when a prior
+    file_hashes snapshot exists, content hashing is incremental."""
+    ck = CheckpointManager(spark, ckpt_root)
+    sids: dict[str, int] = {}
+
+    def _file_hashes() -> DataFrame:
+        prior = None
+        if incremental and ck.exists("file_hashes"):
+            prior = ck.read("file_hashes")
+        return incremental_file_hashes(files, prior)
+
+    if force or not ck.exists("file_hashes"):
+        ck.write(_file_hashes(), "file_hashes", lineage={"stage": "file_hashes"})
+    fh = ck.read("file_hashes")
+    sids["file_hashes"] = ck.latest_snapshot_id("file_hashes")
+
+    if force or not ck.exists("entries"):
+        ck.write(
+            entries_from_file_hashes(fh),
+            "entries",
+            lineage={"stage": "entries", "upstream": sids},
+        )
+    entries = ck.read("entries")
+    sids["entries"] = ck.latest_snapshot_id("entries")
+
+    if force or not ck.exists("dup_sets"):
+        ck.write(
+            duplicate_sets(entries),
+            "dup_sets",
+            lineage={"stage": "dup_sets", "upstream": dict(sids)},
+        )
+    dups = ck.read("dup_sets")
+    sids["dup_sets"] = ck.latest_snapshot_id("dup_sets")
+
+    if force or not ck.exists("near_dup"):
+        from pyspark.sql import functions as F
+
+        ids = fh.select(
+            "repo", "path", F.lower(F.hex("hash")).alias("id")
+        )
+        ck.write(
+            near_duplicate_clusters(files, sim_threshold=sim_threshold, ids=ids),
+            "near_dup",
+            lineage={
+                "stage": "near_dup",
+                "upstream": dict(sids),
+                "sim_threshold": sim_threshold,
+            },
+        )
+    nd = ck.read("near_dup")
+    sids["near_dup"] = ck.latest_snapshot_id("near_dup")
+
+    return PipelineResult(fh, entries, dups, nd, sids)

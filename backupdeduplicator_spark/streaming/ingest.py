@@ -1,0 +1,76 @@
+"""Streaming ingest (engine addition — the reference is strictly batch,
+SURVEY.md §2.9; its pause/resume maps to checkpoints, not streams).
+
+For continuously-arriving repo snapshots we expose a Structured Streaming
+path: readStream over a parquet directory of (repo, path, commit, lang,
+content) drops, per-batch file hashing with the same pandas-UDF kernel,
+and foreachBatch appends into the CheckpointManager's file_hashes table —
+so the downstream batch stages (Merkle, analyze, near-dup) run over the
+union of everything ingested so far, with keep-latest-per-path semantics
+applied at read time.
+
+Stateless per batch (hashing is row-local); no watermark needed. Use
+Trigger.AvailableNow for catch-up runs, processingTime for tailing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.clean import file_hash_snapshot, keep_latest_per_path
+from ..plans.checkpoint import CheckpointManager
+
+FILES_DDL = (
+    "repo string, path string, commit string, lang string, content string"
+)
+
+
+def stream_file_hashes(
+    spark: SparkSession,
+    input_dir: str,
+    ckpt: CheckpointManager,
+    table: str = "file_hashes_stream",
+    stream_checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Start the ingest stream; returns the StreamingQuery.
+
+    Each micro-batch is hashed with the batch kernel and committed as a
+    new snapshot (lineage records the batch id) — identical row semantics
+    to the batch build, so resume/compaction logic is shared.
+    """
+    src = (
+        spark.readStream.schema(FILES_DDL).parquet(input_dir)
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        hashed = file_hash_snapshot(batch_df)
+        ckpt.write(
+            hashed,
+            table,
+            lineage={"stage": table, "stream_batch_id": batch_id},
+        )
+
+    writer = src.writeStream.foreachBatch(_sink).outputMode("append")
+    if stream_checkpoint_dir:
+        writer = writer.option("checkpointLocation", stream_checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def latest_file_hashes(
+    spark: SparkSession, ckpt: CheckpointManager, table: str = "file_hashes_stream"
+) -> DataFrame:
+    """Union of every ingested snapshot with last-write-wins per (repo,
+    path) — the stream-side equivalent of the reference's last-JSONL-line
+    -wins load (hashtreefile.rs:229-239)."""
+    sids = ckpt._manifests(table)
+    if not sids:
+        raise FileNotFoundError(f"no snapshots for '{table}'")
+    df = None
+    for sid in sids:
+        part = ckpt.read(table, sid).withColumn("modified", F.lit(sid))
+        df = part if df is None else df.unionByName(part)
+    return keep_latest_per_path(df).drop("modified")

@@ -1,0 +1,142 @@
+"""Archive explode (S6) and multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import base64
+import io
+import tarfile
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from backupdeduplicator_spark.operators.archive import (
+    explode_archives, flatten_member_paths)
+from backupdeduplicator_spark.operators.build import build_entries
+from backupdeduplicator_spark.operators.multimodal import (
+    FEATURE_DIM, extract_features, frame_sample_plan, media_exact_dups)
+
+
+def _zip_bytes(members: dict[str, str]) -> str:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, content in members.items():
+            zf.writestr(name, content)
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def _tar_bytes(members: dict[str, str]) -> str:
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, content in members.items():
+            data = content.encode()
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+@pytest.fixture(scope="module")
+def archive_df(spark):
+    rows = [
+        ("r1", "pkg/bundle.zip", "c", "zip",
+         _zip_bytes({"inner/a.py": "print(1)\n", "inner/b.py": "print(2)\n"})),
+        ("r1", "pkg/data.tar", "c", "tar",
+         _tar_bytes({"x.txt": "hello", "d/y.txt": "world"})),
+        ("r1", "src/plain.py", "c", "py", "print(3)\n"),
+        ("r1", "pkg/broken.zip", "c", "zip", "!!!not-base64-zip!!!"),
+    ]
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+
+
+def test_explode_archives(spark, archive_df):
+    out = explode_archives(archive_df).collect()
+    stacks = {tuple(r["path_stack"]): (r["member_type"], r["content"]) for r in out}
+    assert stacks[("pkg/bundle.zip", "inner/a.py")] == ("File", "print(1)\n")
+    assert stacks[("pkg/bundle.zip", "inner/b.py")] == ("File", "print(2)\n")
+    assert stacks[("pkg/data.tar", "x.txt")] == ("File", "hello")
+    assert stacks[("pkg/data.tar", "d/y.txt")] == ("File", "world")
+    # plain file passes through with single-component stack
+    assert stacks[("src/plain.py",)] == ("File", "print(3)\n")
+    # broken archive -> Other with NULL content (reference error rule)
+    assert stacks[("pkg/broken.zip",)][0] == "Other"
+    assert stacks[("pkg/broken.zip",)][1] is None
+
+
+def test_members_flow_through_build(spark, archive_df):
+    flat = flatten_member_paths(explode_archives(archive_df))
+    entries = build_entries(flat)
+    files = {r["path"] for r in entries.filter("file_type = 'File'").collect()}
+    assert "pkg/bundle.zip!inner/a.py" in files
+    assert "src/plain.py" in files
+    # archive members that duplicate each other across archives dedupe
+    dup_zip = spark.createDataFrame(
+        [
+            ("r1", "a.zip", "c", "zip", _zip_bytes({"m.py": "same"})),
+            ("r2", "b.zip", "c", "zip", _zip_bytes({"m.py": "same"})),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    flat2 = flatten_member_paths(explode_archives(dup_zip))
+    from backupdeduplicator_spark.operators.analyze import duplicate_sets
+
+    sets = duplicate_sets(build_entries(flat2)).collect()
+    groups = [
+        (r["file_type"], {(m["repo"], m["path"]) for m in r["conflicting"]})
+        for r in sets
+    ]
+    # both repos are entirely identical, so the minimal-set rule reports
+    # the duplicated ROOTS and suppresses the member-file pair
+    assert ("Directory", {("r1", ""), ("r2", "")}) in groups
+    assert all(
+        ms != {("r1", "a.zip!m.py"), ("r2", "b.zip!m.py")} for _, ms in groups
+    )
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        (1, "image", (640, 480, None, None), base64.b64encode(b"imgbytes-1").decode()),
+        (2, "image", (640, 480, None, None), base64.b64encode(b"imgbytes-1").decode()),
+        (3, "audio", (None, None, 16000, 2500), base64.b64encode(b"pcm-xyz").decode()),
+        (4, "video", (1920, 1080, None, 3200), base64.b64encode(b"h264###").decode()),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "id long, kind string, meta struct<width:long,height:long,"
+        "sample_rate:long,duration_ms:long>, payload string",
+    )
+
+
+def test_fake_feature_extraction(spark, media_df):
+    feats = extract_features(media_df).collect()
+    by_id = {r["id"]: r for r in feats}
+    assert len(by_id[1]["feature"]) == FEATURE_DIM
+    # deterministic: identical payloads -> identical features + sha
+    assert by_id[1]["feature"] == by_id[2]["feature"]
+    assert by_id[1]["payload_sha256"] == by_id[2]["payload_sha256"]
+    assert by_id[1]["payload_sha256"] != by_id[3]["payload_sha256"]
+
+
+def test_media_exact_dups(spark, media_df):
+    dups = media_exact_dups(media_df).collect()
+    assert len(dups) == 1
+    assert dups[0]["members"] == [1, 2]
+
+
+def test_real_decode_is_stubbed(spark, media_df):
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as ei:
+        extract_features(media_df, decode_fn="real").collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_frame_sample_plan(spark, media_df):
+    plan = frame_sample_plan(media_df, every_ms=1000).collect()
+    got = sorted((r["id"], r["frame_ms"]) for r in plan)
+    assert got == [(4, 0), (4, 1000), (4, 2000), (4, 3000)]

@@ -1,0 +1,134 @@
+"""Resumability + incremental build + clean stage (SURVEY §5.2.5)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from backupdeduplicator_spark.fixtures import generate
+from backupdeduplicator_spark.operators.clean import (
+    clean_entries, file_hash_snapshot, incremental_file_hashes,
+    keep_latest_per_path)
+from backupdeduplicator_spark.operators.build import build_entries
+from backupdeduplicator_spark.plans.checkpoint import CheckpointManager
+from backupdeduplicator_spark.plans.pipeline import run_pipeline
+
+
+@pytest.fixture()
+def files(spark):
+    return spark.createDataFrame(generate(n_files=200, seed=3).df).cache()
+
+
+def _collect_sets(df):
+    return sorted(
+        (r["file_type"], r["size"], bytes(r["hash"]).hex(), r["n_members"])
+        for r in df.collect()
+    )
+
+
+def test_resume_skips_completed_stages(spark, files, tmp_path):
+    root = str(tmp_path / "ckpt")
+    r1 = run_pipeline(spark, files, root)
+    sets1 = _collect_sets(r1.dup_sets)
+
+    # wipe one downstream stage; resume must recompute ONLY it
+    shutil.rmtree(f"{root}/dup_sets")
+    r2 = run_pipeline(spark, files, root)
+    assert _collect_sets(r2.dup_sets) == sets1
+    assert r2.snapshot_ids["file_hashes"] == r1.snapshot_ids["file_hashes"]
+    assert r2.snapshot_ids["entries"] == r1.snapshot_ids["entries"]
+    assert r2.snapshot_ids["dup_sets"] == 1  # fresh snapshot of the wiped stage
+
+    ck = CheckpointManager(spark, root)
+    man = ck.manifest("dup_sets")
+    assert man["lineage"]["upstream"]["entries"] == r1.snapshot_ids["entries"]
+    assert man["rows"] == r2.dup_sets.count()
+    assert sum(man["partition_rows"].values()) == man["rows"]
+
+
+def test_crash_safety_no_manifest_means_invisible(spark, files, tmp_path):
+    root = str(tmp_path / "ckpt")
+    ck = CheckpointManager(spark, root)
+    ck.write(files, "stage_x")
+    # simulate a crashed writer: data dir exists, manifest missing
+    shutil.rmtree(f"{root}/stage_x/_manifests")
+    assert not ck.exists("stage_x")
+
+
+def test_incremental_rehashes_only_changed_rows(spark, files):
+    prior = file_hash_snapshot(files).cache()
+
+    # v2: one file changes content (and commit), one file is new
+    changed = files.limit(1).select("repo", "path").collect()[0]
+    v2 = files.withColumn(
+        "content",
+        F.when(
+            (F.col("repo") == changed["repo"]) & (F.col("path") == changed["path"]),
+            F.concat(F.col("content"), F.lit("\n// changed")),
+        ).otherwise(F.col("content")),
+    ).withColumn(
+        "commit",
+        F.when(
+            (F.col("repo") == changed["repo"]) & (F.col("path") == changed["path"]),
+            F.lit("f" * 40),
+        ).otherwise(F.col("commit")),
+    )
+    new_row = spark.createDataFrame(
+        [("new/repo", "a/new.py", "e" * 40, "py", "brand new")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    v2 = v2.unionByName(new_row)
+
+    inc = incremental_file_hashes(v2, prior)
+    full = file_hash_snapshot(v2)
+    a = sorted(map(str, inc.select("repo", "path", "size", F.hex("hash")).collect()))
+    b = sorted(map(str, full.select("repo", "path", "size", F.hex("hash")).collect()))
+    assert a == b
+
+
+def test_keep_latest_per_path(spark):
+    df = spark.createDataFrame(
+        [
+            ("r", "a.py", "File", 1, 10, b"\x01", []),
+            ("r", "a.py", "File", 5, 11, b"\x02", []),
+            ("r", "b.py", "File", 2, 20, b"\x03", []),
+        ],
+        "repo string, path string, file_type string, modified long, size long,"
+        " hash binary, children array<binary>",
+    )
+    got = {
+        (r["repo"], r["path"]): (r["modified"], r["size"])
+        for r in keep_latest_per_path(df).collect()
+    }
+    assert got == {("r", "a.py"): (5, 11), ("r", "b.py"): (2, 20)}
+
+
+def test_clean_drops_vanished_files_and_dirs(spark, files):
+    entries = build_entries(files).cache()
+    # current snapshot: drop every file under one directory of one repo
+    victim = (
+        entries.filter("file_type = 'Directory' and path != ''")
+        .orderBy(F.desc("size"))
+        .limit(1)
+        .collect()[0]
+    )
+    current = files.filter(
+        ~(
+            (F.col("repo") == victim["repo"])
+            & F.col("path").startswith(victim["path"] + "/")
+        )
+    )
+    cleaned = clean_entries(entries, current)
+    gone = cleaned.filter(
+        (F.col("repo") == victim["repo"])
+        & (
+            (F.col("path") == victim["path"])
+            | F.col("path").startswith(victim["path"] + "/")
+        )
+    )
+    assert gone.count() == 0
+    # everything else survives
+    expected_files = current.count()
+    assert cleaned.filter("file_type = 'File'").count() == expected_files

@@ -1,0 +1,120 @@
+"""Property-based tests (SURVEY §5.2.3) — run against the pure-Python
+oracle (fast, no Spark) plus one Spark cross-check per property. The
+Spark engine's byte-equality with the oracle is covered in
+test_build_merkle/test_analyze; these pin the *semantic invariants*:
+
+  (a) permuting input row order never changes any hash or group
+  (b) duplicating a whole subtree under a new prefix yields exactly one
+      new directory-level dup group whose children are suppressed
+  (c) renaming a file changes no content hash, only path membership
+"""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from backupdeduplicator_spark import oracle
+
+_name = st.text(alphabet="abcdefgh", min_size=1, max_size=4)
+_content = st.text(alphabet="abcxyz \n", max_size=40)
+
+
+@st.composite
+def file_trees(draw):
+    n = draw(st.integers(min_value=1, max_value=14))
+    rows = {}
+    for i in range(n):
+        depth = draw(st.integers(min_value=1, max_value=4))
+        segs = [draw(_name) for _ in range(depth - 1)] + [f"f{i}_{draw(_name)}"]
+        rows[("r0", "/".join(segs))] = draw(_content)
+    return [(r, p, c) for (r, p), c in rows.items()]
+
+
+def _groups(rows):
+    return {
+        (d.hash, d.size, d.file_type, d.children): d.members
+        for d in oracle.analyze(oracle.build_entries(rows))
+    }
+
+
+@given(file_trees(), st.randoms(use_true_random=False))
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_order_invariance(rows, rnd):
+    base = _groups(rows)
+    shuffled = list(rows)
+    rnd.shuffle(shuffled)
+    assert _groups(shuffled) == base
+
+
+@given(file_trees())
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_subtree_duplication_adds_one_dir_group(rows):
+    # duplicate everything under the first file's top-level dir into a new
+    # prefix; skip trees whose first file sits at the root
+    first_dir = rows[0][1].split("/")[0]
+    subtree = [r for r in rows if r[1].startswith(first_dir + "/")]
+    if not subtree:
+        return
+    prefix = "zz_copy"
+    copies = [(r, f"{prefix}/{p[len(first_dir) + 1:]}", c) for (r, p, c) in subtree]
+    both = rows + copies
+
+    groups = oracle.analyze(oracle.build_entries(both))
+    # the two subtree roots must be one Directory group
+    dir_groups = [
+        g for g in groups
+        if g.file_type == "Directory"
+        and {m[1] for m in g.members} >= {first_dir, prefix}
+    ]
+    assert len(dir_groups) == 1
+    # no emitted group may consist entirely of members inside the pair
+    for g in groups:
+        inside = all(
+            p.startswith((first_dir + "/", prefix + "/")) for (_, p) in g.members
+        )
+        assert not inside, g
+
+
+@given(file_trees())
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_rename_preserves_hashes(rows):
+    entries = {e.path: e.hash for e in oracle.build_entries(rows)
+               if e.file_type == "File"}
+    renamed = [
+        (r, p + ".renamed" if i == 0 else p, c)
+        for i, (r, p, c) in enumerate(rows)
+    ]
+    entries2 = {e.path: e.hash for e in oracle.build_entries(renamed)
+                if e.file_type == "File"}
+    old_path = rows[0][1]
+    assert entries2[old_path + ".renamed"] == entries[old_path]
+    for p, h in entries.items():
+        if p != old_path:
+            assert entries2[p] == h
+
+
+def test_order_invariance_spark(spark):
+    """One Spark cross-check of (a): shuffled input partitioning."""
+    from backupdeduplicator_spark.fixtures import generate
+    from backupdeduplicator_spark.operators.analyze import duplicate_sets
+    from backupdeduplicator_spark.operators.build import build_entries
+
+    fx = generate(n_files=150, seed=9)
+    df1 = spark.createDataFrame(fx.df).repartition(7)
+    shuffled = fx.df.sample(frac=1.0, random_state=1).reset_index(drop=True)
+    df2 = spark.createDataFrame(shuffled).repartition(3)
+
+    def key_set(df):
+        return {
+            (bytes(r["hash"]), r["size"], r["file_type"], r["n_members"],
+             tuple((m["repo"], m["path"]) for m in r["conflicting"]))
+            for r in duplicate_sets(build_entries(df)).collect()
+        }
+
+    assert key_set(df1) == key_set(df2)

@@ -1,0 +1,35 @@
+"""Structured Streaming ingest: micro-batches -> checkpoint snapshots with
+last-write-wins semantics."""
+
+from __future__ import annotations
+
+from backupdeduplicator_spark.fixtures import generate
+from backupdeduplicator_spark.operators.clean import file_hash_snapshot
+from backupdeduplicator_spark.plans.checkpoint import CheckpointManager
+from backupdeduplicator_spark.streaming.ingest import (
+    latest_file_hashes, stream_file_hashes)
+
+
+def test_stream_ingest_matches_batch(spark, tmp_path):
+    fx = generate(n_files=120, seed=11)
+    files = spark.createDataFrame(fx.df)
+
+    in_dir = str(tmp_path / "drops")
+    files.write.parquet(in_dir)
+
+    ck = CheckpointManager(spark, str(tmp_path / "ckpt"))
+    q = stream_file_hashes(
+        spark, in_dir, ck,
+        stream_checkpoint_dir=str(tmp_path / "sck"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    got = latest_file_hashes(spark, ck)
+    batch = file_hash_snapshot(files)
+    a = sorted(map(str, got.select("repo", "path", "size").collect()))
+    b = sorted(map(str, batch.select("repo", "path", "size").collect()))
+    assert a == b
+
+    man = ck.manifest("file_hashes_stream")
+    assert "stream_batch_id" in man["lineage"]

@@ -1,0 +1,159 @@
+"""Text-analysis kernels, similarity search (exact + LSH), and the extra
+dedup families (SimHash, n-gram Jaccard, embedding cosine)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from backupdeduplicator_spark import oracle
+from backupdeduplicator_spark.functions.text import (
+    bpe_ish_token_count, doc_fingerprint, lang_id, quality_features,
+    quality_score, simhash64, token_count)
+from backupdeduplicator_spark.operators.dedup_extra import (
+    embedding_cosine_pairs, ngram_jaccard_pairs, pairs_to_clusters,
+    simhash_pairs)
+from backupdeduplicator_spark.operators.similarity import (
+    cosine_topk_bruteforce, cosine_topk_lsh)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_token_and_quality_functions(spark):
+    df = spark.createDataFrame(
+        [("hello world  foo",), ("",), ("   ",), ("one",)], ["text"]
+    )
+    rows = df.select(
+        "text",
+        token_count("text").alias("n"),
+        bpe_ish_token_count("text").alias("bpe"),
+        quality_score(F.col("text")).alias("q"),
+        *quality_features("text"),
+    ).collect()
+    by_text = {r["text"]: r for r in rows}
+    assert by_text["hello world  foo"]["n"] == 3
+    assert by_text[""]["n"] == 0 and by_text["   "]["n"] == 0
+    assert by_text["one"]["n"] == 1
+    assert by_text["hello world  foo"]["bpe"] == 3
+    assert by_text[""]["q"] == 0.0
+    assert 0 <= by_text["hello world  foo"]["q"] <= 1
+    assert by_text["hello world  foo"]["alpha_ratio"] > 0.8
+
+
+def test_lang_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            ("the quick brown fox jumping over the lazy dog and the cat",),
+            ("der hund und die katze sind schön und ich mag sie",),
+            ("def foo(bar): return bar if bar else None",),
+            ("xq",),
+        ],
+        ["text"],
+    )
+    got = [r["l"] for r in df.select(lang_id("text").alias("l")).collect()]
+    assert got[0] == "en"
+    assert got[1] == "de"
+    assert got[2] == "code"
+    assert got[3] == "und"
+
+
+def test_fingerprint_and_simhash_stability(spark):
+    df = spark.createDataFrame([("alpha beta gamma delta " * 20,)], ["text"])
+    r1 = df.select(
+        doc_fingerprint("text").alias("fp"), simhash64("text").alias("sh")
+    ).collect()[0]
+    r2 = df.select(
+        doc_fingerprint("text").alias("fp"), simhash64("text").alias("sh")
+    ).collect()[0]
+    assert (r1["fp"], r1["sh"]) == (r2["fp"], r2["sh"])
+    assert r1["fp"] != 0 and r1["sh"] != 0
+
+
+def test_simhash_pairs_find_near_dups(spark):
+    base = "def compute(buffer, cursor):\n    return buffer[cursor] + 1\n" * 30
+    near = base.replace("cursor", "cursorx", 3)
+    far = "completely different content about weather patterns " * 40
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    pairs = {
+        (r["id1"], r["id2"]) for r in simhash_pairs(docs, max_hamming=8).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_matches_oracle(spark, docs):
+    sample = docs.limit(30).cache()
+    got = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(sample, threshold=0.2).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in sample.collect()}
+    ids = sorted(texts)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            j = oracle.jaccard(
+                oracle.char_shingles(texts[a]), oracle.char_shingles(texts[b])
+            )
+            if j >= 0.2:
+                expected[(a, b)] = j
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert abs(got[k] - v) < 1e-4, k
+
+
+def test_bruteforce_topk_sane(spark, emb):
+    q = emb.filter("vec_id < 3")
+    out = cosine_topk_bruteforce(emb, q, k=5).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for rows in by_q.values():
+        sims = [r["sim"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert len(rows) == 5
+        assert sims == sorted(sims, reverse=True)
+        assert all(-1.000001 <= s <= 1.000001 for s in sims)
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, emb):
+    dim = len(emb.select("embedding").first()[0])
+    q = emb.filter("vec_id < 10")
+    # random test embeddings have near-orthogonal top neighbors (cosine
+    # ~0.2-0.3), so bucket bits must be short for per-band collision
+    # probability (1 - theta/pi)^bits to stay usable: 32 bands x 4 bits
+    # gives ~0.96 theoretical recall at sim 0.2. Real clustered corpora
+    # use longer bits (operator default 8x12) for smaller buckets.
+    exact = cosine_topk_bruteforce(emb, q, k=5).collect()
+    approx = cosine_topk_lsh(emb, q, dim=dim, k=5, bands=32, bits=4).collect()
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.6, recall  # ANN tier: tunable, must be in the ballpark
+
+
+def test_embedding_cosine_pairs_and_clusters(spark, emb):
+    dim = len(emb.select("embedding").first()[0])
+    # plant an exact duplicate vector pair
+    dup = emb.filter("vec_id = 0").select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    vecs = emb.unionByName(dup)
+    pairs = embedding_cosine_pairs(vecs, dim=dim, threshold=0.999)
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    assert (0, 100000) in got
+    labels = pairs_to_clusters(pairs)
+    lab = {r["id"]: r["component"] for r in labels.collect()}
+    assert lab.get(0) == lab.get(100000) is not None

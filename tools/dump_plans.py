@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Dump formatted physical plans for the headline queries -> PLANS.md.
+
+Review checklist applied to each plan (SURVEY.md §4):
+  * parquet scans show PushedFilters / pruned ReadSchema
+  * hot-path expressions sit inside WholeStageCodegen spans
+  * small dictionary joins broadcast (or AQE converts them)
+  * pandas-UDF stages (ArrowEvalPython) appear only at the hash kernels
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from backupdeduplicator_spark.operators.analyze import duplicate_sets  # noqa: E402
+from backupdeduplicator_spark.operators.build import build_entries  # noqa: E402
+from backupdeduplicator_spark.operators.minhash import (  # noqa: E402
+    distinct_content_signatures, lsh_candidate_pairs)
+from backupdeduplicator_spark.session import get_spark  # noqa: E402
+from backupdeduplicator_spark.sources.tables import files_df  # noqa: E402
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    spark = get_spark("plan-dump", cores=8,
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    files = files_df(spark, sf_dir)
+
+    sections: list[tuple[str, str]] = []
+    fe = build_entries(files)
+    sections.append(("build_entries (hash + Merkle union)", _explain(fe)))
+    sections.append(("duplicate_sets (salted two-phase agg + suppression)",
+                     _explain(duplicate_sets(fe))))
+    sigs = distinct_content_signatures(files)
+    sections.append(("minhash signatures (exact-dup collapse first)",
+                     _explain(sigs)))
+    sections.append(("lsh candidate pairs (band equi-join + count prefilter)",
+                     _explain(lsh_candidate_pairs(sigs).pairs)))
+
+    out = ["# PLANS — formatted physical plans of the headline queries\n",
+           f"Generated from `{sf_dir}`. Reviewed for: parquet pushdown, "
+           "WholeStageCodegen coverage, broadcast/AQE joins, pandas-UDF "
+           "(ArrowEvalPython) confined to hash kernels.\n"]
+    for title, plan in sections:
+        out.append(f"\n## {title}\n\n```\n{plan}\n```\n")
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "PLANS.md")
+    with open(path, "w") as f:
+        f.write("".join(out))
+    print(path)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
