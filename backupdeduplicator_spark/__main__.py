@@ -1,0 +1,168 @@
+"""CLI mirroring the reference's subcommand surface
+(/root/reference/src/main.rs:128-309: build / analyze / clean) plus the
+engine's additions (neardup, pipeline).
+
+    python -m backupdeduplicator_spark build    --input DIR --checkpoint DIR [--hash sha256]
+    python -m backupdeduplicator_spark analyze  --checkpoint DIR --output DIR
+    python -m backupdeduplicator_spark clean    --input DIR --checkpoint DIR
+    python -m backupdeduplicator_spark neardup  --input DIR --checkpoint DIR [--threshold 0.55]
+    python -m backupdeduplicator_spark pipeline --input DIR --checkpoint DIR [--output DIR]
+
+--input is a parquet directory of (repo, path, commit, lang, content)
+rows; --checkpoint is the snapshot-table root (plans/checkpoint.py);
+--output receives dup sets as reference-shaped JSONL (sinks.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _spark(args):
+    from .session import get_spark
+
+    return get_spark("backupdeduplicator-spark-cli", cores=args.cores)
+
+
+def cmd_build(args) -> int:
+    from .operators.clean import incremental_file_hashes
+    from .plans.checkpoint import CheckpointManager
+    from .operators.clean import entries_from_file_hashes
+    from .functions.hashing import content_hash, content_size
+
+    spark = _spark(args)
+    files = spark.read.parquet(args.input)
+    ck = CheckpointManager(spark, args.checkpoint)
+    if args.hash == "sha256":
+        prior = ck.read("file_hashes") if ck.exists("file_hashes") else None
+        fh = incremental_file_hashes(files, prior)
+    else:
+        fh = files.select(
+            "repo", "path", "commit",
+            content_size("content").alias("size"),
+            content_hash("content", args.hash).alias("hash"),
+        )
+    ck.write(fh, "file_hashes", lineage={"stage": "file_hashes",
+                                         "hash": args.hash})
+    ck.write(entries_from_file_hashes(ck.read("file_hashes")), "entries",
+             lineage={"stage": "entries", "hash": args.hash})
+    n = ck.manifest("entries")["rows"]
+    print(f"build: {n} entries -> {args.checkpoint}/entries")
+    return 0
+
+
+def cmd_analyze(args) -> int:
+    from .operators.analyze import duplicate_sets, duplicated_bytes
+    from .plans.checkpoint import CheckpointManager
+    from .sinks import write_dupsets_jsonl
+
+    spark = _spark(args)
+    ck = CheckpointManager(spark, args.checkpoint)
+    sets = duplicate_sets(ck.read("entries"))
+    ck.write(sets, "dup_sets", lineage={"stage": "dup_sets"})
+    sets = ck.read("dup_sets")
+    if args.output:
+        write_dupsets_jsonl(sets, args.output)
+    total = duplicated_bytes(sets).collect()[0][0]
+    print(f"analyze: {sets.count()} duplicate sets, "
+          f"{total / 1e9:.3f} GB duplicated")  # mirrors cmd.rs:194
+    return 0
+
+
+def cmd_clean(args) -> int:
+    from .operators.clean import clean_entries
+    from .plans.checkpoint import CheckpointManager
+
+    spark = _spark(args)
+    ck = CheckpointManager(spark, args.checkpoint)
+    current = spark.read.parquet(args.input)
+    cleaned = clean_entries(ck.read("entries"), current)
+    if args.root:
+        from .operators.clean import subtree_filter
+
+        cleaned = subtree_filter(cleaned, args.root)
+    ck.write(cleaned, "entries", lineage={"stage": "clean"})
+    print(f"clean: {ck.manifest('entries')['rows']} entries survive")
+    return 0
+
+
+def cmd_neardup(args) -> int:
+    from .operators.minhash import near_duplicate_clusters
+    from .plans.checkpoint import CheckpointManager
+
+    spark = _spark(args)
+    files = spark.read.parquet(args.input)
+    ck = CheckpointManager(spark, args.checkpoint)
+    ids = None
+    if ck.exists("file_hashes"):
+        ids = ck.read("file_hashes").select(
+            "repo", "path", F.lower(F.hex("hash")).alias("id")
+        )
+    nd = near_duplicate_clusters(files, sim_threshold=args.threshold, ids=ids)
+    ck.write(nd, "near_dup", lineage={"stage": "near_dup",
+                                      "sim_threshold": args.threshold})
+    print(f"neardup: {ck.manifest('near_dup')['rows']} clustered files")
+    return 0
+
+
+def cmd_pipeline(args) -> int:
+    from .plans.pipeline import run_pipeline
+    from .sinks import write_dupsets_jsonl
+
+    spark = _spark(args)
+    files = spark.read.parquet(args.input)
+    res = run_pipeline(spark, files, args.checkpoint,
+                       sim_threshold=args.threshold, force=args.force)
+    if args.output:
+        write_dupsets_jsonl(res.dup_sets, args.output)
+    print(f"pipeline: snapshots {res.snapshot_ids}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="backupdeduplicator_spark")
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--cores", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", parents=[common])
+    b.add_argument("--input", required=True)
+    b.add_argument("--checkpoint", required=True)
+    b.add_argument("--hash", default="sha256",
+                   choices=["sha512", "sha256", "sha1", "xxh64", "null"])
+    b.set_defaults(fn=cmd_build)
+
+    a = sub.add_parser("analyze", parents=[common])
+    a.add_argument("--checkpoint", required=True)
+    a.add_argument("--output", default=None)
+    a.set_defaults(fn=cmd_analyze)
+
+    c = sub.add_parser("clean", parents=[common])
+    c.add_argument("--input", required=True)
+    c.add_argument("--checkpoint", required=True)
+    c.add_argument("--root", default="")
+    c.set_defaults(fn=cmd_clean)
+
+    n = sub.add_parser("neardup", parents=[common])
+    n.add_argument("--input", required=True)
+    n.add_argument("--checkpoint", required=True)
+    n.add_argument("--threshold", type=float, default=0.55)
+    n.set_defaults(fn=cmd_neardup)
+
+    pl = sub.add_parser("pipeline", parents=[common])
+    pl.add_argument("--input", required=True)
+    pl.add_argument("--checkpoint", required=True)
+    pl.add_argument("--output", default=None)
+    pl.add_argument("--threshold", type=float, default=0.55)
+    pl.add_argument("--force", action="store_true")
+    pl.set_defaults(fn=cmd_pipeline)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

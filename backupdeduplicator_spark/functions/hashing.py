@@ -45,6 +45,49 @@ def sha256_content(content: pd.Series) -> pd.Series:
     return content.map(_h)
 
 
+# --------------------------------------------------------- hash registry
+# The reference's GeneralHasher plugin surface (SURVEY §2.10): hash type
+# selected by CLI string from {sha512, sha256, sha1, xxh64, null}
+# (/root/reference/src/data/hash.rs:53-66, src/main.rs:59-60). sha256 is
+# the conformance algorithm; the others are engine options. NULL skips
+# hashing entirely (metadata-only build,
+# /root/reference/src/stages/build/cmd/worker/file.rs:48-51).
+
+
+def _hashlib_udf(algo: str):
+    @pandas_udf(BinaryType())
+    def _udf(content: pd.Series) -> pd.Series:
+        def _h(text: object) -> bytes | None:
+            if text is None:
+                return None
+            return hashlib.new(algo, str(text).encode("utf-8")).digest()
+
+        return content.map(_h)
+
+    return _udf
+
+
+def content_hash(content_col: str | Column, algo: str = "sha256") -> Column:
+    """Pluggable content digest. 'xxh64' uses Spark's JVM xxhash64
+    (8-byte big-endian binary; same family as the reference's twox-hash,
+    different seed constant — exactness is only guaranteed for sha256,
+    the pinned per-row invariant). 'null' yields NULL hashes."""
+    col = F.col(content_col) if isinstance(content_col, str) else content_col
+    algo = algo.lower()
+    if algo == "sha256":
+        return sha256_content(col)
+    if algo in ("sha1", "sha512"):
+        return _hashlib_udf(algo)(col)
+    if algo == "xxh64":
+        # long -> 8-byte binary via hex (ANSI mode forbids a direct cast)
+        seg = F.unhex(F.lpad(F.hex(F.xxhash64(col)), 16, "0"))
+        return F.when(col.isNull(), F.lit(None).cast("binary")).otherwise(seg)
+    if algo == "null":
+        return F.lit(None).cast("binary")
+    raise ValueError(f"unknown hash algo '{algo}' "
+                     "(expected sha512|sha256|sha1|xxh64|null)")
+
+
 @pandas_udf(BinaryType())
 def merkle_hash(children: pd.Series) -> pd.Series:
     """Directory digest: sha256 of concatenated child digests.
@@ -84,6 +127,23 @@ def content_size(content_col: str | Column) -> Column:
     (bytes-read counter, src/data/hash.rs:509-528). Pure built-in."""
     col = F.col(content_col) if isinstance(content_col, str) else content_col
     return F.octet_length(col).cast("long")
+
+
+def hash_path(path_col: str | Column) -> Column:
+    """Digest of a path string's bytes — the reference's symlink-target
+    hash (F2, /root/reference/src/data/hash.rs:565-573). Built-in sha2,
+    JVM-side."""
+    col = F.col(path_col) if isinstance(path_col, str) else path_col
+    return F.unhex(F.sha2(col, 256))
+
+
+def hash_filepath(stack_col: str | Column) -> Column:
+    """Digest over all components of a component-stack path (F3,
+    /root/reference/src/data/hash.rs:585-595 — defined there, unused in
+    its pipeline; we use it for archive-member identities). Components
+    are NUL-joined so ['a','b'] never collides with ['ab']."""
+    col = F.col(stack_col) if isinstance(stack_col, str) else stack_col
+    return F.unhex(F.sha2(F.concat_ws("\x00", col), 256))
 
 
 def hex_hash(hash_col: str | Column) -> Column:

@@ -17,7 +17,7 @@ from pyspark.sql.column import Column
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType, LongType, StringType
 
-from .shingles import _P, shingle_hashes
+from .shingles import shingle_hashes
 
 
 def _c(col: str | Column) -> Column:

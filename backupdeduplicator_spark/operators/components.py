@@ -67,17 +67,27 @@ def _fingerprint(e: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 50
+    edges: DataFrame, max_iter: int = 50, local_threshold: int = 2_000_000
 ) -> DataFrame:
     """edges(u, v) -> labels(id, component) where component = min member id.
 
     Node ids may be any orderable type (long or string). Isolated nodes
     don't appear in ``edges`` and so get no row — callers union them back
     with component = own id if needed.
+
+    Graphs with <= ``local_threshold`` distinct edges take a driver-side
+    union-find fast path: at that size the distributed star rounds are
+    pure scheduling latency (measured ~20s of mostly-idle cores for a
+    1M-edge graph) while single-threaded union-find finishes in seconds.
+    Larger graphs (the 100 TB regime) run the distributed
+    large-star/small-star loop. local_threshold=0 forces the distributed
+    path (tests use both).
     """
     # lazy checkpoints: the fingerprint aggregate is the materializing
     # action, so each round costs one job, not two
     e = _canonical(edges).localCheckpoint(eager=False)
+    if local_threshold > 0 and e.count() <= local_threshold:
+        return _local_union_find(e)
     prev = _fingerprint(e)
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=False)
@@ -96,3 +106,34 @@ def connected_components(
     return labels.unionByName(roots).groupBy("id").agg(
         F.min("component").alias("component")
     )
+
+
+def _local_union_find(e: DataFrame) -> DataFrame:
+    """Driver-side union-find over a small canonical edge set; labels are
+    shipped back as a DataFrame with the same (id, component) contract."""
+    spark = e.sparkSession
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in e.toLocalIterator():
+        u, v = row[0], row[1]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min: smaller id becomes the root
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+
+    rows = [(x, find(x)) for x in parent]
+    return spark.createDataFrame(rows, schema=e.schema).toDF("id", "component")

@@ -42,11 +42,18 @@ from .components import connected_components
 
 
 def distinct_content_signatures(files: DataFrame) -> DataFrame:
-    """One signature per distinct content. Columns: id (sha256 hex), sig.
+    """One signature per distinct content. Columns: id (sha256 hex),
+    nid (int64 node id), sig.
 
     The groupBy key is the content hash, so identical files collapse
     before the expensive signature kernel runs (one signature per distinct
     content, computed on the group representative).
+
+    ``nid`` = xxhash64(id): all downstream pair tables, aggregations, and
+    the connected-components graph run on 8-byte int keys instead of
+    64-char strings — measured ~40% of the candidate-join wall time was
+    string-key hashing/shuffle. Collision odds for n distinct contents are
+    ~n^2/2^64 (10^-8 at 10^9 contents; the exact tier is unaffected).
     """
     hashed = files.select(
         hex_hash(sha256_content("content")).alias("id"), "content"
@@ -55,44 +62,57 @@ def distinct_content_signatures(files: DataFrame) -> DataFrame:
         hashed.groupBy("id")
         .agg(F.first("content", ignorenulls=False).alias("content"))
     )
-    return reps.select("id", minhash_signature("content").alias("sig"))
+    return reps.select(
+        "id", F.xxhash64("id").alias("nid"),
+        minhash_signature("content").alias("sig"),
+    )
 
 
 def lsh_buckets(sigs: DataFrame) -> DataFrame:
     """Explode signatures into (band, bandhash) keys. JVM-side band hashing:
     xxhash64 over each r-row slice of the signature (SURVEY.md F12)."""
     banded = sigs.select(
-        "id",
+        "nid",
         F.expr(
             f"transform(sequence(0, {LSH_BANDS - 1}), "
             f"b -> xxhash64(b, slice(sig, b * {LSH_ROWS} + 1, {LSH_ROWS})))"
         ).alias("bhs"),
     )
-    return banded.select("id", F.posexplode("bhs").alias("band", "bandhash"))
+    return banded.select("nid", F.posexplode("bhs").alias("band", "bandhash"))
 
 
 @dataclass
 class CandidateStats:
     pairs: DataFrame
-    dropped_buckets: int
-    dropped_rows: int
+    oversized: DataFrame  # (band, bandhash, bn) of dropped buckets — lazy
+
+    @property
+    def dropped_buckets(self) -> int:
+        return self.oversized.count()
+
+    @property
+    def dropped_rows(self) -> int:
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        row = self.oversized.agg(
+            F.coalesce(F.sum("bn"), F.lit(0)).alias("rows")
+        ).collect()[0]
+        return int(row["rows"])
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, max_bucket: int = 2000
+    sigs: DataFrame, max_bucket: int = 500
 ) -> CandidateStats:
     """Distinct candidate pairs (id1 < id2) sharing >=1 LSH bucket.
 
     Buckets larger than ``max_bucket`` would emit O(m^2) pairs; they are
-    dropped and counted (at 100 TB such buckets are boilerplate mega-
+    dropped and accounted in ``CandidateStats.oversized`` (lazily — no
+    barrier on the hot path; at 100 TB such buckets are boilerplate mega-
     clusters better handled by the exact tier / a dedicated pass).
     """
     buckets = lsh_buckets(sigs)
     counts = buckets.groupBy("band", "bandhash").agg(F.count(F.lit(1)).alias("bn"))
     oversized = counts.filter(F.col("bn") > max_bucket)
-    drop_row = oversized.agg(
-        F.count(F.lit(1)).alias("k"), F.coalesce(F.sum("bn"), F.lit(0)).alias("rows")
-    ).collect()[0]
 
     eligible = buckets.join(
         counts.filter((F.col("bn") >= 2) & (F.col("bn") <= max_bucket)),
@@ -112,37 +132,38 @@ def lsh_candidate_pairs(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bandhash") == F.col("b.bandhash"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.nid") < F.col("b.nid")),
         )
-        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .groupBy(F.col("a.nid").alias("nid1"), F.col("b.nid").alias("nid2"))
         .agg(F.count(F.lit(1)).alias("band_matches"))
     )
-    return CandidateStats(pairs, int(drop_row["k"]), int(drop_row["rows"]))
+    return CandidateStats(pairs, oversized)
 
 
 def signature_similarity(pairs: DataFrame, sigs: DataFrame) -> DataFrame:
     """Attach est_sim = fraction of agreeing signature positions.
 
     Pure built-in higher-order functions (zip_with + aggregate) — stays in
-    whole-stage codegen, no Python round-trip for the scoring.
+    whole-stage codegen, no Python round-trip for the scoring. Joins on
+    the compact int64 node ids.
     """
-    s1 = sigs.select(F.col("id").alias("id1"), F.col("sig").alias("sig1"))
-    s2 = sigs.select(F.col("id").alias("id2"), F.col("sig").alias("sig2"))
-    joined = pairs.join(s1, "id1").join(s2, "id2")
+    s1 = sigs.select(F.col("nid").alias("nid1"), F.col("sig").alias("sig1"))
+    s2 = sigs.select(F.col("nid").alias("nid2"), F.col("sig").alias("sig2"))
+    joined = pairs.join(s1, "nid1").join(s2, "nid2")
     agree = F.expr(
         "aggregate(zip_with(sig1, sig2, (x, y) -> if(x = y, 1, 0)), 0, "
         "(acc, v) -> acc + v)"
     )
     n = F.size("sig1").cast("double")
     return joined.select(
-        "id1", "id2", (agree.cast("double") / n).alias("est_sim")
+        "nid1", "nid2", (agree.cast("double") / n).alias("est_sim")
     )
 
 
 def near_duplicate_clusters(
     files: DataFrame,
     sim_threshold: float = 0.55,
-    max_bucket: int = 2000,
+    max_bucket: int = 500,
     min_band_matches: int = 2,
     ids: DataFrame | None = None,
 ) -> DataFrame:
@@ -161,17 +182,20 @@ def near_duplicate_clusters(
     cand = lsh_candidate_pairs(sigs, max_bucket=max_bucket)
     candidates = cand.pairs.filter(
         F.col("band_matches") >= min_band_matches
-    ).select("id1", "id2")
+    ).select("nid1", "nid2")
     edges = (
         signature_similarity(candidates, sigs)
         .filter(F.col("est_sim") >= sim_threshold)
-        .select(F.col("id1").alias("u"), F.col("id2").alias("v"))
+        .select(F.col("nid1").alias("u"), F.col("nid2").alias("v"))
     )
-    labels = connected_components(edges)  # (id, component)
+    labels = connected_components(edges)  # (id=nid, component)
 
     files_ids = ids if ids is not None else files.select(
         "repo", "path", hex_hash(sha256_content("content")).alias("id")
     )
-    out = files_ids.join(labels, "id")
+    files_ids = files_ids.withColumn("nid", F.xxhash64("id"))
+    out = files_ids.join(
+        labels.withColumnRenamed("id", "nid"), "nid"
+    )
     sigs.unpersist()
     return out.select("repo", "path", "id", "component")

@@ -1,0 +1,59 @@
+"""Output sinks in the reference's wire formats.
+
+Dup-set JSONL (S5): one JSON object per duplicate set, shaped like
+DupSetEntryRef (/root/reference/src/stages/analyze/output/dupset_file.rs:
+13-19) with hashes serialized "<TYPE>:<hex>" (Display form,
+/root/reference/src/data/hash.rs:237-291) — so downstream tooling written
+against the reference's output keeps working.
+
+Hash-tree JSONL (S3/S4): header line {version, hash_type, creation_date}
+then one entry per line (hashtreefile.rs:35-40,63-71). We provide the
+entries as a JSON-lines DataFrame write; the single-file header layout is
+driver-side only for export purposes (the engine's real persistence is
+the checkpoint snapshot tables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tagged_hash(col, algo: str = "SHA256"):
+    return F.concat(F.lit(f"{algo}:"), F.lower(F.hex(col)))
+
+
+def dupsets_to_json_rows(dupsets: DataFrame) -> DataFrame:
+    """duplicate_sets output -> reference-shaped rows ready for
+    .write.json(): {ftype, size, hash: 'SHA256:<hex>', conflicting:[paths]}.
+    Paths render as 'repo/path' single-component FilePaths."""
+    return dupsets.select(
+        F.col("file_type").alias("ftype"),
+        F.col("size"),
+        _tagged_hash(F.col("hash")).alias("hash"),
+        F.transform(
+            "conflicting", lambda s: F.concat_ws("/", s["repo"], s["path"])
+        ).alias("conflicting"),
+    )
+
+
+def entries_to_json_rows(entries: DataFrame) -> DataFrame:
+    """Hash-tree entries -> reference HashTreeFileEntryV1 row shape
+    (hashtreefile.rs:63-71): file_type, modified, size, hash (tagged),
+    path (component array), children (tagged hashes)."""
+    return entries.select(
+        F.col("file_type"),
+        F.col("modified"),
+        F.col("size"),
+        _tagged_hash(F.col("hash")).alias("hash"),
+        F.array(F.concat_ws("/", F.col("repo"), F.col("path"))).alias("path"),
+        F.transform("children", _tagged_hash).alias("children"),
+    )
+
+
+def write_dupsets_jsonl(dupsets: DataFrame, path: str) -> None:
+    dupsets_to_json_rows(dupsets).coalesce(1).write.mode("overwrite").json(path)
+
+
+def write_entries_jsonl(entries: DataFrame, path: str) -> None:
+    entries_to_json_rows(entries).write.mode("overwrite").json(path)

@@ -24,10 +24,43 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def bench_files(spark: SparkSession, sf_dir: str, mult: int) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+FAMILY = 8  # rows per duplicate family: 2 exact copies + 6 near variants
+
+
+def bench_files(
+    spark: SparkSession, sf_dir: str, mult: int, repeat: int | None = None
+) -> DataFrame:
+    """Deterministic bench corpus, generated JVM-side (no driver loops).
+
+    Shape: n_docs * mult rows in families of FAMILY=8. Each family's base
+    content is two document texts concatenated (its own + a family-shifted
+    one), each repeated ``repeat`` times (~KB-scale files like real source
+    code; $SPARK_GRAFT_BENCH_REPEAT, default 8). Within a family,
+    variants 0 and 4 are exact copies; the rest differ by a one-line
+    suffix (Jaccard ~0.99 — true near-dups). Different families of the
+    same doc share only half their content (J ~ 1/3, below the LSH
+    S-curve), so candidate volume grows LINEARLY with mult and no
+    mega-buckets form — the corpus exercises exact groups, Merkle, LSH,
+    and CC at any scale without quadratic blowup.
+    """
+    if repeat is None:
+        repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "8"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", F.expr(f"repeat(text, {repeat})").alias("text")
+    )
+    n_docs = docs.count()
+    other = docs.select(
+        F.col("doc_id").alias("o_id"), F.col("text").alias("text2")
+    )
     variants = spark.range(mult).withColumnRenamed("id", "variant")
-    big = docs.crossJoin(variants)
+    big = (
+        docs.crossJoin(variants)
+        .withColumn("fam", (F.col("variant") / FAMILY).cast("long"))
+        .withColumn("sub", F.col("variant") % FAMILY)
+        .withColumn("o_id", (F.col("doc_id") + F.col("fam") + 1) % n_docs)
+        .join(other, "o_id")
+    )
+    base = F.concat(F.col("text"), F.lit("\n"), F.col("text2"))
     return big.select(
         F.concat(
             F.lit("org-"), (F.col("doc_id") % 5).cast("string"),
@@ -40,14 +73,46 @@ def bench_files(spark: SparkSession, sf_dir: str, mult: int) -> DataFrame:
         ).alias("path"),
         F.lit("0000000000000000000000000000000000000000").alias("commit"),
         F.col("lang"),
-        F.when(F.col("variant") % 4 == 0, F.col("text"))
-        .otherwise(F.concat(F.col("text"), F.lit("\n// variant "),
-                            F.col("variant").cast("string")))
+        F.when(F.col("sub") % 4 == 0, base)
+        .otherwise(F.concat(base, F.lit("\n// variant "),
+                            F.col("sub").cast("string")))
         .alias("content"),
     )
 
 
+def _tree_cpu_seconds() -> float:
+    """CPU-seconds of this process and all descendants (JVM, python
+    workers), including already-reaped children via cutime/cstime."""
+    clk = os.sysconf("SC_CLK_TCK")
+    stats: dict[int, tuple[int, float]] = {}  # pid -> (ppid, cpu_ticks)
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                raw = f.read()
+        except OSError:
+            continue
+        # fields after the (comm) — comm may contain spaces
+        rest = raw.rsplit(")", 1)[1].split()
+        ppid = int(rest[1])
+        ticks = int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+        stats[int(d)] = (ppid, ticks)
+    me = os.getpid()
+    tree = {me}
+    changed = True
+    while changed:
+        changed = False
+        for pid, (ppid, _) in stats.items():
+            if ppid in tree and pid not in tree:
+                tree.add(pid)
+                changed = True
+    return sum(stats[p][1] for p in tree if p in stats) / clk
+
+
 def main() -> None:
+    global _T_START
+    _T_START = time.monotonic()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     mult = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "24"))
@@ -87,10 +152,25 @@ def main() -> None:
     timed("q1_build_hash_merkle", _build)
     timed("q2_exact_dup_sets", lambda: duplicate_sets(entries).count())
     timed("q3_dup_pairs", lambda: duplicate_pairs(entries).count())
-    timed("q4_near_dup_clusters", lambda: near_duplicate_clusters(files).count())
+
+    def _near_dup():
+        # reuse q1's content hashes as ids — the checkpointed pipeline shape
+        ids = entries.filter(F.col("file_type") == "File").select(
+            "repo", "path", F.lower(F.hex("hash")).alias("id")
+        )
+        near_duplicate_clusters(files, ids=ids).count()
+
+    timed("q4_near_dup_clusters", _near_dup)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # process-tree CPU accounting (self + JVM + python workers, live and
+    # reaped): avg_parallelism = CPU/wall — separates "engine exposes
+    # parallel work" from wall-clock noise on shared VMs.
+    wall_all = time.monotonic() - _T_START
+    cpu_total = _tree_cpu_seconds()
+    spark.stop()
     print(json.dumps({
         "metric": "e2e_pipeline_sec",
         "value": total,
@@ -101,8 +181,11 @@ def main() -> None:
         "files_per_sec": round(n_rows / total, 1) if total else None,
         "cpus": cpus,
         "bench_mult": mult,
+        "bench_repeat": int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "8")),
+        "cpu_total_sec": round(cpu_total, 1),
+        "wall_total_sec": round(wall_all, 1),
+        "avg_parallelism": round(cpu_total / wall_all, 2) if wall_all else None,
     }))
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -8,7 +8,6 @@ import tarfile
 import zipfile
 
 import pytest
-from pyspark.sql import functions as F
 
 from backupdeduplicator_spark.operators.archive import (
     explode_archives, flatten_member_paths)

@@ -1,0 +1,78 @@
+"""CLI subcommands (reference main.rs parity) + JSONL sink formats +
+pluggable hash registry."""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from backupdeduplicator_spark.__main__ import main
+from backupdeduplicator_spark.fixtures import generate
+from backupdeduplicator_spark.functions.hashing import content_hash
+
+
+@pytest.fixture(scope="module")
+def input_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cli") / "input")
+    spark.createDataFrame(generate(150, seed=5).df).write.parquet(d)
+    return d
+
+
+def test_cli_build_analyze_clean(spark, input_dir, tmp_path, capsys):
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "dupsets")
+    assert main(["build", "--input", input_dir, "--checkpoint", ck,
+                 "--cores", "8"]) == 0
+    assert main(["analyze", "--checkpoint", ck, "--output", out,
+                 "--cores", "8"]) == 0
+    printed = capsys.readouterr().out
+    assert "duplicate sets" in printed and "GB duplicated" in printed
+
+    # reference-shaped JSONL: {ftype, size, hash: 'SHA256:hex', conflicting}
+    lines = []
+    for f in glob.glob(f"{out}/part-*.json"):
+        with open(f) as fh:
+            lines += [json.loads(l) for l in fh if l.strip()]
+    assert lines
+    row = lines[0]
+    assert set(row) == {"ftype", "size", "hash", "conflicting"}
+    assert row["hash"].startswith("SHA256:")
+    assert len(row["hash"]) == len("SHA256:") + 64
+    assert isinstance(row["conflicting"], list) and len(row["conflicting"]) >= 2
+
+    assert main(["clean", "--input", input_dir, "--checkpoint", ck,
+                 "--cores", "8"]) == 0
+
+
+def test_cli_neardup_and_pipeline(spark, input_dir, tmp_path):
+    ck = str(tmp_path / "ck2")
+    assert main(["pipeline", "--input", input_dir, "--checkpoint", ck,
+                 "--cores", "8"]) == 0
+    assert main(["neardup", "--input", input_dir, "--checkpoint", ck,
+                 "--cores", "8"]) == 0
+
+
+def test_hash_registry(spark):
+    df = spark.createDataFrame([("Hello, world!",), (None,)], ["content"])
+    rows = df.select(
+        "content",
+        F.hex(content_hash("content", "sha256")).alias("h256"),
+        F.hex(content_hash("content", "sha1")).alias("h1"),
+        F.hex(content_hash("content", "sha512")).alias("h512"),
+        content_hash("content", "xxh64").alias("hx"),
+        content_hash("content", "null").alias("hn"),
+    ).collect()
+    by = {r["content"]: r for r in rows}
+    t = "Hello, world!"
+    assert by[t]["h256"].lower() == hashlib.sha256(t.encode()).hexdigest()
+    assert by[t]["h1"].lower() == hashlib.sha1(t.encode()).hexdigest()
+    assert by[t]["h512"].lower() == hashlib.sha512(t.encode()).hexdigest()
+    assert by[t]["hx"] is not None and by[t]["hn"] is None
+    assert by[None]["h256"] is None and by[None]["hx"] is None
+
+    with pytest.raises(ValueError):
+        content_hash("content", "md5crazy")

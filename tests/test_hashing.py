@@ -13,7 +13,8 @@ import hashlib
 from pyspark.sql import functions as F
 
 from backupdeduplicator_spark.functions.hashing import (
-    content_size, hex_hash, merkle_hash, sha256_content)
+    content_size, hash_filepath, hash_path, hex_hash, merkle_hash,
+    sha256_content)
 
 HELLO = "315f5bdb76d078c43b8ac0064e4a0164612b1fce77c869345bfc94c75894edd3"
 EMPTY = "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
@@ -51,6 +52,25 @@ def test_merkle_sorted_children(spark):
         hex_hash(merkle_hash(F.sort_array("children"))).alias("h")
     ).collect()[0]["h"]
     assert got == expected
+
+
+def test_path_hashes(spark):
+    """F2 symlink-target hash and F3 component-stack hash
+    (/root/reference/src/data/hash.rs:565-595)."""
+    df = spark.createDataFrame(
+        [("a/b", ["a", "b"]), ("ab", ["ab"])],
+        "p: string, stack: array<string>",
+    )
+    rows = df.select(
+        "p",
+        hex_hash(hash_path("p")).alias("hp"),
+        hex_hash(hash_filepath("stack")).alias("hs"),
+    ).collect()
+    by_p = {r["p"]: r for r in rows}
+    assert by_p["a/b"]["hp"] == hashlib.sha256(b"a/b").hexdigest()
+    assert by_p["a/b"]["hs"] == hashlib.sha256(b"a\x00b").hexdigest()
+    # NUL join keeps ['a','b'] distinct from ['ab']
+    assert by_p["a/b"]["hs"] != by_p["ab"]["hs"]
 
 
 def test_merkle_empty_dir(spark):

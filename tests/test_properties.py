@@ -11,8 +11,6 @@ test_build_merkle/test_analyze; these pin the *semantic invariants*:
 
 from __future__ import annotations
 
-import random
-
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
