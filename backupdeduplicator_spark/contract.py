@@ -262,6 +262,20 @@ def q_t4_ngram_jaccard(d: D) -> str:
     )
 
 
+def q_d1_exact_dup_docs(d: D) -> str:
+    """Exact dedup over the documents table (hash-groupBy). The raw table
+    has no duplicate texts, so every 7th doc is mirrored under a shifted
+    id — same shape as a dedup pass over a corpus with known copies."""
+    return (
+        f"WITH corpus AS (SELECT doc_id, text FROM documents "
+        f"UNION ALL SELECT doc_id + 1000000, text FROM documents "
+        f"WHERE doc_id % 7 = 0) "
+        f"SELECT {d.sha256('text')} AS hash_hex, COUNT(*) AS n_members, "
+        f"{d.sorted_concat('CAST(doc_id AS STRING)', ',')} AS members "
+        f"FROM corpus GROUP BY {d.sha256('text')} HAVING COUNT(*) >= 2"
+    )
+
+
 SQL_QUERIES: dict[str, Callable[[D], str]] = {
     "file_hashes": q_file_hashes,
     "p1_collision_filter": q_p1_collision_filter,
@@ -279,6 +293,7 @@ SQL_QUERIES: dict[str, Callable[[D], str]] = {
     "o1_top_largest_files": q_o1_top_largest_files,
     "set1_repo_except": q_set1_repo_except,
     "t4_ngram_jaccard": q_t4_ngram_jaccard,
+    "d1_exact_dup_docs": q_d1_exact_dup_docs,
 }
 
 
@@ -388,8 +403,25 @@ ENGINE_BACKED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t4_ngram_jaccard": _spark_t4_ngram_jaccard,
 }
 
+def _spark_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over the embeddings table
+    (RHP-LSH candidates + exact cosine filter). Threshold 0.35 because
+    the synthetic embeddings are near-random (top-neighbor cosine
+    ~0.2-0.4); real embedding spaces use ~0.9+. Rows-only check."""
+    from .operators.dedup_extra import embedding_cosine_pairs
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return embedding_cosine_pairs(
+        emb, dim=dim, threshold=0.35, bands=32, bits=4
+    ).orderBy("id1", "id2")
+
+
 ENGINE_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_clusters": _spark_near_dup_clusters,
+    "s4_embedding_dup_pairs": _spark_embedding_dup_pairs,
     "x1_simhash_pairs": _spark_simhash_pairs,
     "t3_lang_quality_fingerprint": _spark_lang_id,
     "s3_ann_lsh_topk": _spark_ann_lsh,
