@@ -419,9 +419,26 @@ def _spark_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id1", "id2")
 
 
+def _spark_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-duplication tier (winnowing fingerprints) over documents
+    plus mirrored copies (raw docs share no long blocks). Rows-only."""
+    from .operators.substring import substring_duplicate_pairs
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter("doc_id % 7 = 0").select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return substring_duplicate_pairs(corpus).orderBy("id1", "id2")
+
+
 ENGINE_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_clusters": _spark_near_dup_clusters,
     "s4_embedding_dup_pairs": _spark_embedding_dup_pairs,
+    "x2_substring_dup_pairs": _spark_substring_pairs,
     "x1_simhash_pairs": _spark_simhash_pairs,
     "t3_lang_quality_fingerprint": _spark_lang_id,
     "s3_ann_lsh_topk": _spark_ann_lsh,

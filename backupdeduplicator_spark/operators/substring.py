@@ -1,0 +1,107 @@
+"""Substring-duplication tier (north_rule: "MinHash/SimHash/suffix-array
+substring"): find documents sharing long verbatim character runs even
+when their overall Jaccard similarity is low (e.g. a 2 KB license block
+pasted into otherwise unrelated files).
+
+A literal distributed suffix array over 100 TB is impractical; the
+standard scalable equivalent is *winnowing* (Schleimer, Wilkerson,
+Aiken — "Winnowing: Local Algorithms for Document Fingerprinting",
+SIGMOD 2003): take rolling k-gram hashes, keep the minimum hash of every
+w-window (rightmost minimum for robustness). Guarantee: any shared
+substring of length >= w + k - 1 produces at least one shared
+fingerprint. Detection is then relational:
+
+    fingerprints -> explode -> self-join on fingerprint ->
+    count shared fingerprints per pair -> threshold
+
+The same skew defences as the MinHash tier apply: int64 doc ids, a
+fingerprint-frequency cap (boilerplate fingerprints shared by thousands
+of docs are dropped and accounted), and map-side combinable pair counts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from ..functions.shingles import _P, _pows
+
+K_GRAM = 25  # fingerprint k-gram length
+WINDOW = 50  # winnowing window; guarantees detection at >= 74 shared chars
+
+
+def winnow(hashes: np.ndarray, window: int = WINDOW) -> np.ndarray:
+    """Robust winnowing: rightmost minimum of each sliding window over
+    the rolling-hash sequence; consecutive duplicate picks collapse."""
+    n = hashes.size
+    if n == 0:
+        return hashes
+    if n <= window:
+        return np.unique(hashes.min(keepdims=True))
+    w = np.lib.stride_tricks.sliding_window_view(hashes, window)
+    # rightmost minimum: reverse, argmin picks first == rightmost original
+    rev = w[:, ::-1]
+    idx = (window - 1) - rev.argmin(axis=1)
+    picks = w[np.arange(w.shape[0]), idx]
+    return np.unique(picks)
+
+
+@pandas_udf(ArrayType(LongType()))
+def winnow_fingerprints(content: pd.Series) -> pd.Series:
+    """content -> distinct winnowing fingerprints (int64)."""
+    def _fp(text: object) -> list[int]:
+        if text is None:
+            return []
+        # winnowing needs POSITIONAL rolling hashes (shingle_hashes
+        # dedup-sorts, so compute in order here with the same polynomial)
+        data = str(text).encode("utf-8")
+        if len(data) < K_GRAM:
+            return []
+        b = np.frombuffer(data, dtype=np.uint8)
+        win = np.lib.stride_tricks.sliding_window_view(b, K_GRAM).astype(np.uint64)
+        pos_hashes = (win * _pows(K_GRAM)[None, :]).sum(axis=1) % _P
+        return [int(x) for x in winnow(pos_hashes)]
+
+    return content.map(_fp)
+
+
+def substring_duplicate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared: int = 2,
+    max_fingerprint_freq: int = 500,
+) -> DataFrame:
+    """Pairs of docs sharing >= min_shared winnowing fingerprints
+    (i.e. >= ~min_shared long verbatim runs / one long run crossing
+    windows). Columns: id1, id2, shared_fingerprints.
+
+    Fingerprints appearing in > max_fingerprint_freq docs (global
+    boilerplate) are dropped before pairing — same cap-and-account
+    pattern as the LSH tier.
+    """
+    fps = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(winnow_fingerprints(F.col(text_col))).alias("fp"),
+    ).distinct()
+    freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+    eligible = fps.join(
+        freq.filter((F.col("n") >= 2) & (F.col("n") <= max_fingerprint_freq)),
+        "fp",
+        "left_semi",
+    )
+    a, b = eligible.alias("a"), eligible.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_shared)
+    )
+    return pairs

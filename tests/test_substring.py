@@ -1,0 +1,69 @@
+"""Substring-duplication tier (winnowing fingerprints)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from backupdeduplicator_spark.operators.substring import (
+    K_GRAM, WINDOW, substring_duplicate_pairs, winnow)
+
+
+def test_winnow_guarantee():
+    """Any window of WINDOW consecutive hashes contributes its minimum —
+    matching sequences of length >= WINDOW share a fingerprint."""
+    rng = np.random.RandomState(0)
+    a = rng.randint(0, 2**31, size=500).astype(np.uint64)
+    b = rng.randint(0, 2**31, size=300).astype(np.uint64)
+    shared = rng.randint(0, 2**31, size=120).astype(np.uint64)
+    fa = set(winnow(np.concatenate([a, shared])).tolist())
+    fb = set(winnow(np.concatenate([shared, b])).tolist())
+    assert fa & fb, "shared 120-hash run must yield a common fingerprint"
+
+
+def test_winnow_short_and_empty():
+    assert winnow(np.array([], dtype=np.uint64)).size == 0
+    assert winnow(np.array([7, 3, 9], dtype=np.uint64)).tolist() == [3]
+
+
+def test_substring_pairs(spark):
+    block = "LICENSE TERMS: " + "redistribution permitted clause x; " * 40
+    rng = np.random.RandomState(1)
+
+    def noise(n):
+        return "".join(
+            rng.choice(list("abcdefghijklmnop qrstuv\n"), size=n)
+        )
+
+    docs = spark.createDataFrame(
+        [
+            (1, noise(1500) + block + noise(800)),   # shares block
+            (2, noise(1200) + block),                 # shares block
+            (3, noise(2500)),                         # unrelated
+            (4, noise(40)),                           # shorter than k-gram+window
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["id1"], r["id2"]): r["shared_fingerprints"]
+        for r in substring_duplicate_pairs(docs).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert all(k == (1, 2) for k in pairs), pairs
+
+
+def test_low_jaccard_high_substring(spark):
+    """The case MinHash misses: a long pasted block inside mostly
+    different files (overall Jaccard well below the near-dup threshold)."""
+    from backupdeduplicator_spark import oracle
+
+    rng = np.random.RandomState(2)
+    filler = lambda n: "".join(rng.choice(list("wxyz 0123456789\n"), size=n))
+    block = "def shared_helper(arg):\n    return arg * 31337\n" * 30
+    t1 = filler(8000) + block
+    t2 = filler(8000) + block
+    j = oracle.jaccard(oracle.char_shingles(t1), oracle.char_shingles(t2))
+    assert j < 0.55, f"fixture must be below the MinHash threshold, got {j}"
+
+    docs = spark.createDataFrame([(1, t1), (2, t2)], ["doc_id", "text"])
+    pairs = substring_duplicate_pairs(docs).collect()
+    assert len(pairs) == 1 and pairs[0]["id1"] == 1 and pairs[0]["id2"] == 2
