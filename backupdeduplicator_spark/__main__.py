@@ -27,6 +27,12 @@ def _spark(args):
     return get_spark("backupdeduplicator-spark-cli", cores=args.cores)
 
 
+def _read_input(spark, source):
+    from .sources.tables import read_input
+
+    return read_input(spark, source)
+
+
 def cmd_build(args) -> int:
     from .operators.clean import incremental_file_hashes
     from .plans.checkpoint import CheckpointManager
@@ -34,7 +40,7 @@ def cmd_build(args) -> int:
     from .functions.hashing import content_hash, content_size
 
     spark = _spark(args)
-    files = spark.read.parquet(args.input)
+    files = _read_input(spark, args.input)
     ck = CheckpointManager(spark, args.checkpoint)
     if args.hash == "sha256":
         prior = ck.read("file_hashes") if ck.exists("file_hashes") else None
@@ -78,7 +84,7 @@ def cmd_clean(args) -> int:
 
     spark = _spark(args)
     ck = CheckpointManager(spark, args.checkpoint)
-    current = spark.read.parquet(args.input)
+    current = _read_input(spark, args.input)
     cleaned = clean_entries(ck.read("entries"), current)
     if args.root:
         from .operators.clean import subtree_filter
@@ -94,7 +100,7 @@ def cmd_neardup(args) -> int:
     from .plans.checkpoint import CheckpointManager
 
     spark = _spark(args)
-    files = spark.read.parquet(args.input)
+    files = _read_input(spark, args.input)
     ck = CheckpointManager(spark, args.checkpoint)
     ids = None
     if ck.exists("file_hashes"):
@@ -113,7 +119,7 @@ def cmd_pipeline(args) -> int:
     from .sinks import write_dupsets_jsonl
 
     spark = _spark(args)
-    files = spark.read.parquet(args.input)
+    files = _read_input(spark, args.input)
     res = run_pipeline(spark, files, args.checkpoint,
                        sim_threshold=args.threshold, force=args.force)
     if args.output:

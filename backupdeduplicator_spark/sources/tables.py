@@ -44,6 +44,24 @@ WHERE doc_id % 10 = 0
 FILES_CTE = f"WITH files AS ({_FILES_SQL})"
 
 
+def read_input(spark: SparkSession, source: str) -> DataFrame:
+    """Load the pipeline input table (repo, path, commit, lang, content).
+
+    ``source`` is either an Iceberg table identifier (the production
+    shape per BASELINE.json input_hint — used when an Iceberg catalog is
+    configured on the session) or a parquet directory path (tests /
+    sandbox, where no Iceberg runtime jars exist). Dotted names without a
+    path separator are treated as table identifiers.
+    """
+    looks_like_table = "/" not in source and "." in source
+    if looks_like_table:
+        try:
+            return spark.read.format("iceberg").load(source)
+        except Exception:
+            return spark.table(source)
+    return spark.read.parquet(source)
+
+
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register each parquet table as a temp view, plus the derived
     `files` view."""
