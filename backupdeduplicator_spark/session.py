@@ -30,9 +30,15 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
 
+    # SPARK_GRAFT_MASTER overrides the master verbatim — e.g.
+    # "local-cluster[4,8,8192]" for real multi-executor JVMs (the faithful
+    # N-vs-4N stand-in: separate heaps, separate GC, real shuffle fetch)
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
+        .master(master)
+        .config("spark.executor.memory",
+                os.environ.get("SPARK_EXECUTOR_MEM", "4g"))
         # -- correctness-relevant --
         .config("spark.sql.session.timeZone", "UTC")
         # -- adaptivity: runtime re-plan, skew-join splitting, coalescing --
@@ -50,4 +56,39 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if not master.startswith("local[") or os.environ.get("SPARK_GRAFT_PYFILES"):
+        # multi-executor masters (local-cluster / standalone / yarn): ship
+        # the package to executor Python workers — the spark-submit
+        # --py-files mechanism, automated
+        spark.sparkContext.addPyFile(_package_zip())
+    return spark
+
+
+def _package_zip() -> str:
+    """Zip this package for --py-files-style distribution (cached)."""
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join("/tmp", "backupdeduplicator_spark_pyfiles.zip")
+    newest = max(
+        os.path.getmtime(os.path.join(root, f))
+        for root, _, fs in os.walk(pkg_dir)
+        for f in fs
+        if f.endswith(".py")
+    )
+    if not os.path.exists(out) or os.path.getmtime(out) < newest:
+        tmp = out + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for root, _, fs in os.walk(pkg_dir):
+                for f in fs:
+                    if not f.endswith(".py"):
+                        continue
+                    full = os.path.join(root, f)
+                    rel = os.path.join(
+                        "backupdeduplicator_spark",
+                        os.path.relpath(full, pkg_dir),
+                    )
+                    zf.write(full, rel)
+        os.replace(tmp, out)
+    return out
