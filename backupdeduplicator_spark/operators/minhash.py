@@ -101,7 +101,7 @@ class CandidateStats:
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, max_bucket: int = 500
+    sigs: DataFrame, max_bucket: int = 128
 ) -> CandidateStats:
     """Distinct candidate pairs (id1 < id2) sharing >=1 LSH bucket.
 
@@ -163,7 +163,7 @@ def signature_similarity(pairs: DataFrame, sigs: DataFrame) -> DataFrame:
 def near_duplicate_clusters(
     files: DataFrame,
     sim_threshold: float = 0.55,
-    max_bucket: int = 500,
+    max_bucket: int = 128,
     min_band_matches: int = 2,
     ids: DataFrame | None = None,
 ) -> DataFrame:
