@@ -87,7 +87,8 @@ def substring_duplicate_pairs(
     fps = docs.select(
         F.col(id_col).alias("id"),
         F.explode(winnow_fingerprints(F.col(text_col))).alias("fp"),
-    ).distinct()
+    ).distinct().persist()  # consumed 3x (freq, semi-join, self-join) —
+    # without this the winnow UDF re-runs per consumer (seen in PLANS.md)
     freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
     eligible = fps.join(
         freq.filter((F.col("n") >= 2) & (F.col("n") <= max_fingerprint_freq)),

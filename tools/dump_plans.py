@@ -44,11 +44,18 @@ def main() -> None:
     sections.append(("build_entries (hash + Merkle union)", _explain(fe)))
     sections.append(("duplicate_sets (salted two-phase agg + suppression)",
                      _explain(duplicate_sets(fe))))
-    sigs = distinct_content_signatures(files)
+    sigs = distinct_content_signatures(files).persist()  # as at runtime
     sections.append(("minhash signatures (exact-dup collapse first)",
                      _explain(sigs)))
     sections.append(("lsh candidate pairs (band equi-join + count prefilter)",
                      _explain(lsh_candidate_pairs(sigs).pairs)))
+
+    from backupdeduplicator_spark.operators.substring import (
+        substring_duplicate_pairs)
+
+    docs = spark.table("documents")
+    sections.append(("substring pairs (winnowing fingerprint join)",
+                     _explain(substring_duplicate_pairs(docs))))
 
     out = ["# PLANS — formatted physical plans of the headline queries\n",
            f"Generated from `{sf_dir}`. Reviewed for: parquet pushdown, "
