@@ -77,7 +77,8 @@ def q_a4_dup_bytes_total(d: D) -> str:
     return (
         f"{_fh_cte(d)}, g AS (SELECT size, COUNT(*) AS n FROM fh "
         f"GROUP BY hash_hex, size HAVING COUNT(*) >= 2) "
-        f"SELECT COALESCE(SUM(size * (n - 1)), 0) AS duplicated_bytes FROM g"
+        f"SELECT CAST(COALESCE(SUM(size * (n - 1)), 0) AS BIGINT) "
+        f"AS duplicated_bytes FROM g"
     )
 
 

@@ -5,6 +5,7 @@ row count, column names, and order-insensitive values."""
 from __future__ import annotations
 
 import math
+from decimal import Decimal
 
 import duckdb
 import pytest
@@ -28,10 +29,19 @@ def duck():
 
 
 def _norm(v):
+    # Type-strict: an int on one side and a float on the other must NOT
+    # normalize equal (the driver's value hash distinguishes them — this
+    # is exactly how a4_dup_bytes_total went red in round 1).
+    if isinstance(v, bool):
+        return f"b:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        return f"{v:.9g}"
+            return "f:nan"
+        return f"f:{v:.9g}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, Decimal):
+        return f"d:{v}"
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
