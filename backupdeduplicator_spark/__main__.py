@@ -7,6 +7,7 @@ engine's additions (neardup, pipeline).
     python -m backupdeduplicator_spark clean    --input DIR --checkpoint DIR
     python -m backupdeduplicator_spark neardup  --input DIR --checkpoint DIR [--threshold 0.55]
     python -m backupdeduplicator_spark pipeline --input DIR --checkpoint DIR [--output DIR]
+    python -m backupdeduplicator_spark import   --file HASHTREE_JSONL --checkpoint DIR
 
 --input is a parquet directory of (repo, path, commit, lang, content)
 rows; --checkpoint is the snapshot-table root (plans/checkpoint.py);
@@ -33,6 +34,14 @@ def _read_input(spark, source):
     return read_input(spark, source)
 
 
+def _checkpoint_algo(ck, name: str = "file_hashes") -> str | None:
+    """Hash algorithm recorded in a checkpoint table's lineage (None when
+    the table is absent or predates lineage recording)."""
+    if not ck.exists(name):
+        return None
+    return ck.manifest(name)["lineage"].get("hash")
+
+
 def cmd_build(args) -> int:
     from .operators.clean import incremental_file_hashes
     from .plans.checkpoint import CheckpointManager
@@ -43,7 +52,12 @@ def cmd_build(args) -> int:
     files = _read_input(spark, args.input)
     ck = CheckpointManager(spark, args.checkpoint)
     if args.hash == "sha256":
-        prior = ck.read("file_hashes") if ck.exists("file_hashes") else None
+        # reuse the prior snapshot ONLY if it was built with the same
+        # algorithm — a prior xxh64/sha1 build would poison the new table
+        # through the commit-match reuse path
+        prior = None
+        if _checkpoint_algo(ck) == "sha256":
+            prior = ck.read("file_hashes")
         fh = incremental_file_hashes(files, prior)
     else:
         fh = files.select(
@@ -67,15 +81,29 @@ def cmd_analyze(args) -> int:
 
     spark = _spark(args)
     ck = CheckpointManager(spark, args.checkpoint)
+    algo = _checkpoint_algo(ck, "entries") or "sha256"
     sets = duplicate_sets(ck.read("entries"))
-    ck.write(sets, "dup_sets", lineage={"stage": "dup_sets"})
+    ck.write(sets, "dup_sets", lineage={"stage": "dup_sets", "hash": algo})
     sets = ck.read("dup_sets")
     if args.output:
-        write_dupsets_jsonl(sets, args.output)
+        write_dupsets_jsonl(sets, args.output, algo=algo)
     total = duplicated_bytes(sets).collect()[0][0]
     print(f"analyze: {sets.count()} duplicate sets, "
-          f"{total / 1e9:.3f} GB duplicated")  # mirrors cmd.rs:194
+          f"{_fmt_bytes(total)} duplicated")  # total as in cmd.rs:194 (GiB)
     return 0
+
+
+def _fmt_bytes(n: int) -> str:
+    """Human-scaled size: GiB like the reference (cmd.rs:194 divides by
+    1024^3), dropping to MiB/KiB/B below 0.01 GiB so small corpora don't
+    print '0.000 GiB'."""
+    if n >= 0.01 * 1024**3:
+        return f"{n / 1024**3:.3f} GiB"
+    if n >= 1024**2:
+        return f"{n / 1024**2:.2f} MiB"
+    if n >= 1024:
+        return f"{n / 1024:.2f} KiB"
+    return f"{n} B"
 
 
 def cmd_clean(args) -> int:
@@ -102,15 +130,45 @@ def cmd_neardup(args) -> int:
     spark = _spark(args)
     files = _read_input(spark, args.input)
     ck = CheckpointManager(spark, args.checkpoint)
+    # the near-dup tier keys nodes by sha256 hex — a checkpoint built with
+    # another algorithm would silently match nothing, so fall back to
+    # recomputing ids instead
     ids = None
-    if ck.exists("file_hashes"):
+    if _checkpoint_algo(ck) == "sha256":
         ids = ck.read("file_hashes").select(
             "repo", "path", F.lower(F.hex("hash")).alias("id")
         )
-    nd = near_duplicate_clusters(files, sim_threshold=args.threshold, ids=ids)
+    report: dict = {}
+    nd = near_duplicate_clusters(
+        files, sim_threshold=args.threshold, ids=ids, report=report
+    )
     ck.write(nd, "near_dup", lineage={"stage": "near_dup",
                                       "sim_threshold": args.threshold})
+    dropped = report["oversized"].count()
+    if dropped:
+        rows = report["oversized"].agg(F.sum("bn")).collect()[0][0]
+        print(f"neardup: WARNING {dropped} oversized LSH buckets dropped "
+              f"({rows} member rows) — raise max_bucket to trade runtime "
+              f"for recall on boilerplate-heavy corpora")
     print(f"neardup: {ck.manifest('near_dup')['rows']} clustered files")
+    return 0
+
+
+def cmd_import(args) -> int:
+    from .plans.checkpoint import CheckpointManager
+    from .sinks import read_entries_jsonl
+
+    spark = _spark(args)
+    ck = CheckpointManager(spark, args.checkpoint)
+    hdr: dict = {}
+    entries = read_entries_jsonl(
+        spark, args.file, root_repo=args.root_repo, report=hdr
+    )
+    ck.write(entries, "entries",
+             lineage={"stage": "import", "hash": hdr["hash_type"].lower(),
+                      "source": args.file})
+    print(f"import: {ck.manifest('entries')['rows']} entries "
+          f"({hdr['hash_type']}) <- {args.file}")
     return 0
 
 
@@ -138,7 +196,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--input", required=True)
     b.add_argument("--checkpoint", required=True)
     b.add_argument("--hash", default="sha256",
-                   choices=["sha512", "sha256", "sha1", "xxh64", "null"])
+                   choices=["sha512", "sha256", "sha1", "xxh64", "xxh32",
+                            "xxh64spark", "null"])
     b.set_defaults(fn=cmd_build)
 
     a = sub.add_parser("analyze", parents=[common])
@@ -157,6 +216,13 @@ def main(argv: list[str] | None = None) -> int:
     n.add_argument("--checkpoint", required=True)
     n.add_argument("--threshold", type=float, default=0.55)
     n.set_defaults(fn=cmd_neardup)
+
+    imp = sub.add_parser("import", parents=[common])
+    imp.add_argument("--file", required=True,
+                     help="hash-tree JSONL written by the reference tool")
+    imp.add_argument("--checkpoint", required=True)
+    imp.add_argument("--root-repo", default="", dest="root_repo")
+    imp.set_defaults(fn=cmd_import)
 
     pl = sub.add_parser("pipeline", parents=[common])
     pl.add_argument("--input", required=True)

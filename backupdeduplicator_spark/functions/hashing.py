@@ -47,7 +47,7 @@ def sha256_content(content: pd.Series) -> pd.Series:
 
 # --------------------------------------------------------- hash registry
 # The reference's GeneralHasher plugin surface (SURVEY §2.10): hash type
-# selected by CLI string from {sha512, sha256, sha1, xxh64, null}
+# selected by CLI string from {sha512, sha256, sha1, xxh64, xxh32, null}
 # (/root/reference/src/data/hash.rs:53-66, src/main.rs:59-60). sha256 is
 # the conformance algorithm; the others are engine options. NULL skips
 # hashing entirely (metadata-only build,
@@ -67,11 +67,130 @@ def _hashlib_udf(algo: str):
     return _udf
 
 
+# --- XXH32/XXH64, reimplemented from the public xxHash spec (Yann Collet,
+# github.com/Cyan4973/xxHash/blob/dev/doc/xxhash_spec.md). The reference
+# hashes with seed 0 and serializes the digest big-endian
+# (/root/reference/src/data/hash/xxh.rs:30,39 — Xxh32::new(0) /
+# Xxh64::default + to_be_bytes), so these kernels are BYTE-EXACT with
+# digests in a reference-written hash-tree file. Validated against the
+# spec's published vectors in tests/test_hashing.py. Inherently a
+# sequential fold per value (like any hash) — Python-loop inside the
+# Arrow batch, same execution shape as the hashlib kernels.
+
+_M32 = 0xFFFFFFFF
+_P32 = (2654435761, 2246822519, 3266489917, 668265263, 374761393)
+_M64 = 0xFFFFFFFFFFFFFFFF
+_P64 = (
+    11400714785074694791, 14029467366897019727, 1609587929392839161,
+    9650029242287828579, 2870177450012600261,
+)
+
+
+def xxh32_int(data: bytes, seed: int = 0) -> int:
+    p1, p2, p3, p4, p5 = _P32
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (32 - r))) & _M32
+
+    n, i = len(data), 0
+    if n >= 16:
+        v = [
+            (seed + p1 + p2) & _M32, (seed + p2) & _M32,
+            seed & _M32, (seed - p1) & _M32,
+        ]
+        while i <= n - 16:
+            for j in range(4):
+                lane = int.from_bytes(data[i + 4 * j:i + 4 * j + 4], "little")
+                v[j] = (rotl((v[j] + lane * p2) & _M32, 13) * p1) & _M32
+            i += 16
+        h = (rotl(v[0], 1) + rotl(v[1], 7) + rotl(v[2], 12) + rotl(v[3], 18)) & _M32
+    else:
+        h = (seed + p5) & _M32
+    h = (h + n) & _M32
+    while i <= n - 4:
+        h = (rotl((h + int.from_bytes(data[i:i + 4], "little") * p3) & _M32, 17) * p4) & _M32
+        i += 4
+    while i < n:
+        h = (rotl((h + data[i] * p5) & _M32, 11) * p1) & _M32
+        i += 1
+    h ^= h >> 15
+    h = (h * p2) & _M32
+    h ^= h >> 13
+    h = (h * p3) & _M32
+    h ^= h >> 16
+    return h
+
+
+def xxh64_int(data: bytes, seed: int = 0) -> int:
+    p1, p2, p3, p4, p5 = _P64
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & _M64
+
+    def mrg(acc: int, v: int) -> int:
+        acc ^= (rotl((v * p2) & _M64, 31) * p1) & _M64
+        return ((acc * p1) + p4) & _M64
+
+    n, i = len(data), 0
+    if n >= 32:
+        v = [
+            (seed + p1 + p2) & _M64, (seed + p2) & _M64,
+            seed & _M64, (seed - p1) & _M64,
+        ]
+        while i <= n - 32:
+            for j in range(4):
+                lane = int.from_bytes(data[i + 8 * j:i + 8 * j + 8], "little")
+                v[j] = (rotl((v[j] + lane * p2) & _M64, 31) * p1) & _M64
+            i += 32
+        h = (rotl(v[0], 1) + rotl(v[1], 7) + rotl(v[2], 12) + rotl(v[3], 18)) & _M64
+        for j in range(4):
+            h = mrg(h, v[j])
+    else:
+        h = (seed + p5) & _M64
+    h = (h + n) & _M64
+    while i <= n - 8:
+        lane = int.from_bytes(data[i:i + 8], "little")
+        h ^= (rotl((lane * p2) & _M64, 31) * p1) & _M64
+        h = ((rotl(h, 27) * p1) + p4) & _M64
+        i += 8
+    if i <= n - 4:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * p1) & _M64
+        h = ((rotl(h, 23) * p2) + p3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * p5) & _M64
+        h = (rotl(h, 11) * p1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * p2) & _M64
+    h ^= h >> 29
+    h = (h * p3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _xxh_udf(bits: int):
+    fn, width = (xxh32_int, 4) if bits == 32 else (xxh64_int, 8)
+
+    @pandas_udf(BinaryType())
+    def _udf(content: pd.Series) -> pd.Series:
+        def _h(text: object) -> bytes | None:
+            if text is None:
+                return None
+            return fn(str(text).encode("utf-8")).to_bytes(width, "big")
+
+        return content.map(_h)
+
+    return _udf
+
+
 def content_hash(content_col: str | Column, algo: str = "sha256") -> Column:
-    """Pluggable content digest. 'xxh64' uses Spark's JVM xxhash64
-    (8-byte big-endian binary; same family as the reference's twox-hash,
-    different seed constant — exactness is only guaranteed for sha256,
-    the pinned per-row invariant). 'null' yields NULL hashes."""
+    """Pluggable content digest, reference-byte-exact for every algorithm:
+    sha* via hashlib, xxh64/xxh32 via the spec kernels above (seed 0,
+    big-endian — matching a reference-written .bdd file). 'xxh64spark' is
+    the engine-native fast path (Spark's JVM xxhash64, seed 42 — NOT
+    reference-compatible; use for engine-internal fingerprints only).
+    'null' yields NULL hashes (metadata-only build)."""
     col = F.col(content_col) if isinstance(content_col, str) else content_col
     algo = algo.lower()
     if algo == "sha256":
@@ -79,13 +198,17 @@ def content_hash(content_col: str | Column, algo: str = "sha256") -> Column:
     if algo in ("sha1", "sha512"):
         return _hashlib_udf(algo)(col)
     if algo == "xxh64":
+        return _xxh_udf(64)(col)
+    if algo == "xxh32":
+        return _xxh_udf(32)(col)
+    if algo == "xxh64spark":
         # long -> 8-byte binary via hex (ANSI mode forbids a direct cast)
         seg = F.unhex(F.lpad(F.hex(F.xxhash64(col)), 16, "0"))
         return F.when(col.isNull(), F.lit(None).cast("binary")).otherwise(seg)
     if algo == "null":
         return F.lit(None).cast("binary")
     raise ValueError(f"unknown hash algo '{algo}' "
-                     "(expected sha512|sha256|sha1|xxh64|null)")
+                     "(expected sha512|sha256|sha1|xxh64|xxh32|xxh64spark|null)")
 
 
 @pandas_udf(BinaryType())

@@ -97,7 +97,15 @@ def duplicate_sets(
     each partial's cap a superset of its contribution to the global cap).
     """
     m = _with_parent_flag(entries)
-    key = ["hash", "size", "file_type", "children"]
+    # SetKey: (hash, size, file_type, children). The children array can be
+    # huge (10^5 digests for a wide directory) — using it directly as a
+    # grouping key puts multi-MB keys in the Exchange. hash already equals
+    # sha256(concat(children)) for directories, so children equality is
+    # implied whp; `ckey` = xxhash64(children) keeps collision-guarding in
+    # the shuffle key at 8 bytes, and the array itself rides along via
+    # first() (equal within a group by construction).
+    m = m.withColumn("ckey", F.xxhash64("children"))
+    key = ["hash", "size", "file_type", "ckey"]
     phase1 = (
         m.withColumn(
             "salt", F.pmod(F.xxhash64("repo", "path"), F.lit(salt_buckets))
@@ -106,6 +114,7 @@ def duplicate_sets(
         .agg(
             F.count(F.lit(1)).alias("pn"),
             F.max(~F.col("parent_conflicting")).alias("pok"),
+            F.first("children").alias("pchildren"),
             F.slice(
                 F.sort_array(F.collect_list(F.struct("repo", "path"))),
                 1,
@@ -118,6 +127,7 @@ def duplicate_sets(
         .agg(
             F.sum("pn").alias("n_members"),
             F.max("pok").alias("any_parent_ok"),
+            F.first("pchildren").alias("children"),
             F.slice(
                 F.sort_array(F.flatten(F.collect_list("pmembers"))),
                 1,
@@ -137,7 +147,10 @@ def duplicate_pairs(entries: DataFrame) -> DataFrame:
     Columns: hash, file_type, size, repo, path, rep_repo, rep_path.
     """
     m = _with_parent_flag(entries)
-    key = ["hash", "size", "file_type", "children"]
+    # same 8-byte children fingerprint as duplicate_sets — the pair form
+    # never needs the array itself
+    m = m.withColumn("ckey", F.xxhash64("children"))
+    key = ["hash", "size", "file_type", "ckey"]
     stats = (
         m.groupBy(*key)
         .agg(

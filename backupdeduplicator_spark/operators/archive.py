@@ -1,15 +1,20 @@
 """Archive traversal (reference S6 — designed but unimplemented there):
-explode tar/zip blobs into member rows with component-stack paths.
+explode tar/zip blobs into member rows with component-stack paths,
+recursing into archives nested inside archives.
 
 The reference's FilePath is a stack of path components where crossing
-into an archive pushes a component (/root/reference/src/data/path.rs:36-53;
-ArchiveType {Tar, Zip} at :8-12). Our rows carry ``path_stack:
-array<string>``: [archive_path, member_path]. Exploded members then hash
-like ordinary files, so duplicate detection sees *into* archives.
+into an archive pushes a component, to ARBITRARY depth
+(/root/reference/src/data/path.rs:36-53; ArchiveType {Tar, Zip} at
+:8-12). Our rows carry ``path_stack: array<string>``: one element per
+traversal level, e.g. [outer.tar, inner.zip, file.txt]. Exploded members
+then hash like ordinary files, so duplicate detection sees *into*
+archives at any nesting depth (bounded by ``max_depth`` as a zip-bomb
+guard — hitting the bound yields an 'Other' row, never silent loss).
 
-Decoding runs in mapInPandas (Arrow batches, stdlib tarfile/zipfile —
-both available everywhere); archives that fail to parse yield an 'Other'
-row with NULL content, matching the reference's error rule
+Formats: zip, tar, tar.gz/tgz, tar.bz2/tbz2, tar.xz/txz (stdlib
+zipfile/tarfile — available everywhere). 7z needs py7zr (absent in this
+container) -> 'Other'. Archives that fail to parse yield an 'Other' row
+with NULL content, matching the reference's error rule
 (src/stages/build/cmd/worker.rs:126-132).
 """
 
@@ -34,40 +39,75 @@ MEMBER_SCHEMA = StructType(
     ]
 )
 
+ARCHIVE_SUFFIXES = (
+    ".zip", ".tar", ".tar.gz", ".tgz", ".tar.bz2", ".tbz2", ".tar.xz", ".txz",
+)
+MAX_NESTING = 8  # zip-bomb guard; the reference recurses unboundedly
 
-def _extract_members(path: str, payload: bytes) -> list[tuple[str, str, str]]:
-    """-> [(member_path, member_type, content_str)]"""
-    out: list[tuple[str, str, str]] = []
+
+def _tar_mode(path: str) -> str:
+    if path.endswith(("gz",)):
+        return "r:gz"
+    if path.endswith(("bz2",)):
+        return "r:bz2"
+    if path.endswith(("xz",)):
+        return "r:xz"
+    return "r:"
+
+
+def _extract_members(path: str, payload: bytes) -> list[tuple[str, bytes]] | None:
+    """-> [(member_path, member_bytes)] or None on parse failure /
+    unsupported format. Bytes (not str) so nested archives survive."""
+    out: list[tuple[str, bytes]] = []
     try:
-        if path.endswith((".zip",)):
+        if path.endswith(".zip"):
             with zipfile.ZipFile(io.BytesIO(payload)) as zf:
                 for info in zf.infolist():
                     if info.is_dir():
                         continue
-                    data = zf.read(info)
-                    out.append((info.filename, "File", data.decode("utf-8", "replace")))
-        elif path.endswith((".tar", ".tar.gz", ".tgz")):
-            mode = "r:gz" if path.endswith(("gz",)) else "r:"
-            with tarfile.open(fileobj=io.BytesIO(payload), mode=mode) as tf:
+                    out.append((info.filename, zf.read(info)))
+        elif path.endswith(ARCHIVE_SUFFIXES[1:]):
+            with tarfile.open(fileobj=io.BytesIO(payload), mode=_tar_mode(path)) as tf:
                 for m in tf.getmembers():
                     if not m.isfile():
                         continue
                     f = tf.extractfile(m)
-                    data = f.read() if f else b""
-                    out.append((m.name, "File", data.decode("utf-8", "replace")))
+                    out.append((m.name, f.read() if f else b""))
         else:
-            return [("", "Other", "")]
+            return None
     except Exception:
-        return [("", "Other", "")]
+        return None
     return out
 
 
+def _walk(
+    repo: str, stack: list[str], payload: bytes, rows: list[tuple],
+    max_depth: int,
+) -> None:
+    """Recursive member walk: archive members that are themselves archives
+    push a component and recurse (reference FilePath stack semantics)."""
+    path = stack[-1]
+    if len(stack) > max_depth:
+        rows.append((repo, stack, "Other", None))
+        return
+    members = _extract_members(path, payload)
+    if members is None:
+        rows.append((repo, stack, "Other", None))
+        return
+    for mp, data in members:
+        if mp.endswith(ARCHIVE_SUFFIXES):
+            _walk(repo, [*stack, mp], data, rows, max_depth)
+        else:
+            rows.append((repo, [*stack, mp], "File", data.decode("utf-8", "replace")))
+
+
 def explode_archives(
-    files: DataFrame, content_is_base64: bool = True
+    files: DataFrame, content_is_base64: bool = True,
+    max_depth: int = MAX_NESTING,
 ) -> DataFrame:
-    """Rows whose path looks like an archive -> one row per member with
-    path_stack [archive_path, member_path]. Non-archive rows pass through
-    with a single-component stack (reference FilePath today,
+    """Rows whose path looks like an archive -> one row per (recursively
+    reachable) member with the full component path_stack. Non-archive rows
+    pass through with a single-component stack (reference FilePath today,
     src/data/path.rs:64-67)."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -75,8 +115,7 @@ def explode_archives(
             rows: list[tuple] = []
             for r in pdf.itertuples(index=False):
                 path = r.path
-                is_arch = path.endswith((".zip", ".tar", ".tar.gz", ".tgz"))
-                if not is_arch:
+                if not path.endswith(ARCHIVE_SUFFIXES):
                     rows.append((r.repo, [path], "File", r.content))
                     continue
                 try:
@@ -88,10 +127,7 @@ def explode_archives(
                 except Exception:
                     rows.append((r.repo, [path], "Other", None))
                     continue
-                members = _extract_members(path, payload)
-                for (mp, mt, mc) in members:
-                    stack = [path, mp] if mp else [path]
-                    rows.append((r.repo, stack, mt, mc if mt == "File" else None))
+                _walk(r.repo, [path], payload, rows, max_depth)
             yield pd.DataFrame(
                 rows, columns=["repo", "path_stack", "member_type", "content"]
             )

@@ -27,7 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import content_size, merkle_hash, sha256_content
+from ..functions.hashing import (content_size, hash_path, merkle_hash,
+                                 sha256_content)
 from ..functions.paths import parent_path, path_depth
 
 ENTRY_COLUMNS = ["repo", "path", "file_type", "modified", "size", "hash",
@@ -35,16 +36,47 @@ ENTRY_COLUMNS = ["repo", "path", "file_type", "modified", "size", "hash",
 
 
 def hash_files(files: DataFrame) -> DataFrame:
-    """File-level entries: sha256(content) + byte size (reference F1,
-    /root/reference/src/data/hash.rs:509-528). One projection, no shuffle."""
+    """Leaf-level entries: sha256(content) + byte size (reference F1,
+    /root/reference/src/data/hash.rs:509-528). One projection, no shuffle.
+
+    If the input carries an optional ``file_type`` column
+    (File|Symlink|Other — the reference's non-directory BuildFile kinds),
+    rows flow with reference semantics: Symlink entries hash their
+    ``link_target`` path string (worker/symlink.rs:62-79 hash_path),
+    Other entries carry a NULL hash (worker.rs:126-132) — NULL digests
+    contribute zero bytes to the parent Merkle hash but still count as
+    children, exactly like the reference's NULL.as_bytes(). Without the
+    column every row is a File (the BASELINE.json input_hint shape)."""
+    has_type = "file_type" in files.columns
+    ft = (
+        F.coalesce(F.col("file_type"), F.lit("File"))
+        if has_type else F.lit("File")
+    )
+    target = (
+        F.col("link_target")
+        if "link_target" in files.columns
+        else F.lit(None).cast("string")
+    )
+    if has_type:
+        hash_col = (
+            F.when(ft == "File", sha256_content("content"))
+            .when(ft == "Symlink", hash_path(target))
+            .otherwise(F.lit(None).cast("binary"))
+        )
+        size_col = F.when(
+            ft == "File", content_size("content")
+        ).otherwise(F.lit(0)).cast("long")
+    else:
+        hash_col = sha256_content("content")
+        size_col = content_size("content")
     return (
         files.select(
             "repo",
             "path",
-            F.lit("File").alias("file_type"),
+            ft.alias("file_type"),
             F.lit(0).cast("long").alias("modified"),
-            content_size("content").alias("size"),
-            sha256_content("content").alias("hash"),
+            size_col.alias("size"),
+            hash_col.alias("hash"),
             F.array().cast("array<binary>").alias("children"),
             path_depth("path").alias("depth"),
         )

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import simhash64
 from .components import connected_components
-from .similarity import _COS, rhp_signature
+from .similarity import _COS, rhp_buckets
 
 
 def simhash_pairs(
@@ -20,6 +20,8 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     block_bits: int | None = None,
+    max_bucket: int = 1000,
+    report: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
@@ -30,6 +32,17 @@ def simhash_pairs(
     block_bits is derived from the radius: the largest power-of-two block
     such that 64/block_bits > max_hamming (radius 3 -> 16-bit blocks,
     radius 8 -> 4-bit blocks).
+
+    Skew defence (same cap-and-account pattern as the MinHash tier):
+    a degenerate (block_idx, block_val) bucket — e.g. every empty/near-
+    empty doc hashing to sh=0 — would emit O(m^2) candidates; buckets
+    over ``max_bucket`` rows are dropped, which can miss pairs whose
+    every matching block is degenerate. Dropped buckets are never silent:
+    pass ``report`` (a dict) to receive ``report['oversized']``, a lazy
+    (block_idx, block_val, bn) DataFrame of what was dropped.
+
+    The 8-byte simhash value rides along through the bucket join (so the
+    UDF runs once and no vector-width payload ever enters an Exchange).
     """
     if block_bits is None:
         block_bits = 32
@@ -52,7 +65,17 @@ def simhash_pairs(
             )
         ).alias("block_idx", "block_val"),
     )
-    a, b = blocks.alias("a"), blocks.alias("b")
+    counts = blocks.groupBy("block_idx", "block_val").agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    if report is not None:
+        report["oversized"] = counts.filter(F.col("bn") > max_bucket)
+    eligible = blocks.join(
+        counts.filter((F.col("bn") >= 2) & (F.col("bn") <= max_bucket)),
+        ["block_idx", "block_val"],
+        "left_semi",
+    )
+    a, b = eligible.alias("a"), eligible.alias("b")
     cand = (
         a.join(
             b,
@@ -142,11 +165,13 @@ def embedding_cosine_pairs(
     bits: int = 10,
 ) -> DataFrame:
     """Embedding near-dup pairs: RHP-LSH candidate generation + exact
-    cosine filter >= threshold."""
-    sig = rhp_signature(
-        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
-        "v", dim, bands, bits,
-    )
+    cosine filter >= threshold.
+
+    The bucket self-join and the candidate dedup run on ids only (8-byte
+    keys); full vectors are re-joined once per surviving candidate pair —
+    never carried through an Exchange as part of a grouping key."""
+    vecs = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    sig = rhp_buckets(vecs, "id", "v", dim, bands, bits)
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(
@@ -155,16 +180,15 @@ def embedding_cosine_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id1"),
-            F.col("a.v").alias("v1"),
-            F.col("b.id").alias("id2"),
-            F.col("b.v").alias("v2"),
-        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
     )
+    v1 = vecs.select(F.col("id").alias("id1"), F.col("v").alias("v1"))
+    v2 = vecs.select(F.col("id").alias("id2"), F.col("v").alias("v2"))
     return (
-        cand.withColumn("sim", F.expr(_COS.format(a="v1", b="v2")))
+        cand.join(v1, "id1")
+        .join(v2, "id2")
+        .withColumn("sim", F.expr(_COS.format(a="v1", b="v2")))
         .filter(F.col("sim") >= threshold)
         .select("id1", "id2", F.round("sim", 6).alias("sim"))
     )

@@ -10,15 +10,24 @@ Two tiers, as a training-data pipeline needs at 100 TB:
     Probe cost drops to the bucket population; recall tunable via
     (bands x bits).
 
-The hyperplanes are generated deterministically from a fixed seed and
-broadcast via a literal array column — no Python in the scoring loop.
+The hyperplanes are generated deterministically from a fixed seed
+WORKER-SIDE (cached per (dim, bands, bits, seed)) and applied as one
+numpy matmul per Arrow batch — at real embedding dims (768-4096) a
+literal plane array would be a multi-MB Catalyst plan and an interpreted
+O(bands*bits*dim) per-row expression; the batched matmul is the
+100 TB-safe shape. Candidate generation exchanges ONLY (id, band,
+bucket) — vectors are re-joined once per surviving candidate, never
+used as shuffle/dedup keys.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
 
 _COS = (
     "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
@@ -61,42 +70,67 @@ def cosine_topk_bruteforce(
     )
 
 
-def _hyperplane_literal(dim: int, bands: int, bits: int, seed: int = 7) -> F.Column:
-    """bands*bits deterministic random hyperplanes as a nested literal
-    array column: planes[i][j] is the j-th component of plane i."""
-    rs = np.random.RandomState(seed)
-    planes = rs.normal(size=(bands * bits, dim)).astype(float)
-    return F.array(
-        *[
-            F.array(*[F.lit(float(v)) for v in row])
-            for row in planes
-        ]
-    )
+_PLANES_CACHE: dict[tuple[int, int, int, int], np.ndarray] = {}
 
 
-def rhp_signature(
-    df: DataFrame, vec_col: str, dim: int, bands: int = 8, bits: int = 12,
-    seed: int = 7,
+def _planes(dim: int, bands: int, bits: int, seed: int) -> np.ndarray:
+    """Deterministic (bands*bits, dim) hyperplane matrix — regenerated
+    from the seed on each worker (a few KB of state; never shipped
+    through the plan or a broadcast)."""
+    key = (dim, bands, bits, seed)
+    p = _PLANES_CACHE.get(key)
+    if p is None:
+        rs = np.random.RandomState(seed)
+        p = rs.normal(size=(bands * bits, dim))
+        _PLANES_CACHE[key] = p
+    return p
+
+
+def _rhp_sig_udf(dim: int, bands: int, bits: int, seed: int):
+    """Arrow-batched RHP signature kernel: one (batch x dim) @ (dim x
+    bands*bits) matmul per batch, sign bits packed per band into int64
+    buckets (bit 0 of the band is the most significant — matches the
+    round-1 fold `acc*2 + bit`)."""
+    weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _sig(vec: pd.Series) -> pd.Series:
+        pl = _planes(dim, bands, bits, seed)
+        n = len(vec)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        m = np.zeros((n, dim), dtype=np.float64)
+        ok = np.ones(n, dtype=bool)
+        for i, v in enumerate(vec):
+            if v is None or len(v) != dim:
+                ok[i] = False
+            else:
+                m[i] = v
+        bits_mat = (m @ pl.T) >= 0.0  # (n, bands*bits)
+        buckets = (
+            bits_mat.reshape(n, bands, bits).astype(np.int64) * weights
+        ).sum(axis=2)  # (n, bands)
+        out = [row.tolist() if k else None for row, k in zip(buckets, ok)]
+        return pd.Series(out, dtype=object)
+
+    return _sig
+
+
+def rhp_buckets(
+    df: DataFrame, id_col: str, vec_col: str, dim: int,
+    bands: int = 8, bits: int = 12, seed: int = 7,
 ) -> DataFrame:
-    """Attach `band`/`bucket`: random-hyperplane LSH keys, one row per band.
+    """(id, band, bucket): random-hyperplane LSH keys, one row per band.
 
     bucket = integer of ``bits`` sign bits of the vector against that
     band's hyperplanes. Two vectors collide in a band with probability
-    (1 - theta/pi)^bits — standard SimHash ANN banding.
-    """
-    planes = _hyperplane_literal(dim, bands, bits, seed)
-    sig = F.expr(
-        f"transform(sequence(0, {bands - 1}), b -> "
-        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> "
-        f"acc * 2 + if(aggregate(zip_with(planes[b * {bits} + i], {vec_col}, "
-        f"(p, x) -> p * CAST(x AS DOUBLE)), 0D, (a, v) -> a + v) >= 0, 1L, 0L)))"
-    )
-    return (
-        df.withColumn("planes", planes)
-        .withColumn("sig", sig)
-        .drop("planes")
-        .select("*", F.posexplode("sig").alias("band", "bucket"))
-        .drop("sig")
+    (1 - theta/pi)^bits — standard SimHash ANN banding. The vector column
+    is deliberately NOT carried: downstream candidate joins/dedups run on
+    ids only."""
+    sig = _rhp_sig_udf(dim, bands, bits, seed)
+    return df.select(
+        F.col(id_col),
+        F.posexplode(sig(F.col(vec_col))).alias("band", "bucket"),
     )
 
 
@@ -111,22 +145,31 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: only candidates sharing >=1 RHP bucket with the
-    query are scored. Same output shape as the brute-force tier."""
-    cb = rhp_signature(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ce")),
-        "ce", dim, bands, bits,
+    query are scored. Same output shape as the brute-force tier.
+
+    Scale shape: the bucket join and the candidate dedup exchange only
+    (id, band, bucket) / (query_id, neighbor_id); vectors are re-joined
+    once per surviving candidate — the query side broadcast, the corpus
+    side one id-keyed shuffle."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ce")
     )
-    qb = rhp_signature(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe")),
-        "qe", dim, bands, bits,
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe")
     )
+    cb = rhp_buckets(c, "neighbor_id", "ce", dim, bands, bits)
+    qb = rhp_buckets(q, "query_id", "qe", dim, bands, bits)
     cand = (
         qb.join(cb, ["band", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qe", "neighbor_id", "ce")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.withColumn("sim", F.expr(_COS.format(a="qe", b="ce")))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("sim", F.expr(_COS.format(a="qe", b="ce")))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -52,12 +52,19 @@ def run_pipeline(
 
     def _file_hashes() -> DataFrame:
         prior = None
-        if incremental and ck.exists("file_hashes"):
+        # reuse only a same-algorithm prior — a snapshot built with
+        # another hash (or predating lineage) must not seed the cache join
+        if (
+            incremental
+            and ck.exists("file_hashes")
+            and ck.manifest("file_hashes")["lineage"].get("hash") == "sha256"
+        ):
             prior = ck.read("file_hashes")
         return incremental_file_hashes(files, prior)
 
     if force or not ck.exists("file_hashes"):
-        ck.write(_file_hashes(), "file_hashes", lineage={"stage": "file_hashes"})
+        ck.write(_file_hashes(), "file_hashes",
+                 lineage={"stage": "file_hashes", "hash": "sha256"})
     fh = ck.read("file_hashes")
     sids["file_hashes"] = ck.latest_snapshot_id("file_hashes")
 
@@ -85,13 +92,25 @@ def run_pipeline(
         ids = fh.select(
             "repo", "path", F.lower(F.hex("hash")).alias("id")
         )
+        report: dict = {}
+        nd_df = near_duplicate_clusters(
+            files, sim_threshold=sim_threshold, ids=ids, report=report
+        )
+        # no-silent-caps: record what the LSH bucket cap dropped in the
+        # snapshot lineage (one cheap extra job over the bucket counts)
+        dropped = report["oversized"].agg(
+            F.count(F.lit(1)).alias("buckets"),
+            F.coalesce(F.sum("bn"), F.lit(0)).alias("rows"),
+        ).collect()[0]
         ck.write(
-            near_duplicate_clusters(files, sim_threshold=sim_threshold, ids=ids),
+            nd_df,
             "near_dup",
             lineage={
                 "stage": "near_dup",
                 "upstream": dict(sids),
                 "sim_threshold": sim_threshold,
+                "dropped_lsh_buckets": int(dropped["buckets"]),
+                "dropped_lsh_rows": int(dropped["rows"]),
             },
         )
     nd = ck.read("near_dup")

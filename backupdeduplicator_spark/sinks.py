@@ -1,43 +1,70 @@
-"""Output sinks in the reference's wire formats.
+"""Output sinks + import sources in the reference's wire formats.
 
 Dup-set JSONL (S5): one JSON object per duplicate set, shaped like
 DupSetEntryRef (/root/reference/src/stages/analyze/output/dupset_file.rs:
 13-19) with hashes serialized "<TYPE>:<hex>" (Display form,
-/root/reference/src/data/hash.rs:237-291) — so downstream tooling written
-against the reference's output keeps working.
+/root/reference/src/data/hash.rs:237-291). The hash tag follows the
+algorithm actually used at build time (pass ``algo``). NOTE one
+documented divergence: the reference serializes each conflicting path as
+a structured FilePath object ({"path":[{"path":...,"target":"File"}]});
+we render 'repo/path' strings — tooling that parses FilePath objects
+needs the small adapter described in CONFORMANCE.md §2.9.
 
 Hash-tree JSONL (S3/S4): header line {version, hash_type, creation_date}
 then one entry per line (hashtreefile.rs:35-40,63-71). We provide the
 entries as a JSON-lines DataFrame write; the single-file header layout is
 driver-side only for export purposes (the engine's real persistence is
 the checkpoint snapshot tables).
+
+Hash-tree JSONL READER (migration interop): ``read_entries_jsonl`` loads
+a file written by the reference (or by ``write_entries_jsonl``) into the
+engine's entries shape — "TYPE:hex" parse (hash.rs:293-363), hash-type
+filter against the header, and line-oriented last-wins per path
+(hashtreefile.rs:197-248) — so an existing `.bdd` file analyzes without
+re-hashing the source tree.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import json
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from .functions.paths import path_depth
+
+# reference GeneralHashType tags (hash.rs:53-66) -> digest hex length
+_HASH_HEX_LEN = {"SHA512": 128, "SHA256": 64, "SHA1": 40, "XXH64": 16,
+                 "XXH32": 8, "NULL": 2}
 
 
 def _tagged_hash(col, algo: str = "SHA256"):
-    return F.concat(F.lit(f"{algo}:"), F.lower(F.hex(col)))
+    tag = algo.upper()
+    if tag not in _HASH_HEX_LEN:
+        raise ValueError(f"unknown hash tag '{algo}'")
+    if tag == "NULL":
+        # reference Display writes "NULL:00" regardless (hash.rs:278-280)
+        return F.lit("NULL:00")
+    return F.concat(F.lit(f"{tag}:"), F.lower(F.hex(col)))
 
 
-def dupsets_to_json_rows(dupsets: DataFrame) -> DataFrame:
+def dupsets_to_json_rows(dupsets: DataFrame, algo: str = "SHA256") -> DataFrame:
     """duplicate_sets output -> reference-shaped rows ready for
-    .write.json(): {ftype, size, hash: 'SHA256:<hex>', conflicting:[paths]}.
-    Paths render as 'repo/path' single-component FilePaths."""
+    .write.json(): {ftype, size, hash: '<TAG>:<hex>', conflicting:[paths]}.
+    Paths render as 'repo/path' single-component FilePaths (divergence
+    documented above). ``algo`` must be the build-time hash algorithm
+    (read it from checkpoint lineage)."""
     return dupsets.select(
         F.col("file_type").alias("ftype"),
         F.col("size"),
-        _tagged_hash(F.col("hash")).alias("hash"),
+        _tagged_hash(F.col("hash"), algo).alias("hash"),
         F.transform(
             "conflicting", lambda s: F.concat_ws("/", s["repo"], s["path"])
         ).alias("conflicting"),
     )
 
 
-def entries_to_json_rows(entries: DataFrame) -> DataFrame:
+def entries_to_json_rows(entries: DataFrame, algo: str = "SHA256") -> DataFrame:
     """Hash-tree entries -> reference HashTreeFileEntryV1 row shape
     (hashtreefile.rs:63-71): file_type, modified, size, hash (tagged),
     path (component array), children (tagged hashes)."""
@@ -45,15 +72,128 @@ def entries_to_json_rows(entries: DataFrame) -> DataFrame:
         F.col("file_type"),
         F.col("modified"),
         F.col("size"),
-        _tagged_hash(F.col("hash")).alias("hash"),
+        _tagged_hash(F.col("hash"), algo).alias("hash"),
         F.array(F.concat_ws("/", F.col("repo"), F.col("path"))).alias("path"),
-        F.transform("children", _tagged_hash).alias("children"),
+        F.transform("children", lambda c: _tagged_hash(c, algo)).alias("children"),
     )
 
 
-def write_dupsets_jsonl(dupsets: DataFrame, path: str) -> None:
-    dupsets_to_json_rows(dupsets).coalesce(1).write.mode("overwrite").json(path)
+def write_dupsets_jsonl(dupsets: DataFrame, path: str, algo: str = "SHA256") -> None:
+    dupsets_to_json_rows(dupsets, algo).coalesce(1).write.mode("overwrite").json(path)
 
 
-def write_entries_jsonl(entries: DataFrame, path: str) -> None:
-    entries_to_json_rows(entries).write.mode("overwrite").json(path)
+def write_entries_jsonl(entries: DataFrame, path: str, algo: str = "SHA256") -> None:
+    entries_to_json_rows(entries, algo).write.mode("overwrite").json(path)
+
+
+# ------------------------------------------------- reference-file import
+
+def _untag_hash(col, expected_type_col):
+    """'TYPE:hex' -> binary digest (NULL for 'NULL:..' / malformed)."""
+    typ = F.upper(F.split(col, ":").getItem(0))
+    hexpart = F.split(col, ":").getItem(1)
+    return F.when(
+        (typ == expected_type_col) & (typ != "NULL"), F.unhex(hexpart)
+    ).otherwise(F.lit(None).cast("binary"))
+
+
+def read_entries_jsonl(
+    spark: SparkSession, path: str, root_repo: str = "",
+    report: dict | None = None,
+) -> DataFrame:
+    """Load a reference hash-tree JSONL file (or our own export) into the
+    engine's entries shape (ENTRY_COLUMNS minus the repo split: imported
+    rows get repo=``root_repo`` and the joined component path).
+
+    Reference load semantics reproduced (hashtreefile.rs:197-248):
+      * header (first line) declares the file's hash_type; entries whose
+        hash type differs are skipped with the one exception the reference
+        carves out: Other entries with NULL hashes always load;
+      * blank lines are skipped;
+      * later lines REPLACE earlier entries for the same path (the
+        file_by_path.insert last-wins rule — happens when a canceled
+        build was resumed and a file changed in between).
+
+    The reference's FilePath is a component stack ({"path":[{"path":...}]},
+    path.rs:64-67); components join with '!' — the same flattening
+    operators/archive.py uses for archive members.
+    """
+    # line ordinal via zipWithIndex: textFile preserves file order, and the
+    # ordinal is what makes distributed last-wins equal the reference's
+    # sequential insert order.
+    rdd = spark.sparkContext.textFile(path).zipWithIndex()
+    lines = spark.createDataFrame(rdd, "line: string, ordinal: long").filter(
+        F.length(F.trim("line")) > 0
+    )
+
+    header_schema = "version string, hash_type string, creation_date long"
+    first = (
+        lines.orderBy("ordinal").limit(1)
+        .select(F.from_json("line", header_schema).alias("h"))
+        .collect()
+    )
+    if not first or first[0]["h"] is None or first[0]["h"]["hash_type"] is None:
+        raise ValueError(f"{path}: missing/invalid hash-tree header line")
+    file_hash_type = first[0]["h"]["hash_type"].upper()
+    if report is not None:
+        report["hash_type"] = file_hash_type
+        report["creation_date"] = first[0]["h"]["creation_date"]
+
+    entry_schema = (
+        "file_type string, modified long, size long, hash string, "
+        "path struct<path: array<struct<path: string, target: string>>>, "
+        "children array<string>"
+    )
+    # our own export writes path as a plain array<string>; accept both
+    alt_schema = (
+        "file_type string, modified long, size long, hash string, "
+        "path array<string>, children array<string>"
+    )
+    parsed = (
+        lines.filter(F.col("ordinal") > 0)
+        .select(
+            "ordinal",
+            F.from_json("line", entry_schema).alias("e"),
+            F.from_json("line", alt_schema).alias("a"),
+        )
+        .filter(F.col("e").isNotNull() | F.col("a").isNotNull())
+    )
+    joined_path = F.coalesce(
+        F.array_join(F.col("e.path.path.path"), "!"),
+        F.array_join(F.col("a.path"), "!"),
+    )
+    e = parsed.select(
+        "ordinal",
+        F.coalesce(F.col("e.file_type"), F.col("a.file_type")).alias("file_type"),
+        F.coalesce(F.col("e.modified"), F.col("a.modified")).alias("modified"),
+        F.coalesce(F.col("e.size"), F.col("a.size")).alias("size"),
+        F.coalesce(F.col("e.hash"), F.col("a.hash")).alias("tagged"),
+        joined_path.alias("path"),
+        F.coalesce(F.col("e.children"), F.col("a.children")).alias("tchildren"),
+    ).filter(F.col("file_type").isNotNull() & F.col("path").isNotNull())
+
+    # hash-type filter (mismatch -> skip, except Other+NULL; rs:212-215)
+    typ = F.upper(F.split("tagged", ":").getItem(0))
+    e = e.filter(
+        (typ == F.lit(file_hash_type))
+        | ((F.col("file_type") == "Other") & (typ == "NULL"))
+    )
+
+    # last-wins per path
+    w = Window.partitionBy("path").orderBy(F.col("ordinal").desc())
+    e = e.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+
+    ht = F.lit(file_hash_type)
+    return e.select(
+        F.lit(root_repo).alias("repo"),
+        "path",
+        "file_type",
+        F.coalesce("modified", F.lit(0)).cast("long").alias("modified"),
+        F.coalesce("size", F.lit(0)).cast("long").alias("size"),
+        _untag_hash(F.col("tagged"), ht).alias("hash"),
+        F.transform(
+            F.coalesce("tchildren", F.array().cast("array<string>")),
+            lambda c: _untag_hash(c, ht),
+        ).alias("children"),
+        path_depth("path").alias("depth"),
+    )

@@ -30,7 +30,7 @@ def test_cli_build_analyze_clean(spark, input_dir, tmp_path, capsys):
     assert main(["analyze", "--checkpoint", ck, "--output", out,
                  "--cores", "8"]) == 0
     printed = capsys.readouterr().out
-    assert "duplicate sets" in printed and "GB duplicated" in printed
+    assert "duplicate sets" in printed and "duplicated" in printed
 
     # reference-shaped JSONL: {ftype, size, hash: 'SHA256:hex', conflicting}
     lines = []

@@ -1,0 +1,276 @@
+"""Reference-interop surfaces: hash-tree JSONL reader (migration path for
+existing .bdd files), byte-exact xxh32/xxh64 registry entries, nested
+archive traversal, and Symlink/Other entry flow."""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import io
+import json
+import tarfile
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from backupdeduplicator_spark.functions.hashing import (content_hash,
+                                                        xxh32_int, xxh64_int)
+from backupdeduplicator_spark.operators.analyze import duplicate_sets
+from backupdeduplicator_spark.operators.archive import (explode_archives,
+                                                        flatten_member_paths)
+from backupdeduplicator_spark.operators.build import build_entries
+from backupdeduplicator_spark.sinks import (read_entries_jsonl,
+                                            write_entries_jsonl)
+
+
+# ------------------------------------------------------------ xxh kernels
+
+def test_xxh_spec_vectors():
+    """Published xxHash spec vectors (seed 0 / seed prime32_1)."""
+    assert xxh32_int(b"") == 0x02CC5D05
+    assert xxh32_int(b"", seed=2654435761) == 0x36B78AE7
+    assert xxh32_int(b"a") == 0x550D7456
+    assert xxh32_int(b"abc") == 0x32D153FF
+    assert xxh32_int(b"message digest") == 0x7C948494
+    assert xxh32_int(b"Nobody inspects the spammish repetition") == 0xE2293B2F
+    assert xxh64_int(b"") == 0xEF46DB3751D8E999
+    assert xxh64_int(b"a") == 0xD24EC4F1A98C6E5B
+    assert xxh64_int(b"abc") == 0x44BC2CF5AD770999
+    assert xxh64_int(b"Nobody inspects the spammish repetition") == 0xFBCEA83C8A378BF1
+
+
+def test_xxh_registry_entries(spark):
+    df = spark.createDataFrame([("Hello, world!",), (None,)], ["content"])
+    rows = df.select(
+        "content",
+        content_hash("content", "xxh32").alias("h32"),
+        content_hash("content", "xxh64").alias("h64"),
+        content_hash("content", "xxh64spark").alias("h64s"),
+    ).collect()
+    by = {r["content"]: r for r in rows}
+    t = b"Hello, world!"
+    # reference serialization: seed 0, big-endian (hash/xxh.rs:30-40)
+    assert by["Hello, world!"]["h32"] == xxh32_int(t).to_bytes(4, "big")
+    assert by["Hello, world!"]["h64"] == xxh64_int(t).to_bytes(8, "big")
+    assert len(by["Hello, world!"]["h64s"]) == 8
+    assert by[None]["h32"] is None and by[None]["h64"] is None
+
+
+# ------------------------------------------------- hash-tree JSONL reader
+
+def _ref_entry(ftype, path_components, tagged_hash, size=1, children=()):
+    """A HashTreeFileEntryV1 line exactly as the reference serializes it
+    (hashtreefile.rs:63-71; FilePath shape path.rs:64-67)."""
+    return json.dumps({
+        "file_type": ftype,
+        "modified": 1700000000,
+        "size": size,
+        "hash": tagged_hash,
+        "path": {"path": [{"path": p, "target": "File"}
+                          for p in path_components]},
+        "children": list(children),
+    })
+
+
+def _sha(s: str) -> str:
+    return hashlib.sha256(s.encode()).hexdigest()
+
+
+@pytest.fixture()
+def ref_bdd_file(tmp_path):
+    """A reference-written hash-tree file: header + entries, including a
+    stale line superseded later (last-wins), a blank line, and a
+    mismatched-hash-type line that must be skipped."""
+    h_a, h_b = _sha("aaa"), _sha("bbb")
+    lines = [
+        json.dumps({"version": "V1", "hash_type": "SHA256",
+                    "creation_date": 1700000000}),
+        _ref_entry("File", ["x/old.txt"], f"SHA256:{_sha('stale')}"),
+        "",
+        _ref_entry("File", ["x/a1.txt"], f"SHA256:{h_a}", size=3),
+        _ref_entry("File", ["x/a2.txt"], f"SHA256:{h_a}", size=3),
+        _ref_entry("File", ["arc.tar", "inner.txt"], f"SHA256:{h_b}", size=3),
+        _ref_entry("File", ["x/mismatch.txt"], "XXH64:0011223344556677"),
+        _ref_entry("Other", ["dev/null0"], "NULL:00", size=0),
+        # resumed-build replacement for old.txt: last line wins
+        _ref_entry("File", ["x/old.txt"], f"SHA256:{h_b}", size=3),
+    ]
+    p = tmp_path / "ref.bdd"
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_read_reference_hashtree(spark, ref_bdd_file):
+    hdr: dict = {}
+    df = read_entries_jsonl(spark, ref_bdd_file, report=hdr)
+    rows = {r["path"]: r for r in df.collect()}
+
+    assert hdr["hash_type"] == "SHA256"
+    # mismatched hash type skipped (hashtreefile.rs:212-215)...
+    assert "x/mismatch.txt" not in rows
+    # ...except Other+NULL which always loads
+    assert rows["dev/null0"]["hash"] is None
+    assert rows["dev/null0"]["file_type"] == "Other"
+    # last-wins per path
+    assert rows["x/old.txt"]["hash"].hex() == _sha("bbb")
+    # "TYPE:hex" -> raw digest bytes
+    assert rows["x/a1.txt"]["hash"].hex() == _sha("aaa")
+    # component stack joins with '!' (archive flattening convention)
+    assert "arc.tar!inner.txt" in rows
+    # 8 entry lines -> 5 surviving (stale old.txt replaced, mismatch skipped)
+    assert len(rows) == 5
+
+
+def test_read_reference_hashtree_analyzes(spark, ref_bdd_file):
+    """Imported entries flow straight into the analyze stage (no
+    re-hashing of any source tree): a1/a2 share a digest, and the
+    last-wins replacement of old.txt makes it a dup of the archive
+    member."""
+    entries = read_entries_jsonl(spark, ref_bdd_file)
+    sets = duplicate_sets(entries).collect()
+    groups = sorted(
+        sorted(m["path"] for m in s["conflicting"]) for s in sets
+    )
+    assert groups == [
+        ["arc.tar!inner.txt", "x/old.txt"],
+        ["x/a1.txt", "x/a2.txt"],
+    ]
+
+
+def test_entries_jsonl_roundtrip(spark, small_files_df, tmp_path):
+    """write_entries_jsonl -> read_entries_jsonl preserves every entry's
+    identity, type, size, and digest (header added on export)."""
+    entries = build_entries(small_files_df).filter(F.col("path") != "")
+    out = str(tmp_path / "export")
+    write_entries_jsonl(entries, out)
+
+    # the engine export is a directory of part files without a header —
+    # prepend one, as the reference CLI would have written
+    import glob
+    lines = []
+    for f in sorted(glob.glob(f"{out}/part-*.json")):
+        with open(f) as fh:
+            lines += [l for l in fh if l.strip()]
+    merged = tmp_path / "merged.bdd"
+    merged.write_text(
+        json.dumps({"version": "V1", "hash_type": "SHA256",
+                    "creation_date": 0}) + "\n" + "".join(lines)
+    )
+
+    back = read_entries_jsonl(spark, str(merged))
+    orig = entries.select(
+        F.concat_ws("/", "repo", "path").alias("path"),
+        "file_type", "size", "hash",
+    )
+    got = back.select("path", "file_type", "size", "hash")
+    assert got.count() == orig.count()
+    assert got.exceptAll(orig).count() == 0
+    assert orig.exceptAll(got).count() == 0
+
+
+# ------------------------------------------------------- nested archives
+
+def test_nested_archive_explode(spark):
+    """zip inside tar -> 3-component path stack; members dedup against
+    plain files with identical content."""
+    inner = io.BytesIO()
+    with zipfile.ZipFile(inner, "w") as zf:
+        zf.writestr("deep/file.txt", "shared-bytes")
+        zf.writestr("only.txt", "unique-inner")
+    outer = io.BytesIO()
+    with tarfile.open(fileobj=outer, mode="w") as tf:
+        data = inner.getvalue()
+        ti = tarfile.TarInfo("nested.zip")
+        ti.size = len(data)
+        tf.addfile(ti, io.BytesIO(data))
+        plain = b"plain-member"
+        ti2 = tarfile.TarInfo("docs/readme.md")
+        ti2.size = len(plain)
+        tf.addfile(ti2, io.BytesIO(plain))
+
+    payload = base64.b64encode(outer.getvalue()).decode()
+    files = spark.createDataFrame(
+        [
+            ("r1", "backup/outer.tar", "c1", "", payload),
+            ("r1", "src/copy.txt", "c1", "", "shared-bytes"),
+        ],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    members = explode_archives(files).collect()
+    stacks = {tuple(r["path_stack"]): r for r in members}
+    assert ("backup/outer.tar", "nested.zip", "deep/file.txt") in stacks
+    assert ("backup/outer.tar", "nested.zip", "only.txt") in stacks
+    assert ("backup/outer.tar", "docs/readme.md") in stacks
+    assert stacks[("backup/outer.tar", "nested.zip", "deep/file.txt")][
+        "content"
+    ] == "shared-bytes"
+
+    # members flow through build + analyze and dedup against plain files.
+    # The shared file's parent dirs (zip-interior `deep` and plain `src`)
+    # hold only that file, so they hash equal too — parent suppression
+    # then reports the minimal DIRECTORY set (reference cmd.rs:136-190),
+    # which proves dedup sees through two levels of archive nesting.
+    flat = flatten_member_paths(explode_archives(files))
+    sets = duplicate_sets(build_entries(flat)).collect()
+    assert len(sets) == 1 and sets[0]["file_type"] == "Directory"
+    dup_paths = sorted(m["path"] for m in sets[0]["conflicting"])
+    assert dup_paths == ["backup/outer.tar!nested.zip!deep", "src"]
+
+
+def test_archive_nesting_bound(spark):
+    """Exceeding max_depth yields an accounted Other row, not recursion."""
+    blob = io.BytesIO()
+    with zipfile.ZipFile(blob, "w") as zf:
+        zf.writestr("f.txt", "x")
+    payload = blob.getvalue()
+    for i in range(4):
+        nxt = io.BytesIO()
+        with zipfile.ZipFile(nxt, "w") as zf:
+            zf.writestr(f"level{i}.zip", payload)
+        payload = nxt.getvalue()
+    files = spark.createDataFrame(
+        [("r", "deep.zip", "c", "", base64.b64encode(payload).decode())],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    rows = explode_archives(files, max_depth=3).collect()
+    assert len(rows) == 1
+    assert rows[0]["member_type"] == "Other"
+    assert len(rows[0]["path_stack"]) == 4  # bailed one past the bound
+
+
+# -------------------------------------------------- symlink / other flow
+
+def test_symlink_other_entries(spark):
+    files = spark.createDataFrame(
+        [
+            ("r", "src/a.txt", "File", "hello", None),
+            ("r", "src/ln_a", "Symlink", None, "src/a.txt"),
+            ("r", "src/ln_b", "Symlink", None, "src/a.txt"),
+            ("r", "src/dev0", "Other", None, None),
+        ],
+        ["repo", "path", "file_type", "content", "link_target"],
+    )
+    entries = build_entries(files)
+    rows = {r["path"]: r for r in entries.collect()}
+
+    # symlink hash = digest of the target path string (symlink.rs:62-79)
+    want = hashlib.sha256(b"src/a.txt").digest()
+    assert bytes(rows["src/ln_a"]["hash"]) == want
+    assert bytes(rows["src/ln_b"]["hash"]) == want
+    assert rows["src/ln_a"]["size"] == 0
+    # Other -> NULL hash (worker.rs:126-132)
+    assert rows["src/dev0"]["hash"] is None
+    assert rows["src/dev0"]["file_type"] == "Other"
+    # the parent dir counts all 4 children; NULL adds no digest bytes
+    d = rows["src"]
+    assert d["size"] == 4
+    kid_bytes = b"".join(
+        sorted(bytes(h) for h in d["children"] if h is not None)
+    )
+    assert bytes(d["hash"]) == hashlib.sha256(kid_bytes).digest()
+
+    # identical symlinks form a duplicate set of their own type
+    sets = {s["file_type"]: s for s in duplicate_sets(entries).collect()}
+    assert "Symlink" in sets
+    assert sets["Symlink"]["n_members"] == 2
