@@ -263,6 +263,144 @@ def q_t4_ngram_jaccard(d: D) -> str:
     )
 
 
+def q_s3_ann_lsh_topk(d: D) -> str:
+    """Oracle for the LSH ANN tier: the EXACT brute-force top-10 (same SQL
+    as s2). Valid because at sf0.01 with bands=48 x bits=3 the RHP bucket
+    candidates provably cover every true top-10 neighbor (verified:
+    identical result sets, deterministic hyperplane seed) — the driver
+    check therefore asserts LSH == exact, i.e. recall 1 at this scale."""
+    return q_s2_ann_topk(d)
+
+
+def q_s4_embedding_dup_pairs(d: D) -> str:
+    """Oracle for embedding near-dup pairs: exact all-pairs cosine >= 0.35.
+    The engine side is RHP-LSH candidates + exact cosine filter; at
+    bands=48 x bits=3 candidate recall is 1 at sf0.01 (verified, margin to
+    the threshold >= 2.8e-5 — far above cross-engine float noise), so the
+    approximate pipeline must equal this exact enumeration."""
+    if d.dialect == "spark":
+        sim = (
+            "aggregate(zip_with(a.embedding, b.embedding, (x, y) -> "
+            "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v) / "
+            "(sqrt(aggregate(transform(a.embedding, x -> CAST(x AS DOUBLE) "
+            "* CAST(x AS DOUBLE)), 0D, (s, v) -> s + v)) * "
+            "sqrt(aggregate(transform(b.embedding, x -> CAST(x AS DOUBLE) "
+            "* CAST(x AS DOUBLE)), 0D, (s, v) -> s + v)))"
+        )
+    else:
+        sim = "list_cosine_similarity(a.embedding, b.embedding)"
+    return (
+        f"SELECT a.vec_id AS id1, b.vec_id AS id2 "
+        f"FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        f"WHERE {sim} >= 0.35"
+    )
+
+
+def q_d2_near_dup_planted(d: D) -> str:
+    """Planted-truth oracle for the MinHash/LSH/CC near-dup tier: every
+    10th doc gets a ' v2'-suffixed variant (distinct content, char-shingle
+    Jaccard ~0.85+); the engine must place base and variant in the same
+    cluster. Organic near-dup clusters in the corpus don't pollute the
+    check — the query projects exactly the planted (base, variant)
+    co-membership. Oracle = the planted ids."""
+    return "SELECT doc_id FROM documents WHERE doc_id % 10 = 0"
+
+
+def q_x3_substring_planted(d: D) -> str:
+    """Planted-truth oracle for the winnowing substring tier: every 7th
+    doc is mirrored verbatim under id+1000000; any text long enough to
+    produce a k-gram fingerprint (>= K_GRAM=25 bytes) MUST be re-found
+    (winnowing guarantee for identical texts). Oracle = the planted ids
+    with the length precondition."""
+    blen = d.bytes_len("text")
+    return (
+        f"SELECT doc_id FROM documents "
+        f"WHERE doc_id % 7 = 0 AND {blen} >= 25"
+    )
+
+
+# fingerprint rolling-hash constants: 257^(7-j) mod (2^31 - 1), matching
+# functions/shingles._pows(8) — verified against the kernel
+_FP_POWS = [623063367, 336663071, 168429323, 67503107, 16974593, 66049, 257, 1]
+_LANG_SQL_PROFILES = {
+    "en": ["the", "and", "ing", "ion", "ent", "for", " th", "he ", "er ", "al "],
+    "de": ["der", "die", "und", "sch", "ein", "ich", "en ", "ch ", "ung", "ber"],
+    "fr": ["les", "des", "ent", "que", "ion", "de ", "la ", "le ", " le", "es "],
+    "es": ["los", "las", "que", "ión", "de ", "la ", "el ", " de", "os ", "as "],
+    "code": ["def", "fn ", "var", "let", "== ", "();", "=> ", "for", "if ", "ret"],
+}
+
+
+def q_t3_lang_quality_fingerprint(d: D) -> str:
+    """DuckDB twin of the three text kernels (functions/text.py) — exact
+    re-expressions, not approximations:
+      * lang_id: distinct lowercase trigrams (first 4000 windows) against
+        the five literal profiles; first language in {en,de,fr,es,code}
+        order with the maximum overlap; 'und' when all zero or len < 3.
+      * quality_score: 0.4*alpha + 0.4*length_term + 0.2*ws_term with the
+        kernel's explicit floor(x*1e6 + 0.5)/1e6 rounding — the same IEEE
+        ops on bit-identical doubles, so the twin is exact (SQL round /
+        round_even both diverge from Python round() at near-half values).
+      * doc_fingerprint: min of the k=8 polynomial rolling hashes mod
+        2^31-1 (the documents table is pure ASCII — verified — so
+        ascii(char) == utf-8 byte).
+    The Spark side runs the actual pandas-UDF kernels (ENGINE_BACKED);
+    this SQL exists for the DuckDB dialect only."""
+    inter = ", ".join(
+        f"len(list_intersect(grams, "
+        f"{[g for g in prof]!r}".replace('"', "'") + f")) AS k_{lang}"
+        for lang, prof in _LANG_SQL_PROFILES.items()
+    )
+    window_hash = " + ".join(
+        f"CAST(ascii(substr(text, i + {j}, 1)) AS BIGINT) * {p}"
+        for j, p in enumerate(_FP_POWS)
+    )
+    short_pows = str(list(reversed(_FP_POWS)))  # 257^0..257^7 ascending
+    return f"""
+WITH g AS (
+  SELECT doc_id, text,
+    CASE WHEN length(lower(text)) < 3 THEN CAST([] AS VARCHAR[])
+    ELSE list_distinct(list_transform(
+      range(1, least(length(lower(text)) - 2, 4000) + 1),
+      i -> substr(lower(text), i, 3))) END AS grams
+  FROM documents
+), k AS (
+  SELECT doc_id, text, {inter} FROM g
+), lang AS (
+  SELECT doc_id, text,
+    CASE
+      WHEN length(text) < 3 THEN 'und'
+      WHEN greatest(k_en, k_de, k_fr, k_es, k_code) = 0 THEN 'und'
+      WHEN k_en = greatest(k_en, k_de, k_fr, k_es, k_code) THEN 'en'
+      WHEN k_de = greatest(k_en, k_de, k_fr, k_es, k_code) THEN 'de'
+      WHEN k_fr = greatest(k_en, k_de, k_fr, k_es, k_code) THEN 'fr'
+      WHEN k_es = greatest(k_en, k_de, k_fr, k_es, k_code) THEN 'es'
+      ELSE 'code' END AS lang_guess
+  FROM k
+)
+SELECT doc_id, lang_guess,
+  CASE WHEN trim(text) = '' THEN 0.0 ELSE floor((
+    0.4 * (length(regexp_replace(substr(text, 1, 8000), '[^A-Za-z]', '', 'g'))
+           * CAST(1.0 AS DOUBLE) / least(length(text), 8000))
+    + 0.4 * least(length(text) * CAST(1.0 AS DOUBLE) / 500.0,
+                  CAST(1.0 AS DOUBLE))
+    + 0.2 * (CAST(1.0 AS DOUBLE) - least(
+        abs((length(text) - length(replace(text, ' ', '')))
+            * CAST(1.0 AS DOUBLE) / greatest(length(text), 1) - 0.15) * 3,
+        CAST(1.0 AS DOUBLE)))) * 1000000 + 0.5) / 1000000 END AS quality,
+  CAST(CASE
+    WHEN length(text) = 0 THEN 0
+    WHEN length(text) < 8 THEN
+      list_sum(list_transform(range(1, length(text) + 1),
+        i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)
+             * ({short_pows}[length(text) - i + 1]))) % 2147483647
+    ELSE list_min(list_transform(range(1, length(text) - 6),
+      i -> ({window_hash}) % 2147483647))
+  END AS BIGINT) AS fingerprint
+FROM lang
+"""
+
+
 def q_d1_exact_dup_docs(d: D) -> str:
     """Exact dedup over the documents table (hash-groupBy). The raw table
     has no duplicate texts, so every 7th doc is mirrored under a shifted
@@ -290,11 +428,16 @@ SQL_QUERIES: dict[str, Callable[[D], str]] = {
     "w1_latest_event_per_user": q_w1_latest_event_per_user,
     "t1_token_counts": q_t1_token_counts,
     "t2_doc_quality": q_t2_doc_quality,
+    "t3_lang_quality_fingerprint": q_t3_lang_quality_fingerprint,
     "s2_ann_topk": q_s2_ann_topk,
+    "s3_ann_lsh_topk": q_s3_ann_lsh_topk,
+    "s4_embedding_dup_pairs": q_s4_embedding_dup_pairs,
     "o1_top_largest_files": q_o1_top_largest_files,
     "set1_repo_except": q_set1_repo_except,
     "t4_ngram_jaccard": q_t4_ngram_jaccard,
     "d1_exact_dup_docs": q_d1_exact_dup_docs,
+    "d2_near_dup_planted": q_d2_near_dup_planted,
+    "x3_substring_planted_mirrors": q_x3_substring_planted,
 }
 
 
@@ -387,6 +530,10 @@ def _spark_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _spark_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN tier, driver-checked against the EXACT brute-force SQL:
+    bands=48 x bits=3 gives candidate recall 1 at sf0.01 (verified against
+    the enumeration), so the approximate result must equal the oracle —
+    projecting ranks only (same tie-safe columns as s2)."""
     from .operators.similarity import cosine_topk_lsh
     from .sources.tables import register_views
 
@@ -394,21 +541,16 @@ def _spark_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.table("embeddings")
     dim = len(emb.select("embedding").first()[0])
     return cosine_topk_lsh(
-        emb, emb.filter("vec_id < 5"), dim=dim, k=10, bands=32, bits=4
-    )
+        emb, emb.filter("vec_id < 5"), dim=dim, k=10, bands=48, bits=3
+    ).select("query_id", "neighbor_id", "rank")
 
-
-ENGINE_BACKED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "file_hashes": _spark_file_hashes,
-    "bd_dup_sets": _spark_bd_dup_sets,
-    "t4_ngram_jaccard": _spark_t4_ngram_jaccard,
-}
 
 def _spark_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs over the embeddings table
-    (RHP-LSH candidates + exact cosine filter). Threshold 0.35 because
-    the synthetic embeddings are near-random (top-neighbor cosine
-    ~0.2-0.4); real embedding spaces use ~0.9+. Rows-only check."""
+    """Embedding-cosine near-dup pairs (RHP-LSH candidates + exact cosine
+    filter), driver-checked against the exact all-pairs SQL. Threshold
+    0.35 because the synthetic embeddings are near-random (top-neighbor
+    cosine ~0.2-0.4); real embedding spaces use ~0.9+. sim is computed for
+    the filter but projected out — the driver compares the pair SET."""
     from .operators.dedup_extra import embedding_cosine_pairs
     from .sources.tables import register_views
 
@@ -416,13 +558,83 @@ def _spark_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.table("embeddings")
     dim = len(emb.select("embedding").first()[0])
     return embedding_cosine_pairs(
-        emb, dim=dim, threshold=0.35, bands=32, bits=4
-    ).orderBy("id1", "id2")
+        emb, dim=dim, threshold=0.35, bands=48, bits=3
+    ).select("id1", "id2")
+
+
+def _spark_near_dup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted near-dup detection (oracle-checked): ' v2'-suffixed
+    variants of every 10th doc must land in their base's cluster. Output:
+    the detected base doc_ids — organic clusters in the corpus are free to
+    exist; they only merge components, never break base/variant
+    co-membership."""
+    from .operators.minhash import near_duplicate_clusters
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    variants = docs.filter("doc_id % 10 = 0").select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat("text", F.lit(" v2")).alias("text"),
+    )
+    corpus = docs.unionByName(variants).select(
+        F.lit("d").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.col("text").alias("content"),
+    )
+    clusters = near_duplicate_clusters(corpus)
+    c = clusters.select(F.col("path").cast("long").alias("d"), "component")
+    base = c.filter("d < 1000000")
+    var = c.filter("d >= 1000000").select(
+        (F.col("d") - 1000000).alias("d"), "component"
+    )
+    return (
+        base.join(var, ["d", "component"])
+        .select(F.col("d").alias("doc_id"))
+        .distinct()
+    )
+
+
+def _spark_substring_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted substring detection (oracle-checked): verbatim mirrors of
+    every 7th doc must be re-found by winnowing whenever the text is long
+    enough to fingerprint (>= 25 bytes — the SIGMOD'03 guarantee covers
+    identical texts with >= 1 k-gram). min_shared=1 so the guarantee is
+    exact; mirror pairs are identified as id2 = id1 + 1000000 (organic
+    pairs don't pollute the projection)."""
+    from .operators.substring import substring_duplicate_pairs
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter("doc_id % 7 = 0").select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    pairs = substring_duplicate_pairs(corpus, min_shared=1)
+    return pairs.filter(
+        F.col("id2") == F.col("id1") + 1000000
+    ).select(F.col("id1").alias("doc_id"))
+
+
+ENGINE_BACKED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "file_hashes": _spark_file_hashes,
+    "bd_dup_sets": _spark_bd_dup_sets,
+    "t4_ngram_jaccard": _spark_t4_ngram_jaccard,
+    "t3_lang_quality_fingerprint": _spark_lang_id,
+    "s3_ann_lsh_topk": _spark_ann_lsh,
+    "s4_embedding_dup_pairs": _spark_embedding_dup_pairs,
+    "d2_near_dup_planted": _spark_near_dup_planted,
+    "x3_substring_planted_mirrors": _spark_substring_planted,
+}
 
 
 def _spark_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-duplication tier (winnowing fingerprints) over documents
-    plus mirrored copies (raw docs share no long blocks). Rows-only."""
+    plus mirrored copies — the GENERAL query (organic + planted pairs,
+    min_shared=2). Rows-only; the planted subset is oracle-checked by
+    x3_substring_planted_mirrors."""
     from .operators.substring import substring_duplicate_pairs
     from .sources.tables import register_views
 
@@ -438,11 +650,8 @@ def _spark_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ENGINE_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_clusters": _spark_near_dup_clusters,
-    "s4_embedding_dup_pairs": _spark_embedding_dup_pairs,
     "x2_substring_dup_pairs": _spark_substring_pairs,
     "x1_simhash_pairs": _spark_simhash_pairs,
-    "t3_lang_quality_fingerprint": _spark_lang_id,
-    "s3_ann_lsh_topk": _spark_ann_lsh,
 }
 
 

@@ -136,7 +136,13 @@ def simhash64(text: pd.Series) -> pd.Series:
 @pandas_udf(DoubleType())
 def quality_score(text: pd.Series) -> pd.Series:
     """Composite [0,1] quality score from length/alpha/ws heuristics —
-    the shape used to filter training corpora. Deterministic."""
+    the shape used to filter training corpora. Deterministic: the 6dp
+    rounding is floor(x*1e6 + 0.5)/1e6 rather than Python round() so any
+    engine (the DuckDB oracle included) reproduces it from the same IEEE
+    double — round()'s half-even on the exact binary value is not
+    expressible in SQL rounding primitives."""
+    import math
+
     def _q(t: object) -> float:
         if t is None or not str(t).strip():
             return 0.0
@@ -146,6 +152,7 @@ def quality_score(text: pd.Series) -> pd.Series:
         length_term = min(n / 500.0, 1.0)
         ws = s.count(" ") / max(n, 1)
         ws_term = 1.0 - min(abs(ws - 0.15) * 3, 1.0)
-        return round(0.4 * alpha + 0.4 * length_term + 0.2 * ws_term, 6)
+        return math.floor((0.4 * alpha + 0.4 * length_term + 0.2 * ws_term)
+                          * 1e6 + 0.5) / 1e6
 
     return text.map(_q)
