@@ -138,9 +138,22 @@ def cmd_neardup(args) -> int:
         ids = ck.read("file_hashes").select(
             "repo", "path", F.lower(F.hex("hash")).alias("id")
         )
+    # incremental signatures: reuse the prior snapshot's (id, sig) rows so
+    # the MinHash kernel runs only on unseen contents (config-checked)
+    from .operators.minhash import distinct_content_signatures
+    from .plans.pipeline import SIG_CONFIG, prior_signatures
+
+    prior = prior_signatures(ck)
+    ck.write(
+        distinct_content_signatures(files, prior=prior),
+        "signatures",
+        lineage={"stage": "signatures", "incremental": prior is not None,
+                 **SIG_CONFIG},
+    )
     report: dict = {}
     nd = near_duplicate_clusters(
-        files, sim_threshold=args.threshold, ids=ids, report=report
+        files, sim_threshold=args.threshold, ids=ids, report=report,
+        sigs=ck.read("signatures"),
     )
     ck.write(nd, "near_dup", lineage={"stage": "near_dup",
                                       "sim_threshold": args.threshold})

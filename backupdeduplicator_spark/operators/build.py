@@ -187,6 +187,12 @@ def build_entries(files: DataFrame, materialize: bool = True) -> DataFrame:
     (hash + path metadata). On a real cluster this is the `entries`
     Iceberg stage table (plans/checkpoint.py) instead.
     """
+    # defensive parallelism: the sha256 kernel runs map-side on the input
+    # partitioning; an under-partitioned input (single-split table,
+    # coalesced upstream) would serialize it regardless of cores
+    default_par = files.sparkSession.sparkContext.defaultParallelism
+    if files.rdd.getNumPartitions() < default_par:
+        files = files.repartition(default_par)
     fe = hash_files(files)
     if materialize:
         fe = fe.localCheckpoint(eager=True)

@@ -19,12 +19,29 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions.shingles import K_SHINGLE, LSH_BANDS, LSH_ROWS, NUM_PERMS
 from ..operators.analyze import duplicate_sets
 from ..operators.clean import entries_from_file_hashes, incremental_file_hashes
-from ..operators.minhash import near_duplicate_clusters
+from ..operators.minhash import (distinct_content_signatures,
+                                 near_duplicate_clusters)
 from .checkpoint import CheckpointManager
 
-STAGES = ["file_hashes", "entries", "dup_sets", "near_dup"]
+STAGES = ["file_hashes", "entries", "dup_sets", "signatures", "near_dup"]
+
+SIG_CONFIG = {"k": K_SHINGLE, "perms": NUM_PERMS,
+              "bands": LSH_BANDS, "rows": LSH_ROWS}
+
+
+def prior_signatures(ck: CheckpointManager) -> "DataFrame | None":
+    """The latest `signatures` snapshot, ONLY if it was produced with the
+    current shingle/signature config (lineage check) — a prior built with
+    different k/perms would silently corrupt similarity estimates."""
+    if not ck.exists("signatures"):
+        return None
+    lin = ck.manifest("signatures")["lineage"]
+    if {k: lin.get(k) for k in SIG_CONFIG} != SIG_CONFIG:
+        return None
+    return ck.read("signatures")
 
 
 @dataclass
@@ -89,12 +106,25 @@ def run_pipeline(
     if force or not ck.exists("near_dup"):
         from pyspark.sql import functions as F
 
+        # signature stage: its own snapshot, computed incrementally from
+        # the previous one (kernel runs only on unseen content ids)
+        prior = prior_signatures(ck)
+        ck.write(
+            distinct_content_signatures(files, prior=prior),
+            "signatures",
+            lineage={"stage": "signatures", "upstream": dict(sids),
+                     "incremental": prior is not None, **SIG_CONFIG},
+        )
+        sigs = ck.read("signatures")
+        sids["signatures"] = ck.latest_snapshot_id("signatures")
+
         ids = fh.select(
             "repo", "path", F.lower(F.hex("hash")).alias("id")
         )
         report: dict = {}
         nd_df = near_duplicate_clusters(
-            files, sim_threshold=sim_threshold, ids=ids, report=report
+            files, sim_threshold=sim_threshold, ids=ids, report=report,
+            sigs=sigs,
         )
         # no-silent-caps: record what the LSH bucket cap dropped in the
         # snapshot lineage (one cheap extra job over the bucket counts)

@@ -61,7 +61,13 @@ def bench_files(
         .join(other, "o_id")
     )
     base = F.concat(F.col("text"), F.lit("\n"), F.col("text2"))
-    return big.select(
+    # the generator's broadcast joins preserve the source parquet's single
+    # split, which would pin every map-side kernel (sha256, MinHash) to one
+    # thread regardless of cores; a real table of this size has many
+    # splits, so lay the corpus out accordingly (setup cost, outside the
+    # per-query timings)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return big.repartition(n_parts).select(
         F.concat(
             F.lit("org-"), (F.col("doc_id") % 5).cast("string"),
             F.lit("/repo-"), ((F.col("doc_id") * 7 + F.col("variant")) % 37).cast("string"),
@@ -80,11 +86,14 @@ def bench_files(
     )
 
 
-def _tree_cpu_seconds() -> float:
-    """CPU-seconds of this process and all descendants (JVM, python
-    workers), including already-reaped children via cutime/cstime."""
+def _tree_cpu_seconds() -> tuple[float, float]:
+    """(user, sys) CPU-seconds of this process and all descendants (JVM,
+    python workers), including already-reaped children via cutime/cstime.
+    The user/sys split is a substrate diagnostic: a rising sys share at
+    high thread counts means kernel/scheduler contention, not engine
+    work."""
     clk = os.sysconf("SC_CLK_TCK")
-    stats: dict[int, tuple[int, float]] = {}  # pid -> (ppid, cpu_ticks)
+    stats: dict[int, tuple[int, int, int]] = {}  # pid -> (ppid, usr, sys)
     for d in os.listdir("/proc"):
         if not d.isdigit():
             continue
@@ -96,18 +105,21 @@ def _tree_cpu_seconds() -> float:
         # fields after the (comm) — comm may contain spaces
         rest = raw.rsplit(")", 1)[1].split()
         ppid = int(rest[1])
-        ticks = int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
-        stats[int(d)] = (ppid, ticks)
+        usr = int(rest[11]) + int(rest[13])   # utime + cutime
+        sys_t = int(rest[12]) + int(rest[14])  # stime + cstime
+        stats[int(d)] = (ppid, usr, sys_t)
     me = os.getpid()
     tree = {me}
     changed = True
     while changed:
         changed = False
-        for pid, (ppid, _) in stats.items():
+        for pid, (ppid, _, _) in stats.items():
             if ppid in tree and pid not in tree:
                 tree.add(pid)
                 changed = True
-    return sum(stats[p][1] for p in tree if p in stats) / clk
+    usr = sum(stats[p][1] for p in tree if p in stats) / clk
+    sys_t = sum(stats[p][2] for p in tree if p in stats) / clk
+    return usr, sys_t
 
 
 def main() -> None:
@@ -169,7 +181,8 @@ def main() -> None:
     # reaped): avg_parallelism = CPU/wall — separates "engine exposes
     # parallel work" from wall-clock noise on shared VMs.
     wall_all = time.monotonic() - _T_START
-    cpu_total = _tree_cpu_seconds()
+    cpu_user, cpu_sys = _tree_cpu_seconds()
+    cpu_total = cpu_user + cpu_sys
     spark.stop()
     print(json.dumps({
         "metric": "e2e_pipeline_sec",
@@ -183,6 +196,8 @@ def main() -> None:
         "bench_mult": mult,
         "bench_repeat": int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "8")),
         "cpu_total_sec": round(cpu_total, 1),
+        "cpu_user_sec": round(cpu_user, 1),
+        "cpu_sys_sec": round(cpu_sys, 1),
         "wall_total_sec": round(wall_all, 1),
         "avg_parallelism": round(cpu_total / wall_all, 2) if wall_all else None,
     }))

@@ -132,3 +132,61 @@ def test_clean_drops_vanished_files_and_dirs(spark, files):
     # everything else survives
     expected_files = current.count()
     assert cleaned.filter("file_type = 'File'").count() == expected_files
+
+
+def test_incremental_signatures_reuse_prior(spark, files):
+    """distinct_content_signatures(prior=...) must NOT re-run the kernel
+    for ids already in the prior snapshot: poison the prior sigs — if the
+    poisoned rows survive, the cache was used; new ids still compute."""
+    from backupdeduplicator_spark.operators.minhash import (
+        distinct_content_signatures)
+
+    base = distinct_content_signatures(files).cache()
+    poisoned = base.select(
+        "id", F.expr("transform(sig, x -> CAST(-7 AS BIGINT))").alias("sig")
+    )
+    extra = spark.createDataFrame(
+        [("r9", "new/one.txt", "c", "", "brand new content for sigs")],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    out = distinct_content_signatures(
+        files.unionByName(extra), prior=poisoned
+    ).cache()
+
+    n_ids = base.count()
+    assert out.count() == n_ids + 1
+    # every cached id carries the poisoned signature (kernel skipped) ...
+    reused = out.filter(F.expr("sig[0] = -7")).count()
+    assert reused == n_ids
+    # ... and the unseen content got a real signature
+    fresh = out.filter(F.expr("sig[0] <> -7")).collect()
+    assert len(fresh) == 1
+
+    # config-mismatch guard: prior_signatures refuses a lineage mismatch
+    from backupdeduplicator_spark.plans.pipeline import (
+        SIG_CONFIG, prior_signatures)
+
+    class _FakeCk:
+        def exists(self, name):
+            return True
+
+        def manifest(self, name):
+            return {"lineage": {**SIG_CONFIG, "k": SIG_CONFIG["k"] + 1}}
+
+    assert prior_signatures(_FakeCk()) is None
+
+
+def test_pipeline_signature_stage_roundtrip(spark, files, tmp_path):
+    """Second pipeline run (changed input, force) records an incremental
+    signatures snapshot and produces identical near-dup clusters to a
+    from-scratch run."""
+    ck_root = str(tmp_path / "ck_sig")
+    r1 = run_pipeline(spark, files, ck_root)
+    ck = CheckpointManager(spark, ck_root)
+    assert ck.manifest("signatures")["lineage"]["incremental"] is False
+
+    r2 = run_pipeline(spark, files, ck_root, force=True)
+    assert ck.manifest("signatures")["lineage"]["incremental"] is True
+    a = sorted(tuple(r) for r in r1.near_dup.collect())
+    b = sorted(tuple(r) for r in r2.near_dup.collect())
+    assert a == b

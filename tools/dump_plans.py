@@ -57,8 +57,31 @@ def main() -> None:
     sections.append(("substring pairs (winnowing fingerprint join)",
                      _explain(substring_duplicate_pairs(docs))))
 
+    from backupdeduplicator_spark.operators.dedup_extra import (
+        embedding_cosine_pairs, simhash_pairs)
+    from backupdeduplicator_spark.operators.similarity import cosine_topk_lsh
+
+    emb = spark.table("embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    sections.append((
+        "ANN LSH top-k (numpy RHP buckets; id-only candidate exchanges)",
+        _explain(cosine_topk_lsh(emb, emb.filter("vec_id < 5"), dim=dim,
+                                 k=10, bands=48, bits=3)),
+    ))
+    sections.append((
+        "embedding cosine pairs (id-only dedup, vectors rejoined per pair)",
+        _explain(embedding_cosine_pairs(emb, dim=dim, threshold=0.35,
+                                        bands=48, bits=3)),
+    ))
+    sections.append((
+        "simhash pairs (pigeonhole blocks, capped buckets)",
+        _explain(simhash_pairs(docs, max_hamming=8)),
+    ))
+
     out = ["# PLANS — formatted physical plans of the headline queries\n",
            f"Generated from `{sf_dir}`. Reviewed for: parquet pushdown, "
+           "no content/vector/children payloads in any Exchange "
+           "partitioning key (round-2 criteria), "
            "WholeStageCodegen coverage, broadcast/AQE joins, pandas-UDF "
            "(ArrowEvalPython) confined to hash kernels.\n"]
     for title, plan in sections:
