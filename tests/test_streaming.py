@@ -33,3 +33,67 @@ def test_stream_ingest_matches_batch(spark, tmp_path):
 
     man = ck.manifest("file_hashes_stream")
     assert "stream_batch_id" in man["lineage"]
+
+
+def test_streaming_exact_dedup_stateful(spark, tmp_path):
+    """applyInPandasWithState dedup: first copy canonical, later copies
+    flagged — INCLUDING re-sends in later micro-batches (state persists
+    across triggers via the stream checkpoint)."""
+    import glob
+    import pandas as pd
+    from backupdeduplicator_spark.streaming.dedup import streaming_exact_dedup
+
+    in_dir = tmp_path / "drops2"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "out2")
+    sck = str(tmp_path / "sck2")
+
+    def run_batch(rows, name):
+        spark.createDataFrame(
+            rows, ["repo", "path", "commit", "lang", "content"]
+        ).coalesce(1).write.mode("append").parquet(str(in_dir))
+        src = spark.readStream.schema(
+            "repo string, path string, commit string, lang string, content string"
+        ).parquet(str(in_dir))
+        q = (
+            streaming_exact_dedup(src)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", sck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch(
+        [
+            ("r1", "a.txt", "c", "", "alpha"),
+            ("r1", "b.txt", "c", "", "beta"),
+            ("r2", "a_copy.txt", "c", "", "alpha"),
+        ],
+        "b1",
+    )
+    # second trigger: re-send 'beta' from a new path + one new content
+    run_batch(
+        [
+            ("r3", "b_copy.txt", "c", "", "beta"),
+            ("r3", "c.txt", "c", "", "gamma"),
+        ],
+        "b2",
+    )
+
+    rows = {
+        (r["repo"], r["path"]): r
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert len(rows) == 5
+    assert rows[("r1", "a.txt")]["is_duplicate"] is False
+    dup = rows[("r2", "a_copy.txt")]
+    assert dup["is_duplicate"] is True and dup["first_path"] == "a.txt"
+    # cross-batch statefulness: beta's re-send flagged against batch-1 copy
+    cross = rows[("r3", "b_copy.txt")]
+    assert cross["is_duplicate"] is True
+    assert (cross["first_repo"], cross["first_path"]) == ("r1", "b.txt")
+    assert cross["n_seen"] == 2
+    assert rows[("r3", "c.txt")]["is_duplicate"] is False

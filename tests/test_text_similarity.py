@@ -157,3 +157,43 @@ def test_embedding_cosine_pairs_and_clusters(spark, emb):
     labels = pairs_to_clusters(pairs)
     lab = {r["id"]: r["component"] for r in labels.collect()}
     assert lab.get(0) == lab.get(100000) is not None
+
+
+def test_cosine_topk_ivf_clustered(spark):
+    """IVF probe path on data with real cluster structure (the regime IVF
+    exists for — the driver's isotropic random embeddings need
+    nprobe=n_cells, which the docstring documents): recall@10 >= 0.9 at
+    nprobe 4/16, and exact at full probe."""
+    import numpy as np
+    from backupdeduplicator_spark.operators.similarity import (
+        cosine_topk_bruteforce, cosine_topk_ivf)
+
+    rs = np.random.RandomState(3)
+    centers = rs.normal(size=(10, 32)) * 4
+    vecs = []
+    for i in range(600):
+        c = centers[i % 10]
+        vecs.append((i, (c + rs.normal(size=32)).astype(float).tolist()))
+    emb = spark.createDataFrame(vecs, "vec_id: long, embedding: array<double>")
+    q = emb.filter("vec_id < 8")
+
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(emb, q, k=10).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_ivf(
+            emb, q, dim=32, k=10, n_cells=16, nprobe=4, seed=11
+        ).collect()
+    }
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.9, f"IVF recall {recall}"
+
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_ivf(
+            emb, q, dim=32, k=10, n_cells=16, nprobe=16, seed=11
+        ).collect()
+    }
+    assert full == bf
