@@ -306,6 +306,15 @@ def q_d2_near_dup_planted(d: D) -> str:
     return "SELECT doc_id FROM documents WHERE doc_id % 10 = 0"
 
 
+def q_x4_simhash_planted(d: D) -> str:
+    """Planted-truth oracle for the SimHash tier: verbatim mirrors have
+    identical 64-bit fingerprints (Hamming 0), share every pigeonhole
+    block, and the mirror guarantees every such block bucket has >= 2
+    members — so detection is unconditional (bucket cap 1000 is
+    unreachable at sf0.01's 572-doc corpus). Oracle = the planted ids."""
+    return "SELECT doc_id FROM documents WHERE doc_id % 7 = 0"
+
+
 def q_x3_substring_planted(d: D) -> str:
     """Planted-truth oracle for the winnowing substring tier: every 7th
     doc is mirrored verbatim under id+1000000; any text long enough to
@@ -438,6 +447,7 @@ SQL_QUERIES: dict[str, Callable[[D], str]] = {
     "d1_exact_dup_docs": q_d1_exact_dup_docs,
     "d2_near_dup_planted": q_d2_near_dup_planted,
     "x3_substring_planted_mirrors": q_x3_substring_planted,
+    "x4_simhash_planted_mirrors": q_x4_simhash_planted,
 }
 
 
@@ -618,6 +628,26 @@ def _spark_substring_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id1").alias("doc_id"))
 
 
+def _spark_simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted SimHash detection (oracle-checked): verbatim mirrors of
+    every 7th doc must be re-found at Hamming 0 through the pigeonhole
+    block join; mirror pairs identified as id2 = id1 + 1000000."""
+    from .operators.dedup_extra import simhash_pairs
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter("doc_id % 7 = 0").select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    pairs = simhash_pairs(corpus, max_hamming=8)
+    return pairs.filter(
+        F.col("id2") == F.col("id1") + 1000000
+    ).select(F.col("id1").alias("doc_id"))
+
+
 ENGINE_BACKED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "file_hashes": _spark_file_hashes,
     "bd_dup_sets": _spark_bd_dup_sets,
@@ -627,6 +657,7 @@ ENGINE_BACKED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s4_embedding_dup_pairs": _spark_embedding_dup_pairs,
     "d2_near_dup_planted": _spark_near_dup_planted,
     "x3_substring_planted_mirrors": _spark_substring_planted,
+    "x4_simhash_planted_mirrors": _spark_simhash_planted,
 }
 
 
