@@ -139,7 +139,12 @@ def explode_archives(
 
 def flatten_member_paths(members: DataFrame) -> DataFrame:
     """path_stack -> a single logical path ('archive.zip!inner/file.py')
-    so exploded members can flow through build_entries unchanged."""
+    so exploded members can flow through build_entries unchanged.
+
+    Unparseable archives ('Other' member rows) flow through as
+    file_type='Other' entries (NULL hash — the reference's error rule,
+    worker.rs:126-132) rather than silently vanishing; build_entries
+    routes on the file_type column."""
     from pyspark.sql import functions as F
 
     return members.select(
@@ -147,5 +152,6 @@ def flatten_member_paths(members: DataFrame) -> DataFrame:
         F.array_join("path_stack", "!").alias("path"),
         F.lit("").alias("commit"),
         F.lit("").alias("lang"),
+        F.col("member_type").alias("file_type"),
         "content",
-    ).filter(F.col("member_type") == "File")
+    )

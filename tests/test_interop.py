@@ -274,3 +274,22 @@ def test_symlink_other_entries(spark):
     sets = {s["file_type"]: s for s in duplicate_sets(entries).collect()}
     assert "Symlink" in sets
     assert sets["Symlink"]["n_members"] == 2
+
+
+def test_unparseable_archive_flows_as_other(spark):
+    """A corrupt archive surfaces as an Other entry with NULL hash in the
+    built tree (reference error rule) instead of vanishing."""
+    files = spark.createDataFrame(
+        [
+            ("r", "bad/corrupt.zip", "c", "", base64.b64encode(b"not a zip").decode()),
+            ("r", "ok/plain.txt", "c", "", "hello"),
+        ],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    flat = flatten_member_paths(explode_archives(files))
+    rows = {r["path"]: r for r in build_entries(flat).collect()}
+    bad = rows["bad/corrupt.zip"]
+    assert bad["file_type"] == "Other" and bad["hash"] is None
+    assert rows["ok/plain.txt"]["file_type"] == "File"
+    # the parent dir still counts the Other child; NULL adds no digest bytes
+    assert rows["bad"]["size"] == 1
