@@ -181,32 +181,40 @@ def lsh_candidate_pairs(
     dropped and accounted in ``CandidateStats.oversized`` (lazily — no
     barrier on the hot path; at 100 TB such buckets are boilerplate mega-
     clusters better handled by the exact tier / a dedicated pass).
+
+    Plan shape (2 shuffles): ONE groupBy(band, bandhash) collects each
+    bucket's member ids (arrays bounded by max_bucket — the cap doubles
+    as the collect_list memory bound), pairs expand JVM-side from the
+    sorted array (whole-stage codegen — no self-join and no second pass
+    over the bucket table), then ONE groupBy(nid1, nid2) counts band
+    matches. The previous count + semi-join + self-join formulation
+    shuffled the bucket table three times.
+
+    band_matches lets callers pre-filter candidates BEFORE the (wide)
+    signature join. P(pair shares >= m bands) at true Jaccard J is
+    Binomial(32, J^4) tail: at J=0.7, m=2 keeps 99.8% — the cheap knob
+    that kills the boilerplate-corpus candidate explosion.
     """
     buckets = lsh_buckets(sigs)
-    counts = buckets.groupBy("band", "bandhash").agg(F.count(F.lit(1)).alias("bn"))
-    oversized = counts.filter(F.col("bn") > max_bucket)
-
-    eligible = buckets.join(
-        counts.filter((F.col("bn") >= 2) & (F.col("bn") <= max_bucket)),
-        ["band", "bandhash"],
-        "left_semi",
+    bucket_lists = buckets.groupBy("band", "bandhash").agg(
+        F.collect_list("nid").alias("ids")
     )
-    a = eligible.alias("a")
-    b = eligible.alias("b")
-    # groupBy-count instead of distinct: same dedup, but band_matches lets
-    # callers pre-filter candidates BEFORE the (wide) signature join — the
-    # partial count is map-side combinable, so the extra column is ~free.
-    # P(pair shares >= m bands) at true Jaccard J is Binomial(32, J^4)
-    # tail: at J=0.7, m=2 keeps 99.8% — the cheap knob that kills the
-    # boilerplate-corpus candidate explosion.
+    oversized = bucket_lists.filter(F.size("ids") > max_bucket).select(
+        "band", "bandhash", F.size("ids").alias("bn")
+    )
+    eligible = bucket_lists.filter(
+        (F.size("ids") >= 2) & (F.size("ids") <= max_bucket)
+    ).select(F.array_sort("ids").alias("ids"))
+    # ordered pairs from the sorted member array: x pairs with every later
+    # y, so nid1 < nid2 and each bucket emits each pair exactly once
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS nid1, y AS nid2))))"
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bandhash") == F.col("b.bandhash"))
-            & (F.col("a.nid") < F.col("b.nid")),
-        )
-        .groupBy(F.col("a.nid").alias("nid1"), F.col("b.nid").alias("nid2"))
+        eligible.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.nid1").alias("nid1"), F.col("p.nid2").alias("nid2"))
         .agg(F.count(F.lit(1)).alias("band_matches"))
     )
     return CandidateStats(pairs, oversized)
