@@ -44,21 +44,44 @@ WHERE doc_id % 10 = 0
 FILES_CTE = f"WITH files AS ({_FILES_SQL})"
 
 
+INPUT_DDL = (
+    "repo string, path string, commit string, lang string, content string"
+)
+
+
 def read_input(spark: SparkSession, source: str) -> DataFrame:
     """Load the pipeline input table (repo, path, commit, lang, content).
 
-    ``source`` is either an Iceberg table identifier (the production
-    shape per BASELINE.json input_hint — used when an Iceberg catalog is
-    configured on the session) or a parquet directory path (tests /
-    sandbox, where no Iceberg runtime jars exist). Dotted names without a
-    path separator are treated as table identifiers.
+    ``source`` is one of:
+      * an Iceberg table identifier (the production shape per
+        BASELINE.json input_hint — used when an Iceberg catalog is
+        configured on the session); dotted names without a path
+        separator are treated as table identifiers;
+      * a parquet directory/file path (tests / sandbox — the default);
+      * a ``.json``/``.jsonl`` path — JSON-lines rows with the input
+        schema (schema pinned, not inferred: a corrupt line yields NULL
+        columns instead of poisoning inference);
+      * a ``.csv`` path — headered CSV with the input schema (content
+        with embedded newlines must be quoted; multiLine enabled).
     """
-    looks_like_table = "/" not in source and "." in source
+    low = source.rstrip("/").lower()
+    data_suffix = low.endswith((".json", ".jsonl", ".csv", ".parquet"))
+    looks_like_table = "/" not in source and "." in source and not data_suffix
     if looks_like_table:
         try:
             return spark.read.format("iceberg").load(source)
         except Exception:
             return spark.table(source)
+    if low.endswith((".json", ".jsonl")):
+        return spark.read.schema(INPUT_DDL).json(source)
+    if low.endswith(".csv"):
+        return (
+            spark.read.schema(INPUT_DDL)
+            .option("header", "true")
+            .option("multiLine", "true")
+            .option("escape", '"')
+            .csv(source)
+        )
     return spark.read.parquet(source)
 
 

@@ -76,3 +76,34 @@ def test_hash_registry(spark):
 
     with pytest.raises(ValueError):
         content_hash("content", "md5crazy")
+
+
+def test_read_input_json_and_csv(spark, tmp_path):
+    """read_input loads the same rows from JSONL and CSV paths as from
+    parquet (schema pinned to the input DDL)."""
+    import csv as _csv
+    import json as _json
+
+    from backupdeduplicator_spark.sources.tables import read_input
+
+    rows = [
+        ("r1", "a.txt", "c1", "en", "alpha text"),
+        ("r2", "dir/b.txt", "c2", "de", 'multi\nline "quoted" text'),
+    ]
+    cols = ["repo", "path", "commit", "lang", "content"]
+
+    jpath = tmp_path / "input.jsonl"
+    jpath.write_text(
+        "\n".join(_json.dumps(dict(zip(cols, r))) for r in rows) + "\n"
+    )
+    cpath = tmp_path / "input.csv"
+    with open(cpath, "w", newline="") as f:
+        w = _csv.writer(f, quoting=_csv.QUOTE_ALL)
+        w.writerow(cols)
+        w.writerows(rows)
+
+    want = sorted(rows)
+    got_j = sorted(tuple(r) for r in read_input(spark, str(jpath)).collect())
+    got_c = sorted(tuple(r) for r in read_input(spark, str(cpath)).collect())
+    assert got_j == want
+    assert got_c == want
