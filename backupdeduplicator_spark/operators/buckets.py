@@ -1,0 +1,76 @@
+"""Bounded bucket-list pair expansion — the shared candidate-generation
+kernel for every LSH-style dedup tier (MinHash bands, SimHash pigeonhole
+blocks, winnowing fingerprints).
+
+The problem shape is always the same: a (key -> member) bucket table
+where any two members sharing a key are a candidate pair, and a few
+degenerate keys (boilerplate mega-buckets) hold enough members that
+either the O(m^2) pair expansion or the collect_list aggregation buffer
+itself becomes a single-task memory bomb at 100 TB.
+
+Plan (genuinely bounded per-task memory, unlike a collect-then-filter):
+
+  1. COUNT pass — groupBy(key).count(). Map-side combinable; the
+     exchange carries one ~24-byte row per distinct key per input
+     partition, and the aggregation buffer is O(1) per key.
+  2. Oversized keys (count > max_bucket) are anti-joined away BEFORE any
+     list is collected. The oversized set is tiny by construction
+     (<= total_rows / max_bucket keys), so AQE turns this into a
+     broadcast anti-join — the big bucket table is not re-shuffled.
+  3. collect_list per surviving key — now provably bounded at
+     max_bucket elements per aggregation buffer.
+  4. JVM-side pair expansion from the sorted member array (whole-stage
+     codegen: transform/slice/flatten) — members sort ascending, so each
+     unordered pair is emitted exactly once with m1 < m2 and no
+     self-join.
+
+Dropped keys are returned, never silently ignored (the engine's
+no-silent-caps rule): callers surface/count them via the lazy
+``oversized`` DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bounded_bucket_pairs(
+    buckets: DataFrame,
+    key_cols: list[str],
+    member_col: str,
+    max_bucket: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(pairs, oversized) from a (key..., member) bucket table.
+
+    ``pairs`` has columns (m1, m2), one row per co-membership of a pair
+    in a bucket (NOT deduplicated across keys — callers aggregate:
+    count(*) = number of shared buckets, or distinct() for a plain
+    candidate set). m1 < m2 under the member type's natural ordering
+    (struct members order field-wise, first field dominant).
+
+    ``oversized`` has columns (key..., bn): keys dropped because their
+    membership exceeded ``max_bucket`` — lazy, no barrier on the hot
+    path.
+
+    ``buckets`` is scanned twice (count pass + collect pass); callers
+    whose bucket table is UDF-derived should persist the UDF output
+    upstream so the kernel runs once.
+    """
+    counts = buckets.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("bn"))
+    oversized = counts.filter(F.col("bn") > max_bucket)
+    bounded = buckets.join(oversized.select(*key_cols), key_cols, "left_anti")
+    lists = (
+        bounded.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list(member_col)).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ms, (x, i) -> "
+        "transform(slice(ms, i + 2, size(ms)), "
+        "y -> struct(x AS m1, y AS m2))))"
+    )
+    pairs = lists.select(F.explode(pair_expr).alias("p")).select(
+        "p.m1", "p.m2"
+    )
+    return pairs, oversized

@@ -33,17 +33,24 @@ def simhash_pairs(
     such that 64/block_bits > max_hamming (radius 3 -> 16-bit blocks,
     radius 8 -> 4-bit blocks).
 
-    Skew defence (same cap-and-account pattern as the MinHash tier):
-    a degenerate (block_idx, block_val) bucket — e.g. every empty/near-
-    empty doc hashing to sh=0 — would emit O(m^2) candidates; buckets
-    over ``max_bucket`` rows are dropped, which can miss pairs whose
-    every matching block is degenerate. Dropped buckets are never silent:
-    pass ``report`` (a dict) to receive ``report['oversized']``, a lazy
-    (block_idx, block_val, bn) DataFrame of what was dropped.
+    Skew defence (the shared bounded kernel, operators/buckets.py —
+    identical to the MinHash tier): a degenerate (block_idx, block_val)
+    bucket — e.g. every empty/near-empty doc hashing to sh=0 — would
+    emit O(m^2) candidates; a count pass drops buckets over
+    ``max_bucket`` BEFORE any membership array is collected, which can
+    miss pairs whose every matching block is degenerate. Dropped buckets
+    are never silent: pass ``report`` (a dict) to receive
+    ``report['oversized']``, a lazy (block_idx, block_val, bn) DataFrame
+    of what was dropped.
 
-    The 8-byte simhash value rides along through the bucket join (so the
-    UDF runs once and no vector-width payload ever enters an Exchange).
+    The 8-byte simhash value rides along as part of the bucket member
+    (struct ordering is field-wise with id first, so pair order is by
+    id), so the UDF output joins back nowhere and candidates expand
+    JVM-side from bounded sorted arrays instead of a self-join — one
+    fewer Exchange of the block table than the round-2 shape.
     """
+    from .buckets import bounded_bucket_pairs
+
     if block_bits is None:
         block_bits = 32
         while 64 // block_bits <= max_hamming:
@@ -52,12 +59,13 @@ def simhash_pairs(
             raise ValueError("max_hamming must be < 64")
     n_blocks = 64 // block_bits
     assert max_hamming <= n_blocks - 1, "raise block count for that radius"
+    # persisted: the bounded kernel scans blocks twice (count + collect);
+    # without this the simhash UDF would run the text kernel per scan
     sh = docs.select(
         F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
-    )
+    ).persist()
     blocks = sh.select(
-        "id",
-        "sh",
+        F.struct("id", "sh").alias("m"),
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {n_blocks - 1}), "
@@ -65,32 +73,17 @@ def simhash_pairs(
             )
         ).alias("block_idx", "block_val"),
     )
-    counts = blocks.groupBy("block_idx", "block_val").agg(
-        F.count(F.lit(1)).alias("bn")
+    pair_rows, oversized = bounded_bucket_pairs(
+        blocks, ["block_idx", "block_val"], "m", max_bucket
     )
     if report is not None:
-        report["oversized"] = counts.filter(F.col("bn") > max_bucket)
-    eligible = blocks.join(
-        counts.filter((F.col("bn") >= 2) & (F.col("bn") <= max_bucket)),
-        ["block_idx", "block_val"],
-        "left_semi",
-    )
-    a, b = eligible.alias("a"), eligible.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.block_idx") == F.col("b.block_idx"))
-            & (F.col("a.block_val") == F.col("b.block_val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id1"),
-            F.col("b.id").alias("id2"),
-            F.col("a.sh").alias("sh1"),
-            F.col("b.sh").alias("sh2"),
-        )
-        .distinct()
-    )
+        report["oversized"] = oversized
+    cand = pair_rows.select(
+        F.col("m1.id").alias("id1"),
+        F.col("m2.id").alias("id2"),
+        F.col("m1.sh").alias("sh1"),
+        F.col("m2.sh").alias("sh2"),
+    ).distinct()
     return (
         cand.withColumn(
             "hamming", F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))

@@ -182,41 +182,32 @@ def lsh_candidate_pairs(
     barrier on the hot path; at 100 TB such buckets are boilerplate mega-
     clusters better handled by the exact tier / a dedicated pass).
 
-    Plan shape (2 shuffles): ONE groupBy(band, bandhash) collects each
-    bucket's member ids (arrays bounded by max_bucket — the cap doubles
-    as the collect_list memory bound), pairs expand JVM-side from the
-    sorted array (whole-stage codegen — no self-join and no second pass
-    over the bucket table), then ONE groupBy(nid1, nid2) counts band
-    matches. The previous count + semi-join + self-join formulation
-    shuffled the bucket table three times.
+    Plan shape (operators/buckets.py): a map-side-combinable COUNT pass
+    prunes oversized keys BEFORE any membership list exists, so the
+    collect_list buffer is provably bounded at max_bucket elements —
+    a degenerate band bucket of 10^8 distinct near-identical contents
+    costs one 24-byte count row, never an 800 MB array in one task
+    (the round-2 collect-then-filter shape had exactly that hazard).
+    Pairs expand JVM-side from the sorted bounded array, then ONE
+    groupBy(nid1, nid2) counts band matches. The count exchange carries
+    ~one tiny row per distinct key per partition; the oversized
+    anti-join is AQE-broadcast (the oversized set is <= rows/max_bucket
+    keys), so the bucket table still shuffles only twice.
 
     band_matches lets callers pre-filter candidates BEFORE the (wide)
     signature join. P(pair shares >= m bands) at true Jaccard J is
     Binomial(32, J^4) tail: at J=0.7, m=2 keeps 99.8% — the cheap knob
     that kills the boilerplate-corpus candidate explosion.
     """
+    from .buckets import bounded_bucket_pairs
+
     buckets = lsh_buckets(sigs)
-    bucket_lists = buckets.groupBy("band", "bandhash").agg(
-        F.collect_list("nid").alias("ids")
+    pair_rows, oversized = bounded_bucket_pairs(
+        buckets, ["band", "bandhash"], "nid", max_bucket
     )
-    oversized = bucket_lists.filter(F.size("ids") > max_bucket).select(
-        "band", "bandhash", F.size("ids").alias("bn")
-    )
-    eligible = bucket_lists.filter(
-        (F.size("ids") >= 2) & (F.size("ids") <= max_bucket)
-    ).select(F.array_sort("ids").alias("ids"))
-    # ordered pairs from the sorted member array: x pairs with every later
-    # y, so nid1 < nid2 and each bucket emits each pair exactly once
-    pair_expr = F.expr(
-        "flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids)), "
-        "y -> struct(x AS nid1, y AS nid2))))"
-    )
-    pairs = (
-        eligible.select(F.explode(pair_expr).alias("p"))
-        .groupBy(F.col("p.nid1").alias("nid1"), F.col("p.nid2").alias("nid2"))
-        .agg(F.count(F.lit(1)).alias("band_matches"))
-    )
+    pairs = pair_rows.groupBy(
+        F.col("m1").alias("nid1"), F.col("m2").alias("nid2")
+    ).agg(F.count(F.lit(1)).alias("band_matches"))
     return CandidateStats(pairs, oversized)
 
 

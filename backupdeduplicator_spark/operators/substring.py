@@ -75,33 +75,34 @@ def substring_duplicate_pairs(
     text_col: str = "text",
     min_shared: int = 2,
     max_fingerprint_freq: int = 500,
+    report: dict | None = None,
 ) -> DataFrame:
     """Pairs of docs sharing >= min_shared winnowing fingerprints
     (i.e. >= ~min_shared long verbatim runs / one long run crossing
     windows). Columns: id1, id2, shared_fingerprints.
 
     Fingerprints appearing in > max_fingerprint_freq docs (global
-    boilerplate) are dropped before pairing — same cap-and-account
-    pattern as the LSH tier.
+    boilerplate) are dropped before pairing via the shared bounded
+    kernel (operators/buckets.py) — counts first, so no membership array
+    is ever collected for a boilerplate fingerprint. Dropped
+    fingerprints are never silent: pass ``report`` (a dict) to receive
+    ``report['oversized']``, a lazy (fp, bn) DataFrame of what the cap
+    cost (same no-silent-caps hook as the MinHash/SimHash tiers).
     """
+    from .buckets import bounded_bucket_pairs
+
     fps = docs.select(
         F.col(id_col).alias("id"),
         F.explode(winnow_fingerprints(F.col(text_col))).alias("fp"),
-    ).distinct().persist()  # consumed 3x (freq, semi-join, self-join) —
+    ).distinct().persist()  # consumed 2x (count pass + collect pass) —
     # without this the winnow UDF re-runs per consumer (seen in PLANS.md)
-    freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
-    eligible = fps.join(
-        freq.filter((F.col("n") >= 2) & (F.col("n") <= max_fingerprint_freq)),
-        "fp",
-        "left_semi",
+    pair_rows, oversized = bounded_bucket_pairs(
+        fps, ["fp"], "id", max_fingerprint_freq
     )
-    a, b = eligible.alias("a"), eligible.alias("b")
+    if report is not None:
+        report["oversized"] = oversized
     pairs = (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        pair_rows.groupBy(F.col("m1").alias("id1"), F.col("m2").alias("id2"))
         .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
         .filter(F.col("shared_fingerprints") >= min_shared)
     )

@@ -1,0 +1,132 @@
+"""Bounded bucket-pair kernel (operators/buckets.py) + its three tier
+integrations: a degenerate mega-bucket must never materialize an
+unbounded membership array (VERDICT r2 "What's wrong" #1), must be
+dropped + accounted, and must not disturb pairs from normal buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from backupdeduplicator_spark.operators.buckets import bounded_bucket_pairs
+from backupdeduplicator_spark.operators.minhash import (LSH_BANDS,
+                                                        lsh_candidate_pairs)
+
+
+def test_pair_expansion_and_oversized_accounting(spark):
+    rows = [
+        # bucket k=1: members 3,1,2 -> pairs (1,2) (1,3) (2,3)
+        (1, 3), (1, 1), (1, 2),
+        # bucket k=2: singleton -> no pairs
+        (2, 9),
+        # bucket k=3: 4 members, cap 3 -> oversized, dropped
+        (3, 10), (3, 11), (3, 12), (3, 13),
+        # bucket k=4: members 5,4 -> pair (4,5)
+        (4, 5), (4, 4),
+    ]
+    buckets = spark.createDataFrame(rows, "k int, m long")
+    pairs, oversized = bounded_bucket_pairs(buckets, ["k"], "m", max_bucket=3)
+    got = sorted((r["m1"], r["m2"]) for r in pairs.collect())
+    assert got == [(1, 2), (1, 3), (2, 3), (4, 5)]
+    over = [(r["k"], r["bn"]) for r in oversized.collect()]
+    assert over == [(3, 4)]
+
+
+def test_pair_multiplicity_counts_shared_buckets(spark):
+    rows = [(1, 1), (1, 2), (2, 1), (2, 2), (3, 2), (3, 7)]
+    buckets = spark.createDataFrame(rows, "k int, m long")
+    pairs, _ = bounded_bucket_pairs(buckets, ["k"], "m", max_bucket=10)
+    counts = {
+        (r["m1"], r["m2"]): r["n"]
+        for r in pairs.groupBy("m1", "m2").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {(1, 2): 2, (2, 7): 1}
+
+
+def test_struct_members_order_by_first_field(spark):
+    rows = [(1, (2, 100)), (1, (1, 999))]
+    buckets = spark.createDataFrame(rows, "k int, m struct<id: long, sh: long>")
+    pairs, _ = bounded_bucket_pairs(buckets, ["k"], "m", max_bucket=10)
+    [r] = pairs.collect()
+    assert (r["m1"]["id"], r["m2"]["id"]) == (1, 2)
+    assert (r["m1"]["sh"], r["m2"]["sh"]) == (999, 100)
+
+
+def test_lsh_mega_bucket_bounded(spark):
+    """A degenerate LSH bucket (every row same signature) is dropped by
+    the count pass without ever collecting its membership; normal
+    buckets' candidate pairs are unaffected and band-match counts are
+    exact."""
+    n_mega = 20000
+    mega_sig = F.array(*[F.lit(7)] * 128)
+    norm_sig = F.array(*[F.lit(i) for i in range(128)])
+    mega = spark.range(n_mega).select(
+        F.concat(F.lit("m"), F.col("id").cast("string")).alias("id"),
+        F.col("id").alias("nid"),
+        mega_sig.alias("sig"),
+    )
+    normal = spark.range(3).select(
+        F.concat(F.lit("n"), F.col("id").cast("string")).alias("id"),
+        (F.col("id") + 10_000_000).alias("nid"),
+        norm_sig.alias("sig"),
+    )
+    stats = lsh_candidate_pairs(mega.unionByName(normal), max_bucket=128)
+    pairs = stats.pairs.collect()
+    ids = {(r["nid1"], r["nid2"]) for r in pairs}
+    assert ids == {
+        (10_000_000, 10_000_001),
+        (10_000_000, 10_000_002),
+        (10_000_001, 10_000_002),
+    }
+    assert all(r["band_matches"] == LSH_BANDS for r in pairs)
+    assert stats.dropped_buckets == LSH_BANDS
+    assert stats.dropped_rows == LSH_BANDS * n_mega
+
+
+def test_simhash_oversized_reported(spark):
+    """Thousands of identical texts form mega block-buckets; with a small
+    cap they are dropped + reported while a distinctive planted pair is
+    still found."""
+    from backupdeduplicator_spark.operators.dedup_extra import simhash_pairs
+
+    filler = spark.range(500).select(
+        F.col("id").alias("doc_id"), F.lit("the same boilerplate").alias("text")
+    )
+    planted = spark.createDataFrame(
+        [(1_000_001, "zq xv jk wm pt lr bn dc fg hs" * 4),
+         (1_000_002, "zq xv jk wm pt lr bn dc fg hs" * 4)],
+        "doc_id long, text string",
+    )
+    report: dict = {}
+    pairs = simhash_pairs(
+        filler.unionByName(planted), max_hamming=3, max_bucket=100,
+        report=report,
+    ).collect()
+    assert (1_000_001, 1_000_002) in {(r["id1"], r["id2"]) for r in pairs}
+    over = report["oversized"].collect()
+    assert len(over) == 4  # 4 blocks of 16 bits, all with 500 members
+    assert all(r["bn"] == 500 for r in over)
+
+
+def test_substring_cap_reported(spark):
+    """A boilerplate run pasted into many docs exceeds the fingerprint
+    frequency cap: its fingerprints are dropped AND reported; a pair
+    sharing distinctive fingerprints is still found."""
+    from backupdeduplicator_spark.operators.substring import (
+        substring_duplicate_pairs)
+
+    boiler = "COPYRIGHT NOTICE: this exact block appears everywhere " * 3
+    uniq = "".join(chr(97 + (i * 7) % 26) for i in range(400))
+    docs = [(i, boiler) for i in range(40)]
+    docs += [(1001, uniq + " tail-one"), (1002, uniq + " tail-two")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    report: dict = {}
+    pairs = substring_duplicate_pairs(
+        df, min_shared=1, max_fingerprint_freq=10, report=report
+    ).collect()
+    assert (1001, 1002) in {(r["id1"], r["id2"]) for r in pairs}
+    over = report["oversized"].collect()
+    assert over, "boilerplate fingerprints must be accounted"
+    assert all(r["bn"] == 40 for r in over)
+    # no boilerplate doc may appear in any pair (its fps were capped away)
+    assert all(r["id1"] > 1000 and r["id2"] > 1000 for r in pairs)
