@@ -8,6 +8,7 @@ engine's additions (neardup, pipeline).
     python -m backupdeduplicator_spark neardup  --input DIR --checkpoint DIR [--threshold 0.55]
     python -m backupdeduplicator_spark pipeline --input DIR --checkpoint DIR [--output DIR]
     python -m backupdeduplicator_spark import   --file HASHTREE_JSONL --checkpoint DIR
+    python -m backupdeduplicator_spark export   --checkpoint DIR --file HASHTREE_JSONL
 
 --input is a parquet directory of (repo, path, commit, lang, content)
 rows; --checkpoint is the snapshot-table root (plans/checkpoint.py);
@@ -185,6 +186,18 @@ def cmd_import(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    from .plans.checkpoint import CheckpointManager
+    from .sinks import export_hashtree_file
+
+    spark = _spark(args)
+    ck = CheckpointManager(spark, args.checkpoint)
+    algo = _checkpoint_algo(ck, "entries") or "sha256"
+    n = export_hashtree_file(ck.read("entries"), args.file, algo=algo)
+    print(f"export: {n} entries ({algo.upper()}) -> {args.file}")
+    return 0
+
+
 def cmd_pipeline(args) -> int:
     from .plans.pipeline import run_pipeline
     from .sinks import write_dupsets_jsonl
@@ -236,6 +249,13 @@ def main(argv: list[str] | None = None) -> int:
     imp.add_argument("--checkpoint", required=True)
     imp.add_argument("--root-repo", default="", dest="root_repo")
     imp.set_defaults(fn=cmd_import)
+
+    exp = sub.add_parser("export", parents=[common])
+    exp.add_argument("--checkpoint", required=True)
+    exp.add_argument("--file", required=True,
+                     help="single-file hash-tree output (header + entries), "
+                          "loadable by the reference tool")
+    exp.set_defaults(fn=cmd_export)
 
     pl = sub.add_parser("pipeline", parents=[common])
     pl.add_argument("--input", required=True)

@@ -11,17 +11,22 @@ we render 'repo/path' strings — tooling that parses FilePath objects
 needs the small adapter described in CONFORMANCE.md §2.9.
 
 Hash-tree JSONL (S3/S4): header line {version, hash_type, creation_date}
-then one entry per line (hashtreefile.rs:35-40,63-71). We provide the
-entries as a JSON-lines DataFrame write; the single-file header layout is
-driver-side only for export purposes (the engine's real persistence is
-the checkpoint snapshot tables).
+then one entry per line (hashtreefile.rs:35-40,157-163,63-71). Two
+writers:
+  * ``write_entries_jsonl`` — distributed part-file write of the entry
+    lines, NO header (a stage artifact, not a reference-parseable file);
+  * ``export_hashtree_file`` — ONE reference-parseable file: the header
+    line first, then every entry with the structured FilePath shape
+    (path.rs:31-66), streamed driver-side (export scale, not 100 TB —
+    the engine's real persistence is the checkpoint snapshot tables).
 
 Hash-tree JSONL READER (migration interop): ``read_entries_jsonl`` loads
-a file written by the reference (or by ``write_entries_jsonl``) into the
-engine's entries shape — "TYPE:hex" parse (hash.rs:293-363), hash-type
-filter against the header, and line-oriented last-wins per path
-(hashtreefile.rs:197-248) — so an existing `.bdd` file analyzes without
-re-hashing the source tree.
+a file written by the reference (or by ``export_hashtree_file``; the
+headerless ``write_entries_jsonl`` part files are NOT loadable — the
+header is mandatory) into the engine's entries shape — "TYPE:hex" parse
+(hash.rs:293-363), hash-type filter against the header, and
+line-oriented last-wins per path (hashtreefile.rs:197-248) — so an
+existing `.bdd` file analyzes without re-hashing the source tree.
 """
 
 from __future__ import annotations
@@ -64,16 +69,38 @@ def dupsets_to_json_rows(dupsets: DataFrame, algo: str = "SHA256") -> DataFrame:
     )
 
 
-def entries_to_json_rows(entries: DataFrame, algo: str = "SHA256") -> DataFrame:
+def entries_to_json_rows(
+    entries: DataFrame, algo: str = "SHA256", structured_path: bool = False
+) -> DataFrame:
     """Hash-tree entries -> reference HashTreeFileEntryV1 row shape
-    (hashtreefile.rs:63-71): file_type, modified, size, hash (tagged),
-    path (component array), children (tagged hashes)."""
+    (hashtreefile.rs:63-71): file_type, modified, size, hash (tagged;
+    NULL digests render "NULL:00" exactly like the reference's
+    GeneralHash::NULL Display, hash.rs:278-280), path, children (tagged
+    hashes). ``structured_path`` emits the reference's FilePath object
+    ({"path":[{"path":...,"target":"File"}]}, path.rs:31-66) — required
+    for a file the reference tool itself will load; the default flat
+    array<string> is the engine's compact interchange form (the reader
+    accepts both)."""
+    full_path = F.when(F.col("repo") == "", F.col("path")).otherwise(
+        F.concat_ws("/", F.col("repo"), F.col("path"))
+    )
+    if structured_path:
+        path_col = F.struct(
+            F.array(
+                F.struct(full_path.alias("path"), F.lit("File").alias("target"))
+            ).alias("path")
+        )
+    else:
+        path_col = F.array(full_path)
+    tagged = F.when(F.col("hash").isNull(), F.lit("NULL:00")).otherwise(
+        _tagged_hash(F.col("hash"), algo)
+    )
     return entries.select(
         F.col("file_type"),
         F.col("modified"),
         F.col("size"),
-        _tagged_hash(F.col("hash"), algo).alias("hash"),
-        F.array(F.concat_ws("/", F.col("repo"), F.col("path"))).alias("path"),
+        tagged.alias("hash"),
+        path_col.alias("path"),
         F.transform("children", lambda c: _tagged_hash(c, algo)).alias("children"),
     )
 
@@ -84,6 +111,53 @@ def write_dupsets_jsonl(dupsets: DataFrame, path: str, algo: str = "SHA256") -> 
 
 def write_entries_jsonl(entries: DataFrame, path: str, algo: str = "SHA256") -> None:
     entries_to_json_rows(entries, algo).write.mode("overwrite").json(path)
+
+
+def export_hashtree_file(
+    entries: DataFrame,
+    path: str,
+    algo: str = "SHA256",
+    creation_date: int | None = None,
+) -> int:
+    """Write ONE reference-parseable hash-tree file: the header line
+    ({"version":"V1","hash_type":...,"creation_date":...} — exactly what
+    save_header writes, hashtreefile.rs:157-163) followed by one
+    HashTreeFileEntryV1 line per entry with the structured FilePath
+    shape, so the file loads with the reference's own load_header /
+    load_entry path AND with read_entries_jsonl. Returns the entry
+    count.
+
+    Entries stream to the driver partition-by-partition
+    (toLocalIterator) — single-file export is inherently a driver-side
+    merge; at snapshot scale use the checkpoint tables or
+    write_entries_jsonl part files instead.
+    """
+    import time
+
+    tag = algo.upper()
+    if tag not in _HASH_HEX_LEN:
+        raise ValueError(
+            f"'{algo}' is not a reference hash type; exportable: "
+            f"{sorted(_HASH_HEX_LEN)}"
+        )
+    header = json.dumps(
+        {
+            "version": "V1",
+            "hash_type": tag,
+            "creation_date": int(
+                time.time() if creation_date is None else creation_date
+            ),
+        },
+        separators=(",", ":"),
+    )
+    rows = entries_to_json_rows(entries, tag, structured_path=True)
+    n = 0
+    with open(path, "w", encoding="utf-8") as out:
+        out.write(header + "\n")
+        for line in rows.toJSON().toLocalIterator():
+            out.write(line + "\n")
+            n += 1
+    return n
 
 
 # ------------------------------------------------- reference-file import

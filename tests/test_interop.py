@@ -20,8 +20,8 @@ from backupdeduplicator_spark.operators.analyze import duplicate_sets
 from backupdeduplicator_spark.operators.archive import (explode_archives,
                                                         flatten_member_paths)
 from backupdeduplicator_spark.operators.build import build_entries
-from backupdeduplicator_spark.sinks import (read_entries_jsonl,
-                                            write_entries_jsonl)
+from backupdeduplicator_spark.sinks import (export_hashtree_file,
+                                            read_entries_jsonl)
 
 
 # ------------------------------------------------------------ xxh kernels
@@ -139,26 +139,26 @@ def test_read_reference_hashtree_analyzes(spark, ref_bdd_file):
 
 
 def test_entries_jsonl_roundtrip(spark, small_files_df, tmp_path):
-    """write_entries_jsonl -> read_entries_jsonl preserves every entry's
-    identity, type, size, and digest (header added on export)."""
+    """export_hashtree_file -> read_entries_jsonl round-trips every
+    entry's identity, type, size, and digest through ONE real file — no
+    manual header glue — and the file's first line is exactly the header
+    the reference's load_header expects."""
     entries = build_entries(small_files_df).filter(F.col("path") != "")
-    out = str(tmp_path / "export")
-    write_entries_jsonl(entries, out)
+    out = str(tmp_path / "export.bdd")
+    n = export_hashtree_file(entries, out, creation_date=1700000001)
 
-    # the engine export is a directory of part files without a header —
-    # prepend one, as the reference CLI would have written
-    import glob
-    lines = []
-    for f in sorted(glob.glob(f"{out}/part-*.json")):
-        with open(f) as fh:
-            lines += [l for l in fh if l.strip()]
-    merged = tmp_path / "merged.bdd"
-    merged.write_text(
-        json.dumps({"version": "V1", "hash_type": "SHA256",
-                    "creation_date": 0}) + "\n" + "".join(lines)
-    )
+    with open(out) as fh:
+        header = json.loads(fh.readline())
+        first_entry = json.loads(fh.readline())
+    assert header == {"version": "V1", "hash_type": "SHA256",
+                      "creation_date": 1700000001}
+    # structured FilePath shape, parseable by the reference (path.rs:31-66)
+    comp = first_entry["path"]["path"][0]
+    assert set(comp) == {"path", "target"} and comp["target"] == "File"
+    assert first_entry["hash"].startswith("SHA256:")
+    assert n == entries.count()
 
-    back = read_entries_jsonl(spark, str(merged))
+    back = read_entries_jsonl(spark, out)
     orig = entries.select(
         F.concat_ws("/", "repo", "path").alias("path"),
         "file_type", "size", "hash",
@@ -167,6 +167,27 @@ def test_entries_jsonl_roundtrip(spark, small_files_df, tmp_path):
     assert got.count() == orig.count()
     assert got.exceptAll(orig).count() == 0
     assert orig.exceptAll(got).count() == 0
+
+
+def test_export_other_entries_null_hash(spark, tmp_path):
+    """Other entries export as NULL:00 (hash.rs:278-280) and survive the
+    reader's hash-type filter exception on re-import."""
+    files = spark.createDataFrame(
+        [("r", "src/a.txt", "File", "hello", None),
+         ("r", "src/dev0", "Other", None, None)],
+        "repo string, path string, file_type string, content string, "
+        "link_target string",
+    )
+    entries = build_entries(files).filter(F.col("path") != "")
+    out = str(tmp_path / "o.bdd")
+    export_hashtree_file(entries, out)
+    with open(out) as fh:
+        lines = [json.loads(ln) for ln in fh][1:]
+    by_path = {e["path"]["path"][0]["path"]: e for e in lines}
+    assert by_path["r/src/dev0"]["hash"] == "NULL:00"
+    back = {r["path"]: r for r in read_entries_jsonl(spark, out).collect()}
+    assert back["r/src/dev0"]["file_type"] == "Other"
+    assert back["r/src/dev0"]["hash"] is None
 
 
 # ------------------------------------------------------- nested archives
