@@ -68,8 +68,8 @@ def cmd_build(args) -> int:
         )
     ck.write(fh, "file_hashes", lineage={"stage": "file_hashes",
                                          "hash": args.hash})
-    ck.write(entries_from_file_hashes(ck.read("file_hashes")), "entries",
-             lineage={"stage": "entries", "hash": args.hash})
+    ck.write(entries_from_file_hashes(ck.read("file_hashes"), algo=args.hash),
+             "entries", lineage={"stage": "entries", "hash": args.hash})
     n = ck.manifest("entries")["rows"]
     print(f"build: {n} entries -> {args.checkpoint}/entries")
     return 0

@@ -233,6 +233,62 @@ def merkle_hash(children: pd.Series) -> pd.Series:
     return children.map(_h)
 
 
+def _merkle_udf(algo: str):
+    """merkle_hash generalized over the registry: digest of the
+    concatenated (pre-sorted) child digest bytes with the selected
+    algorithm — the reference builds the directory hasher from the SAME
+    CLI hash type as file contents (directory.rs:82
+    GeneralHash::from_type(arg.hash_type)), so a non-sha256 tree gets
+    non-sha256 directory digests too."""
+    if algo in ("sha1", "sha512"):
+        def _digest(data: bytes) -> bytes:
+            return hashlib.new(algo, data).digest()
+    elif algo == "xxh64":
+        def _digest(data: bytes) -> bytes:
+            return xxh64_int(data).to_bytes(8, "big")
+    else:  # xxh32
+        def _digest(data: bytes) -> bytes:
+            return xxh32_int(data).to_bytes(4, "big")
+
+    @pandas_udf(BinaryType())
+    def _udf(children: pd.Series) -> pd.Series:
+        def _h(kids: object) -> bytes:
+            buf = b"" if kids is None else b"".join(
+                bytes(k) for k in kids if k is not None
+            )
+            return _digest(buf)
+
+        return children.map(_h)
+
+    return _udf
+
+
+def merkle_hash_algo(children_col: str | Column, algo: str = "sha256") -> Column:
+    """Pluggable directory (Merkle) digest: digest of the concatenated
+    child digests, sorted ascending by bytes (callers pre-sort — see
+    merkle_hash). Algorithms match the content-hash registry so a tree
+    built with --hash X carries X digests at every level, exactly like
+    the reference (directory.rs:82); 'null' yields NULL directory hashes
+    (metadata-only build), 'xxh64spark' stays JVM-side (engine-internal,
+    not reference-compatible)."""
+    col = F.col(children_col) if isinstance(children_col, str) else children_col
+    algo = algo.lower()
+    if algo == "sha256":
+        return merkle_hash(col)
+    if algo in ("sha1", "sha512", "xxh64", "xxh32"):
+        return _merkle_udf(algo)(col)
+    if algo == "xxh64spark":
+        concat = F.aggregate(
+            col,
+            F.lit(b""),
+            lambda acc, c: F.concat(acc, F.coalesce(c, F.lit(b""))),
+        )
+        return F.unhex(F.lpad(F.hex(F.xxhash64(concat)), 16, "0"))
+    if algo == "null":
+        return F.lit(None).cast("binary")
+    raise ValueError(f"unknown hash algo '{algo}'")
+
+
 @pandas_udf(LongType())
 def sha256_prefix64(digest: pd.Series) -> pd.Series:
     """First 8 digest bytes as a signed int64 — a compact node id for graph
@@ -252,12 +308,17 @@ def content_size(content_col: str | Column) -> Column:
     return F.octet_length(col).cast("long")
 
 
-def hash_path(path_col: str | Column) -> Column:
+def hash_path(path_col: str | Column, algo: str = "sha256") -> Column:
     """Digest of a path string's bytes — the reference's symlink-target
-    hash (F2, /root/reference/src/data/hash.rs:565-573). Built-in sha2,
-    JVM-side."""
+    hash (F2, /root/reference/src/data/hash.rs:565-573), computed with
+    the build's selected algorithm like the reference's
+    GeneralHash::from_type hasher (worker/symlink.rs:62-79). sha256 is
+    the JVM built-in; other algorithms share the content-hash kernels
+    (a path string's UTF-8 bytes are just content)."""
     col = F.col(path_col) if isinstance(path_col, str) else path_col
-    return F.unhex(F.sha2(col, 256))
+    if algo.lower() == "sha256":
+        return F.unhex(F.sha2(col, 256))
+    return content_hash(col, algo)
 
 
 def hash_filepath(stack_col: str | Column) -> Column:

@@ -27,17 +27,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import (content_size, hash_path, merkle_hash,
-                                 sha256_content)
+from ..functions.hashing import (content_hash, content_size, hash_path,
+                                 merkle_hash_algo)
 from ..functions.paths import parent_path, path_depth
 
 ENTRY_COLUMNS = ["repo", "path", "file_type", "modified", "size", "hash",
                  "children", "depth"]
 
 
-def hash_files(files: DataFrame) -> DataFrame:
-    """Leaf-level entries: sha256(content) + byte size (reference F1,
-    /root/reference/src/data/hash.rs:509-528). One projection, no shuffle.
+def hash_files(files: DataFrame, algo: str = "sha256") -> DataFrame:
+    """Leaf-level entries: content digest + byte size (reference F1,
+    /root/reference/src/data/hash.rs:509-528; algorithm selected from the
+    registry like the reference CLI --hash, main.rs:59-60). One
+    projection, no shuffle.
 
     If the input carries an optional ``file_type`` column
     (File|Symlink|Other — the reference's non-directory BuildFile kinds),
@@ -59,15 +61,15 @@ def hash_files(files: DataFrame) -> DataFrame:
     )
     if has_type:
         hash_col = (
-            F.when(ft == "File", sha256_content("content"))
-            .when(ft == "Symlink", hash_path(target))
+            F.when(ft == "File", content_hash("content", algo))
+            .when(ft == "Symlink", hash_path(target, algo))
             .otherwise(F.lit(None).cast("binary"))
         )
         size_col = F.when(
             ft == "File", content_size("content")
         ).otherwise(F.lit(0)).cast("long")
     else:
-        hash_col = sha256_content("content")
+        hash_col = content_hash("content", algo)
         size_col = content_size("content")
     return (
         files.select(
@@ -83,12 +85,16 @@ def hash_files(files: DataFrame) -> DataFrame:
     )
 
 
-def merkle_directories(file_entries: DataFrame) -> DataFrame:
+def merkle_directories(file_entries: DataFrame, algo: str = "sha256") -> DataFrame:
     """Bottom-up Merkle aggregation (reference A1/O2,
     /root/reference/src/stages/build/cmd/worker/directory.rs:81-153):
 
-    dir.hash = sha256(concat(child digests sorted ascending by bytes))
+    dir.hash = digest(concat(child digests sorted ascending by bytes))
     dir.size = number of children (hashtreefile.rs:56)
+
+    ``algo`` is the build's hash algorithm — the reference constructs the
+    directory hasher from the same CLI hash type as file contents
+    (directory.rs:82), so an xxh64 build carries xxh64 directory digests.
 
     Spark's BinaryType sort order (unsigned lexicographic) matches Rust's
     [u8; N] ordering, so ``sort_array`` reproduces the reference's
@@ -129,7 +135,7 @@ def merkle_directories(file_entries: DataFrame) -> DataFrame:
                 F.lit("Directory").alias("file_type"),
                 F.lit(0).cast("long").alias("modified"),
                 F.col("size").cast("long"),
-                merkle_hash("children").alias("hash"),
+                merkle_hash_algo("children", algo).alias("hash"),
                 "children",
                 F.lit(d).cast("int").alias("depth"),
             )
@@ -171,7 +177,9 @@ def _dir_schema():
     )
 
 
-def build_entries(files: DataFrame, materialize: bool = True) -> DataFrame:
+def build_entries(
+    files: DataFrame, materialize: bool = True, algo: str = "sha256"
+) -> DataFrame:
     """Full hash-tree table: file entries ∪ derived directory/root entries.
 
     Mirrors the reference's persisted HashTreeFileEntryV1 rows
@@ -193,8 +201,8 @@ def build_entries(files: DataFrame, materialize: bool = True) -> DataFrame:
     default_par = files.sparkSession.sparkContext.defaultParallelism
     if files.rdd.getNumPartitions() < default_par:
         files = files.repartition(default_par)
-    fe = hash_files(files)
+    fe = hash_files(files, algo)
     if materialize:
         fe = fe.localCheckpoint(eager=True)
-    dirs = merkle_directories(fe)
+    dirs = merkle_directories(fe, algo)
     return fe.select(*ENTRY_COLUMNS).unionByName(dirs.select(*ENTRY_COLUMNS))

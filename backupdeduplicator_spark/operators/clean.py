@@ -125,9 +125,11 @@ def incremental_file_hashes(
     )
 
 
-def entries_from_file_hashes(fh: DataFrame) -> DataFrame:
+def entries_from_file_hashes(fh: DataFrame, algo: str = "sha256") -> DataFrame:
     """Hash-tree entries (files + Merkle dirs) from a file-hash table —
-    the cheap tail of the build once content hashing is cached."""
+    the cheap tail of the build once content hashing is cached. ``algo``
+    must be the algorithm the file hashes were computed with: directory
+    digests follow it (reference directory.rs:82)."""
     from .build import ENTRY_COLUMNS, merkle_directories
 
     fe = fh.select(
@@ -140,5 +142,5 @@ def entries_from_file_hashes(fh: DataFrame) -> DataFrame:
         F.array().cast("array<binary>").alias("children"),
         path_depth("path").alias("depth"),
     )
-    dirs = merkle_directories(fe)
+    dirs = merkle_directories(fe, algo)
     return fe.select(*ENTRY_COLUMNS).unionByName(dirs.select(*ENTRY_COLUMNS))

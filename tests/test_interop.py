@@ -314,3 +314,41 @@ def test_unparseable_archive_flows_as_other(spark):
     assert rows["ok/plain.txt"]["file_type"] == "File"
     # the parent dir still counts the Other child; NULL adds no digest bytes
     assert rows["bad"]["size"] == 1
+
+
+def test_non_sha256_build_threads_algo_everywhere(spark, tmp_path):
+    """An xxh64 build must carry xxh64 digests at EVERY level — file
+    content, symlink target, directory Merkle (reference builds the
+    directory/symlink hashers from the same CLI hash type,
+    directory.rs:82, symlink.rs:62-79) — and export/import as a valid
+    XXH64 hash-tree file (8-byte digests, 16 hex)."""
+    files = spark.createDataFrame(
+        [("r", "src/a.txt", "File", "hello", None),
+         ("r", "src/b.txt", "File", "world", None),
+         ("r", "src/ln", "Symlink", None, "src/a.txt")],
+        "repo string, path string, file_type string, content string, "
+        "link_target string",
+    )
+    entries = build_entries(files, algo="xxh64")
+    rows = {r["path"]: r for r in entries.collect()}
+
+    assert bytes(rows["src/a.txt"]["hash"]) == xxh64_int(b"hello").to_bytes(8, "big")
+    assert bytes(rows["src/ln"]["hash"]) == xxh64_int(b"src/a.txt").to_bytes(8, "big")
+    kid_bytes = b"".join(sorted(bytes(h) for h in rows["src"]["children"]))
+    assert bytes(rows["src"]["hash"]) == xxh64_int(kid_bytes).to_bytes(8, "big")
+    root_kids = b"".join(sorted(bytes(h) for h in rows[""]["children"]))
+    assert bytes(rows[""]["hash"]) == xxh64_int(root_kids).to_bytes(8, "big")
+
+    out = str(tmp_path / "x.bdd")
+    export_hashtree_file(
+        entries.filter(F.col("path") != ""), out, algo="xxh64"
+    )
+    with open(out) as fh:
+        header = json.loads(fh.readline())
+        tags = [json.loads(ln)["hash"] for ln in fh]
+    assert header["hash_type"] == "XXH64"
+    assert all(t.startswith("XXH64:") and len(t) == 6 + 16 for t in tags)
+
+    back = {r["path"]: r for r in read_entries_jsonl(spark, out).collect()}
+    assert bytes(back["r/src"]["hash"]) == bytes(rows["src"]["hash"])
+    assert bytes(back["r/src/ln"]["hash"]) == bytes(rows["src/ln"]["hash"])
