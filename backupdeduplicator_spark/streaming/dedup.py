@@ -47,23 +47,36 @@ _STATE = StructType([
 
 
 def _dedup_fn(key, batches, state: GroupState):
-    first_repo, first_path, n = (
+    """Vectorized per-key transition. Row order within a micro-batch
+    after the groupBy shuffle is NOT guaranteed, so when several copies
+    of a brand-new content co-arrive in one trigger the batch is sorted
+    by (repo, path) first — the lexicographically smallest identity is
+    the canonical copy, deterministically, across retries and
+    partitionings. (Across triggers, arrival time still wins: an
+    existing state's canonical is never displaced.)"""
+    first_repo, first_path, n0 = (
         state.get if state.exists else (None, None, 0)
     )
-    out = []
-    hash_hex = key[0]
-    for pdf in batches:
-        for row in pdf.itertuples(index=False):
-            n += 1
-            if first_repo is None:
-                first_repo, first_path = row.repo, row.path
-                out.append((row.repo, row.path, hash_hex, False,
-                            first_repo, first_path, n))
-            else:
-                out.append((row.repo, row.path, hash_hex, True,
-                            first_repo, first_path, n))
+    pdf = pd.concat(list(batches), ignore_index=True)
+    pdf = pdf.sort_values(["repo", "path"], kind="mergesort").reset_index(
+        drop=True
+    )
+    n = n0 + len(pdf)
+    is_dup = pd.Series(True, index=pdf.index)
+    if first_repo is None and len(pdf):
+        first_repo = pdf["repo"].iloc[0]
+        first_path = pdf["path"].iloc[0]
+        is_dup.iloc[0] = False
     state.update((first_repo, first_path, n))
-    yield pd.DataFrame(out, columns=[f.name for f in DEDUP_OUTPUT.fields])
+    yield pd.DataFrame({
+        "repo": pdf["repo"],
+        "path": pdf["path"],
+        "hash_hex": key[0],
+        "is_duplicate": is_dup,
+        "first_repo": first_repo,
+        "first_path": first_path,
+        "n_seen": n0 + pdf.index + 1,
+    })
 
 
 def streaming_exact_dedup(

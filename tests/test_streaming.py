@@ -97,3 +97,46 @@ def test_streaming_exact_dedup_stateful(spark, tmp_path):
     assert (cross["first_repo"], cross["first_path"]) == ("r1", "b.txt")
     assert cross["n_seen"] == 2
     assert rows[("r3", "c.txt")]["is_duplicate"] is False
+
+
+def test_streaming_dedup_co_arrival_deterministic(spark, tmp_path):
+    """When several copies of a NEW content co-arrive in one trigger, the
+    canonical pick must be deterministic: the lexicographically smallest
+    (repo, path) — regardless of shuffle row order within the batch."""
+    from backupdeduplicator_spark.streaming.dedup import streaming_exact_dedup
+
+    in_dir = tmp_path / "drops3"
+    in_dir.mkdir()
+    rows = [
+        ("r9", "zz.txt", "c", "", "same"),
+        ("r1", "mm.txt", "c", "", "same"),
+        ("r5", "aa.txt", "c", "", "same"),
+    ]
+    # write as 3 separate files so partition/arrival order is adversarial
+    for i, r in enumerate(rows):
+        spark.createDataFrame(
+            [r], ["repo", "path", "commit", "lang", "content"]
+        ).coalesce(1).write.mode("append").parquet(str(in_dir))
+    src = spark.readStream.schema(
+        "repo string, path string, commit string, lang string, content string"
+    ).parquet(str(in_dir))
+    out_dir = str(tmp_path / "out3")
+    q = (
+        streaming_exact_dedup(src)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "sck3"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["repo"], r["path"]): r for r in spark.read.parquet(out_dir).collect()
+    }
+    assert len(got) == 3
+    canon = [(k, v) for k, v in got.items() if not v["is_duplicate"]]
+    assert [k for k, _ in canon] == [("r1", "mm.txt")]
+    for v in got.values():
+        assert (v["first_repo"], v["first_path"]) == ("r1", "mm.txt")
+    assert sorted(v["n_seen"] for v in got.values()) == [1, 2, 3]
