@@ -331,6 +331,122 @@ def q_x3_substring_planted(d: D) -> str:
 # fingerprint rolling-hash constants: 257^(7-j) mod (2^31 - 1), matching
 # functions/shingles._pows(8) — verified against the kernel
 _FP_POWS = [623063367, 336663071, 168429323, 67503107, 16974593, 66049, 257, 1]
+# same polynomial for the k=5 MinHash/SimHash shingles and the k=25
+# winnowing grams (257^(k-1-j) mod 2^31-1)
+_POWS5 = _FP_POWS[-5:]
+
+
+def _pows_k(k: int) -> list[int]:
+    p, out = (1 << 31) - 1, [1]
+    for _ in range(k - 1):
+        out.append(out[-1] * 257 % p)
+    return list(reversed(out))
+
+
+def q_x1_simhash_pairs(d: D) -> str:
+    """DuckDB twin of the SimHash tier on the RAW documents table — an
+    exact re-expression of functions/text.simhash64 (distinct k=5
+    rolling-hash shingles -> h*0x9E3779B97F4A7C15 mod 2^64 XOR h>>7 ->
+    per-bit majority vote, strict >) followed by all-pairs Hamming <= 8.
+
+    Valid as a FULL oracle (not just planted pairs) because the engine's
+    pigeonhole banding is LOSSLESS here: radius 8 uses 16 4-bit blocks
+    (any pair at Hamming <= 15 shares >= 1 exact block) and at sf0.01's
+    500 docs every block bucket is far below max_bucket=1000, so no
+    candidate is capped away — the engine must return exactly every
+    Hamming<=8 pair. The Spark side runs the actual pandas-UDF kernel
+    (ENGINE_BACKED); this SQL exists for the DuckDB dialect only."""
+    win5 = " + ".join(
+        f"CAST(ascii(substr(text, i + {j}, 1)) AS BIGINT) * {p}"
+        for j, p in enumerate(_POWS5)
+    )
+    asc5 = str(list(reversed(_POWS5)))
+    short5 = (
+        "list_sum(list_transform(range(1, length(text) + 1), "
+        f"i -> CAST(ascii(substr(text, i, 1)) AS BIGINT) "
+        f"* ({asc5}[length(text) - i + 1]))) % 2147483647"
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+    CASE WHEN length(text) = 0 THEN CAST([] AS BIGINT[])
+         WHEN length(text) < 5 THEN [{short5}]
+         ELSE list_distinct(list_transform(range(1, length(text) - 3),
+              i -> ({win5}) % 2147483647)) END AS hs
+  FROM documents
+), e AS (
+  SELECT doc_id, len(hs) AS nsh, unnest(hs) AS h FROM sh
+), h64 AS (
+  SELECT doc_id, nsh,
+    xor(CAST((CAST(h AS HUGEINT) * 11400714819323198485)
+             % 18446744073709551616 AS UBIGINT),
+        CAST(h >> 7 AS UBIGINT)) AS v
+  FROM e
+), votes AS (
+  SELECT doc_id, nsh, b,
+    SUM(CASE WHEN (v >> CAST(b AS UBIGINT)) & 1 = 1 THEN 1 ELSE 0 END) AS vote
+  FROM h64, range(0, 64) t(b) GROUP BY doc_id, nsh, b
+), packed AS (
+  SELECT doc_id,
+    SUM(CASE WHEN 2 * vote > nsh THEN
+          CASE WHEN b = 63 THEN -9223372036854775808
+               ELSE (CAST(1 AS BIGINT) << CAST(b AS INT)) END
+        ELSE 0 END) AS sh
+  FROM votes GROUP BY doc_id
+), s AS (
+  SELECT doc_id, CAST(COALESCE(sh, 0) AS BIGINT) AS sh FROM packed
+  UNION ALL
+  SELECT doc_id, 0 AS sh FROM documents WHERE length(text) = 0
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 8
+"""
+
+
+def q_x2_substring_dup_pairs(d: D) -> str:
+    """DuckDB twin of the winnowing substring tier on the mirrored corpus
+    — an exact re-expression of operators/substring (k=25 positional
+    rolling hashes -> sliding-window-50 minima -> distinct fingerprints;
+    the rightmost-argmin pick equals the window MIN value, and winnow
+    dedups values, so window mins suffice), the >2..500 frequency band,
+    and pairs sharing >= 2 fingerprints. A FULL oracle for organic +
+    planted pairs (the cap path included). The Spark side runs the
+    actual pandas-UDF kernel (ENGINE_BACKED); this SQL exists for the
+    DuckDB dialect only."""
+    pows25 = _pows_k(25)
+    win25 = " + ".join(
+        f"CAST(ascii(substr(text, i + {j}, 1)) AS BIGINT) * {p}"
+        for j, p in enumerate(pows25)
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+), h AS (
+  SELECT doc_id,
+    CASE WHEN length(text) < 25 THEN CAST([] AS BIGINT[])
+    ELSE list_transform(range(1, length(text) - 23),
+         i -> ({win25}) % 2147483647) END AS hs
+  FROM corpus
+), w AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+         WHEN len(hs) <= 50 THEN [list_min(hs)]
+         ELSE list_distinct(list_transform(range(1, len(hs) - 48),
+              w -> list_min(hs[w : w + 49]))) END AS fps
+  FROM h
+), fp AS (
+  SELECT DISTINCT doc_id AS id, unnest(fps) AS fp FROM w
+), e AS (
+  SELECT id, fp FROM fp WHERE fp IN (
+    SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 500)
+)
+SELECT a.id AS id1, b.id AS id2, COUNT(*) AS shared_fingerprints
+FROM e a JOIN e b ON a.fp = b.fp AND a.id < b.id
+GROUP BY a.id, b.id HAVING COUNT(*) >= 2
+"""
 _LANG_SQL_PROFILES = {
     "en": ["the", "and", "ing", "ion", "ent", "for", " th", "he ", "er ", "al "],
     "de": ["der", "die", "und", "sch", "ein", "ich", "en ", "ch ", "ung", "ber"],
@@ -448,6 +564,8 @@ SQL_QUERIES: dict[str, Callable[[D], str]] = {
     "d2_near_dup_planted": q_d2_near_dup_planted,
     "x3_substring_planted_mirrors": q_x3_substring_planted,
     "x4_simhash_planted_mirrors": q_x4_simhash_planted,
+    "x1_simhash_pairs": q_x1_simhash_pairs,
+    "x2_substring_dup_pairs": q_x2_substring_dup_pairs,
 }
 
 
@@ -517,12 +635,16 @@ def _spark_t4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _spark_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash tier on the raw documents table (organic pairs), driver-
+    checked against the full DuckDB kernel re-expression (q_x1): the
+    pigeonhole banding is lossless at this radius/corpus, so the result
+    must equal the exact Hamming<=8 enumeration."""
     from .operators.dedup_extra import simhash_pairs
     from .sources.tables import register_views
 
     register_views(spark, sf_dir)
-    return simhash_pairs(spark.table("documents"), max_hamming=8).orderBy(
-        "id1", "id2"
+    return simhash_pairs(spark.table("documents"), max_hamming=8).select(
+        "id1", "id2", F.col("hamming").cast("long").alias("hamming")
     )
 
 
@@ -658,14 +780,15 @@ ENGINE_BACKED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d2_near_dup_planted": _spark_near_dup_planted,
     "x3_substring_planted_mirrors": _spark_substring_planted,
     "x4_simhash_planted_mirrors": _spark_simhash_planted,
+    "x1_simhash_pairs": _spark_simhash_pairs,
 }
 
 
 def _spark_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-duplication tier (winnowing fingerprints) over documents
     plus mirrored copies — the GENERAL query (organic + planted pairs,
-    min_shared=2). Rows-only; the planted subset is oracle-checked by
-    x3_substring_planted_mirrors."""
+    min_shared=2), driver-checked against the full DuckDB winnowing
+    re-expression (q_x2), cap path included."""
     from .operators.substring import substring_duplicate_pairs
     from .sources.tables import register_views
 
@@ -679,10 +802,10 @@ def _spark_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_duplicate_pairs(corpus).orderBy("id1", "id2")
 
 
+ENGINE_BACKED["x2_substring_dup_pairs"] = _spark_substring_pairs
+
 ENGINE_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_clusters": _spark_near_dup_clusters,
-    "x2_substring_dup_pairs": _spark_substring_pairs,
-    "x1_simhash_pairs": _spark_simhash_pairs,
 }
 
 
