@@ -8,21 +8,28 @@ degenerate keys (boilerplate mega-buckets) hold enough members that
 either the O(m^2) pair expansion or the collect_list aggregation buffer
 itself becomes a single-task memory bomb at 100 TB.
 
-Plan (genuinely bounded per-task memory, unlike a collect-then-filter):
+Two plans, same outputs (byte-identical pair sets, measured):
 
-  1. COUNT pass — groupBy(key).count(). Map-side combinable; the
-     exchange carries one ~24-byte row per distinct key per input
-     partition, and the aggregation buffer is O(1) per key.
-  2. Oversized keys (count > max_bucket) are anti-joined away BEFORE any
-     list is collected. The oversized set is tiny by construction
-     (<= total_rows / max_bucket keys), so AQE turns this into a
-     broadcast anti-join — the big bucket table is not re-shuffled.
-  3. collect_list per surviving key — now provably bounded at
-     max_bucket elements per aggregation buffer.
-  4. JVM-side pair expansion from the sorted member array (whole-stage
-     codegen: transform/slice/flatten) — members sort ascending, so each
-     unordered pair is emitted exactly once with m1 < m2 and no
-     self-join.
+SALTED (default) — one logical pass, two exchanges:
+  phase 1 groups by (key, salt=pmod(member, S)) and emits a partial
+  count + a slice(collect_list, cap+1) partial member list; phase 2
+  merges per key: bn = sum of partial counts, ids = flattened partials.
+  Keys with bn > max_bucket are dropped + accounted; for surviving keys
+  every partial held <= bn <= cap members, so no slice ever truncated
+  and the membership is exact. Phase-2 buffers are hard-bounded at
+  S*(cap+1); the residual hazard is the phase-1 final-merge buffer —
+  bucket_size/S items — i.e. the mega-bucket memory is divided by S and
+  spread across S reducers, not eliminated. Raise ``salt_buckets`` (or
+  use count_first) for adversarial skew.
+
+COUNT-FIRST (count_first=True) — hard per-task bound:
+  a map-side-combinable count pass finds oversized keys BEFORE any list
+  exists; they are broadcast-anti-joined away, so collect_list is
+  provably bounded at max_bucket elements. Costs one extra exchange of
+  ~24-byte count rows + a second scan of ``buckets`` (callers should
+  persist a UDF-derived bucket table upstream) — measured ~+35% on the
+  candidate stage at bench scale, the price of the guarantee. This is
+  the shape to force when a corpus is known boilerplate-heavy.
 
 Dropped keys are returned, never silently ignored (the engine's
 no-silent-caps rule): callers surface/count them via the lazy
@@ -34,12 +41,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_PAIR_EXPR = (
+    "flatten(transform(ms, (x, i) -> "
+    "transform(slice(ms, i + 2, size(ms)), "
+    "y -> struct(x AS m1, y AS m2))))"
+)
+
 
 def bounded_bucket_pairs(
     buckets: DataFrame,
     key_cols: list[str],
     member_col: str,
     max_bucket: int,
+    salt_buckets: int = 16,
+    count_first: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(pairs, oversized) from a (key..., member) bucket table.
 
@@ -52,25 +67,52 @@ def bounded_bucket_pairs(
     ``oversized`` has columns (key..., bn): keys dropped because their
     membership exceeded ``max_bucket`` — lazy, no barrier on the hot
     path.
-
-    ``buckets`` is scanned twice (count pass + collect pass); callers
-    whose bucket table is UDF-derived should persist the UDF output
-    upstream so the kernel runs once.
     """
-    counts = buckets.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("bn"))
-    oversized = counts.filter(F.col("bn") > max_bucket)
-    bounded = buckets.join(oversized.select(*key_cols), key_cols, "left_anti")
-    lists = (
-        bounded.groupBy(*key_cols)
-        .agg(F.sort_array(F.collect_list(member_col)).alias("ms"))
-        .filter(F.size("ms") >= 2)
-    )
-    pair_expr = F.expr(
-        "flatten(transform(ms, (x, i) -> "
-        "transform(slice(ms, i + 2, size(ms)), "
-        "y -> struct(x AS m1, y AS m2))))"
-    )
-    pairs = lists.select(F.explode(pair_expr).alias("p")).select(
+    if count_first:
+        counts = buckets.groupBy(*key_cols).agg(
+            F.count(F.lit(1)).alias("bn")
+        )
+        oversized = counts.filter(F.col("bn") > max_bucket)
+        # explicit broadcast: without the hint AQE first materializes
+        # BOTH anti-join sides as shuffle stages (a wasted full exchange
+        # of the bucket table — measured 2.6x the candidate stage); the
+        # oversized side is <= total_rows/max_bucket keys by construction.
+        bounded = buckets.join(
+            F.broadcast(oversized.select(*key_cols)), key_cols, "left_anti"
+        )
+        lists = (
+            bounded.groupBy(*key_cols)
+            .agg(F.sort_array(F.collect_list(member_col)).alias("ms"))
+            .filter(F.size("ms") >= 2)
+        )
+    else:
+        # phase-1 partials skip sort_array: for surviving keys the slice
+        # never truncates (every partial <= bn <= cap), and truncated
+        # partials only ever belong to keys that are dropped anyway
+        phase1 = (
+            buckets.withColumn(
+                "_salt",
+                F.pmod(F.xxhash64(F.col(member_col)), F.lit(salt_buckets)),
+            )
+            .groupBy(*key_cols, "_salt")
+            .agg(
+                F.count(F.lit(1)).alias("pn"),
+                F.slice(
+                    F.collect_list(member_col), 1, max_bucket + 1
+                ).alias("pids"),
+            )
+        )
+        merged = phase1.groupBy(*key_cols).agg(
+            F.sum("pn").alias("bn"),
+            F.sort_array(F.flatten(F.collect_list("pids"))).alias("ms"),
+        )
+        oversized = merged.filter(F.col("bn") > max_bucket).select(
+            *key_cols, "bn"
+        )
+        lists = merged.filter(
+            (F.col("bn") >= 2) & (F.col("bn") <= max_bucket)
+        ).select(*key_cols, "ms")
+    pairs = lists.select(F.explode(F.expr(_PAIR_EXPR)).alias("p")).select(
         "p.m1", "p.m2"
     )
     return pairs, oversized

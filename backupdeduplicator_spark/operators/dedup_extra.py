@@ -59,11 +59,13 @@ def simhash_pairs(
             raise ValueError("max_hamming must be < 64")
     n_blocks = 64 // block_bits
     assert max_hamming <= n_blocks - 1, "raise block count for that radius"
-    # persisted: the bounded kernel scans blocks twice (count + collect);
-    # without this the simhash UDF would run the text kernel per scan
+    # persisted EAGERLY: the bounded kernel's count and collect passes are
+    # concurrent leaf stages (AQE submits both at once) — a lazy cache
+    # would race and run the simhash text kernel twice
     sh = docs.select(
         F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
     ).persist()
+    sh.count()
     blocks = sh.select(
         F.struct("id", "sh").alias("m"),
         F.posexplode(

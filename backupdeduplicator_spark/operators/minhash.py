@@ -173,7 +173,7 @@ class CandidateStats:
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, max_bucket: int = 128
+    sigs: DataFrame, max_bucket: int = 128, count_first: bool = False
 ) -> CandidateStats:
     """Distinct candidate pairs (id1 < id2) sharing >=1 LSH bucket.
 
@@ -182,17 +182,17 @@ def lsh_candidate_pairs(
     barrier on the hot path; at 100 TB such buckets are boilerplate mega-
     clusters better handled by the exact tier / a dedicated pass).
 
-    Plan shape (operators/buckets.py): a map-side-combinable COUNT pass
-    prunes oversized keys BEFORE any membership list exists, so the
-    collect_list buffer is provably bounded at max_bucket elements —
-    a degenerate band bucket of 10^8 distinct near-identical contents
-    costs one 24-byte count row, never an 800 MB array in one task
-    (the round-2 collect-then-filter shape had exactly that hazard).
-    Pairs expand JVM-side from the sorted bounded array, then ONE
-    groupBy(nid1, nid2) counts band matches. The count exchange carries
-    ~one tiny row per distinct key per partition; the oversized
-    anti-join is AQE-broadcast (the oversized set is <= rows/max_bucket
-    keys), so the bucket table still shuffles only twice.
+    Plan shape (operators/buckets.py bounded kernel): the default salted
+    two-phase collect bounds aggregation memory at bucket_size/16 per
+    reducer with NO extra pass — the round-2 single collect_list held a
+    mega bucket's entire membership in ONE buffer before the size filter
+    ran (an ~800 MB single-task array for a 10^8-member band bucket);
+    ``count_first=True`` buys a hard max_bucket bound for one extra
+    count exchange (~+35% candidate-stage time, the knob for known
+    boilerplate-heavy corpora). Both prune oversized keys before pair
+    expansion, expand pairs JVM-side from sorted arrays, and end with
+    ONE groupBy(nid1, nid2) counting band matches; pair sets are
+    byte-identical across the shapes (tested).
 
     band_matches lets callers pre-filter candidates BEFORE the (wide)
     signature join. P(pair shares >= m bands) at true Jaccard J is
@@ -203,7 +203,8 @@ def lsh_candidate_pairs(
 
     buckets = lsh_buckets(sigs)
     pair_rows, oversized = bounded_bucket_pairs(
-        buckets, ["band", "bandhash"], "nid", max_bucket
+        buckets, ["band", "bandhash"], "nid", max_bucket,
+        count_first=count_first,
     )
     pairs = pair_rows.groupBy(
         F.col("m1").alias("nid1"), F.col("m2").alias("nid2")
@@ -265,6 +266,12 @@ def near_duplicate_clusters(
     if sigs is None:
         sigs = distinct_content_signatures(files, prior=prior_sigs)
     sigs = sigs.persist()
+    # barrier: materialize the cache BEFORE the candidate stage. Its
+    # count pass and collect pass are independent leaf stages of one job
+    # and AQE submits them concurrently — against a lazy cache they race
+    # and each runs the fused sha+MinHash kernel (measured: ~2x the
+    # signature-stage cost in the driver bench).
+    sigs.count()
     cand = lsh_candidate_pairs(sigs, max_bucket=max_bucket)
     if report is not None:
         report["oversized"] = cand.oversized

@@ -94,8 +94,11 @@ def substring_duplicate_pairs(
     fps = docs.select(
         F.col(id_col).alias("id"),
         F.explode(winnow_fingerprints(F.col(text_col))).alias("fp"),
-    ).distinct().persist()  # consumed 2x (count pass + collect pass) —
-    # without this the winnow UDF re-runs per consumer (seen in PLANS.md)
+    ).distinct().persist()
+    # eager: the count pass and collect pass are concurrent leaf stages
+    # (AQE submits both at once) — a lazy cache would race and run the
+    # winnow UDF twice
+    fps.count()
     pair_rows, oversized = bounded_bucket_pairs(
         fps, ["fp"], "id", max_fingerprint_freq
     )

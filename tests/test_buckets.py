@@ -6,14 +6,18 @@ dropped + accounted, and must not disturb pairs from normal buckets.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from backupdeduplicator_spark.operators.buckets import bounded_bucket_pairs
 from backupdeduplicator_spark.operators.minhash import (LSH_BANDS,
                                                         lsh_candidate_pairs)
 
+BOTH = pytest.mark.parametrize("count_first", [False, True])
 
-def test_pair_expansion_and_oversized_accounting(spark):
+
+@BOTH
+def test_pair_expansion_and_oversized_accounting(spark, count_first):
     rows = [
         # bucket k=1: members 3,1,2 -> pairs (1,2) (1,3) (2,3)
         (1, 3), (1, 1), (1, 2),
@@ -25,17 +29,20 @@ def test_pair_expansion_and_oversized_accounting(spark):
         (4, 5), (4, 4),
     ]
     buckets = spark.createDataFrame(rows, "k int, m long")
-    pairs, oversized = bounded_bucket_pairs(buckets, ["k"], "m", max_bucket=3)
+    pairs, oversized = bounded_bucket_pairs(
+        buckets, ["k"], "m", max_bucket=3, count_first=count_first)
     got = sorted((r["m1"], r["m2"]) for r in pairs.collect())
     assert got == [(1, 2), (1, 3), (2, 3), (4, 5)]
     over = [(r["k"], r["bn"]) for r in oversized.collect()]
     assert over == [(3, 4)]
 
 
-def test_pair_multiplicity_counts_shared_buckets(spark):
+@BOTH
+def test_pair_multiplicity_counts_shared_buckets(spark, count_first):
     rows = [(1, 1), (1, 2), (2, 1), (2, 2), (3, 2), (3, 7)]
     buckets = spark.createDataFrame(rows, "k int, m long")
-    pairs, _ = bounded_bucket_pairs(buckets, ["k"], "m", max_bucket=10)
+    pairs, _ = bounded_bucket_pairs(
+        buckets, ["k"], "m", max_bucket=10, count_first=count_first)
     counts = {
         (r["m1"], r["m2"]): r["n"]
         for r in pairs.groupBy("m1", "m2").agg(F.count("*").alias("n")).collect()
@@ -43,20 +50,23 @@ def test_pair_multiplicity_counts_shared_buckets(spark):
     assert counts == {(1, 2): 2, (2, 7): 1}
 
 
-def test_struct_members_order_by_first_field(spark):
+@BOTH
+def test_struct_members_order_by_first_field(spark, count_first):
     rows = [(1, (2, 100)), (1, (1, 999))]
     buckets = spark.createDataFrame(rows, "k int, m struct<id: long, sh: long>")
-    pairs, _ = bounded_bucket_pairs(buckets, ["k"], "m", max_bucket=10)
+    pairs, _ = bounded_bucket_pairs(
+        buckets, ["k"], "m", max_bucket=10, count_first=count_first)
     [r] = pairs.collect()
     assert (r["m1"]["id"], r["m2"]["id"]) == (1, 2)
     assert (r["m1"]["sh"], r["m2"]["sh"]) == (999, 100)
 
 
-def test_lsh_mega_bucket_bounded(spark):
-    """A degenerate LSH bucket (every row same signature) is dropped by
-    the count pass without ever collecting its membership; normal
-    buckets' candidate pairs are unaffected and band-match counts are
-    exact."""
+@BOTH
+def test_lsh_mega_bucket_bounded(spark, count_first):
+    """A degenerate LSH bucket (every row same signature) is dropped —
+    before any membership list exists (count_first) or via capped salted
+    partials (default) — while normal buckets' candidate pairs are
+    unaffected and band-match counts are exact."""
     n_mega = 20000
     mega_sig = F.array(*[F.lit(7)] * 128)
     norm_sig = F.array(*[F.lit(i) for i in range(128)])
@@ -70,7 +80,8 @@ def test_lsh_mega_bucket_bounded(spark):
         (F.col("id") + 10_000_000).alias("nid"),
         norm_sig.alias("sig"),
     )
-    stats = lsh_candidate_pairs(mega.unionByName(normal), max_bucket=128)
+    stats = lsh_candidate_pairs(
+        mega.unionByName(normal), max_bucket=128, count_first=count_first)
     pairs = stats.pairs.collect()
     ids = {(r["nid1"], r["nid2"]) for r in pairs}
     assert ids == {
