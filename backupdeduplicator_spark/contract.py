@@ -526,6 +526,90 @@ FROM lang
 """
 
 
+def q_near_dup_clusters(d: D) -> str:
+    """Full DuckDB oracle for the flagship MinHash/LSH/CC near-dup tier
+    over the derived files view — an exact re-expression of the ENTIRE
+    pipeline, not a planted proxy:
+
+      * per distinct content: k=5 rolling-hash shingles and the 128-perm
+        MinHash signature ((a_i*h + b_i) mod 2^31-1, the engine's exact
+        constants from functions/shingles, inlined as a VALUES table;
+        empty shingle sets get the sentinel-p signature);
+      * edges: pairs agreeing on >= 2 of the 32 bands (band-hash
+        equality == equality of the 4-row slice, xxhash64 collisions
+        aside) AND >= ceil(0.55*128) = 71 signature positions (est_sim
+        >= 0.55 on bit-identical integers — no float comparison);
+      * connected components via a recursive-CTE transitive closure
+        (componentwise tiny at sf0.01), labeled by min member content
+        id, matching the engine's relabeled output.
+
+    The Spark side runs the real engine pipeline (ENGINE_BACKED); this
+    SQL exists for the DuckDB dialect only."""
+    from .functions.shingles import _A, _B
+
+    perm_vals = ", ".join(
+        f"({i}, {int(a)}, {int(b)})" for i, (a, b) in enumerate(zip(_A, _B))
+    )
+    win5 = " + ".join(
+        f"CAST(ascii(substr(content, i + {j}, 1)) AS BIGINT) * {p}"
+        for j, p in enumerate(_POWS5)
+    )
+    asc5 = str(list(reversed(_POWS5)))
+    short5 = (
+        "list_sum(list_transform(range(1, length(content) + 1), "
+        f"i -> CAST(ascii(substr(content, i, 1)) AS BIGINT) "
+        f"* ({asc5}[length(content) - i + 1]))) % 2147483647"
+    )
+    return f"""
+{_files_cte(d)}, fh AS (
+  SELECT repo, path, {d.sha256('content')} AS id, content FROM files
+), contents AS (
+  SELECT id, min(content) AS content FROM fh GROUP BY id
+), sh AS (
+  SELECT id,
+    CASE WHEN length(content) = 0 THEN CAST([] AS BIGINT[])
+         WHEN length(content) < 5 THEN [{short5}]
+         ELSE list_distinct(list_transform(range(1, length(content) - 3),
+              i -> ({win5}) % 2147483647)) END AS hs
+  FROM contents
+), perms(i, a, b) AS (VALUES {perm_vals}),
+shx AS (SELECT id, unnest(hs) AS h FROM sh),
+sig AS (
+  SELECT shx.id, p.i,
+    COALESCE(MIN((p.a * shx.h + p.b) % 2147483647), 2147483647) AS v
+  FROM shx, perms p GROUP BY shx.id, p.i
+), empty_sig AS (
+  SELECT sh.id, p.i, 2147483647 AS v FROM sh, perms p WHERE len(sh.hs) = 0
+), s AS (SELECT * FROM sig UNION ALL SELECT * FROM empty_sig),
+eq AS (
+  SELECT a.id AS id1, b.id AS id2, a.i AS i
+  FROM s a JOIN s b ON a.i = b.i AND a.v = b.v AND a.id < b.id
+), pairstats AS (
+  SELECT id1, id2, COUNT(*) AS agree,
+    COUNT(*) FILTER (WHERE band_n = 4) AS bands
+  FROM (
+    SELECT id1, id2, i,
+      COUNT(*) OVER (PARTITION BY id1, id2, i // 4) AS band_n
+    FROM eq
+  ) GROUP BY id1, id2
+), edges AS (
+  SELECT id1, id2 FROM pairstats
+  WHERE bands >= 2 AND agree >= CAST(ceil(0.55 * 128) AS BIGINT)
+), bi AS (
+  SELECT id1 AS a, id2 AS b FROM edges UNION SELECT id2, id1 FROM edges
+), closure AS (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT a, b FROM bi
+    UNION
+    SELECT r.a, bi.b FROM r JOIN bi ON r.b = bi.a WHERE bi.b <> r.a
+  ) SELECT * FROM r
+), labels AS (
+  SELECT a AS id, LEAST(a, MIN(b)) AS cluster FROM closure GROUP BY a
+)
+SELECT fh.repo, fh.path, fh.id, l.cluster FROM fh JOIN labels l ON fh.id = l.id
+"""
+
+
 def q_d1_exact_dup_docs(d: D) -> str:
     """Exact dedup over the documents table (hash-groupBy). The raw table
     has no duplicate texts, so every 7th doc is mirrored under a shifted
@@ -566,6 +650,7 @@ SQL_QUERIES: dict[str, Callable[[D], str]] = {
     "x4_simhash_planted_mirrors": q_x4_simhash_planted,
     "x1_simhash_pairs": q_x1_simhash_pairs,
     "x2_substring_dup_pairs": q_x2_substring_dup_pairs,
+    "near_dup_clusters": q_near_dup_clusters,
 }
 
 
@@ -613,15 +698,21 @@ def _spark_file_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _spark_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine-only (no SQL twin): MinHash/LSH/CC near-dup clusters over the
-    derived files view. Driver records a rows-only check."""
+    """Flagship MinHash/LSH/CC near-dup clustering over the derived files
+    view, driver-checked against the FULL DuckDB pipeline re-expression
+    (q_near_dup_clusters). Components are relabeled by their minimum
+    member content id — one tiny agg over the label table — so the
+    cluster labels are stable content hashes instead of engine-internal
+    int64 node ids (and therefore oracle-comparable)."""
     from .operators.minhash import near_duplicate_clusters
     from .sources.tables import files_df
 
     files = files_df(spark, sf_dir).withColumn("commit", F.lit("")).withColumn(
         "lang", F.lit("")
     )
-    return near_duplicate_clusters(files).orderBy("component", "repo", "path")
+    clusters = near_duplicate_clusters(files)
+    lab = clusters.groupBy("component").agg(F.min("id").alias("cluster"))
+    return clusters.join(lab, "component").select("repo", "path", "id", "cluster")
 
 
 def _spark_t4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -803,10 +894,11 @@ def _spark_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ENGINE_BACKED["x2_substring_dup_pairs"] = _spark_substring_pairs
+ENGINE_BACKED["near_dup_clusters"] = _spark_near_dup_clusters
 
-ENGINE_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "near_dup_clusters": _spark_near_dup_clusters,
-}
+# every query now has a DuckDB twin; the dict stays as the hook for
+# genuinely non-SQL-expressible future ops (custom stateful streaming)
+ENGINE_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -81,10 +81,11 @@ def test_query_matches_duckdb(spark, duck, name):
 
 
 def test_engine_only_queries_run(spark):
+    """Every remaining engine-only query must at least run; currently
+    every query has a DuckDB twin, so this guards the hook staying
+    sound if one is ever added."""
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    engine_only = set(qs) - set(oracles)
-    assert engine_only, "expected at least one engine-only query"
-    for name in engine_only:
+    for name in set(qs) - set(oracles):
         df = qs[name](spark, SF_DIR)
         assert df.count() >= 0, name
