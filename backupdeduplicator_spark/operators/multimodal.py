@@ -1,11 +1,21 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing (schemas, mapInPandas batch shape, partitioning)
-is real and tested; the actual media decoding is STUBBED — the image/audio
-libraries are not in this container. ``decode_fn='fake'`` substitutes a
-deterministic sha256-seeded feature vector so the pipeline shape can be
-exercised end-to-end; ``decode_fn='real'`` raises NotImplementedError at
-the exact point a Pillow/ffmpeg call would go.
+is real and tested. Decoding has three modes:
+
+  * ``decode_fn='real'`` — REAL decoders for the container-friendly
+    formats parseable with the standard library alone: WAV/PCM audio
+    (``wave`` module), 24-bit uncompressed BMP and binary PPM (P6)
+    images (struct/numpy). Each yields a FEATURE_DIM feature vector:
+    images are grayscaled and mean-pooled to 8x8 (the resize step),
+    audio is a 64-segment RMS envelope. Compressed formats (JPEG/PNG/
+    MP4/...) raise NotImplementedError at exactly the point a
+    Pillow/ffmpeg call would go — those libraries are not in this
+    container, and faking a codec would be worse than failing loudly.
+  * ``decode_fn='fake'`` (default) — deterministic sha256-seeded vector;
+    exercises the full pipeline shape end-to-end for any payload.
+  * ``decode_fn='auto'`` — real where a stdlib decoder exists, fake
+    fallback otherwise (pipeline-shape testing on mixed corpora).
 
 Schema convention for a multimodal table:
     media(id: long, kind: string, meta: struct<width:int, height:int,
@@ -15,6 +25,8 @@ Schema convention for a multimodal table:
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -59,7 +71,6 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     """Deterministic stand-in for a real decoder: expand the payload's
     sha256 into FEATURE_DIM floats in [0, 1)."""
     out = np.empty(FEATURE_DIM, dtype=np.float32)
-    h = b""
     seed = hashlib.sha256(payload).digest()
     for i in range(0, FEATURE_DIM, 8):
         h = hashlib.sha256(seed + i.to_bytes(4, "big")).digest()
@@ -68,25 +79,151 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     return out
 
 
+# --------------------------------------------------- real stdlib decoders
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """WAV/PCM -> mono float samples in [-1, 1] (stdlib ``wave``)."""
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        nch, width, _rate, nframes = (
+            w.getnchannels(), w.getsampwidth(), w.getframerate(),
+            w.getnframes(),
+        )
+        raw = w.readframes(nframes)
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128) / 128
+    else:
+        raise NotImplementedError(f"{8 * width}-bit PCM not supported")
+    if nch > 1:
+        x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
+    return x
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP -> (h, w) grayscale array in [0, 1]."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"BMP bpp={bpp} compression={comp}: only 24-bit uncompressed "
+            "decodes without Pillow"
+        )
+    flipped = height > 0  # positive height = bottom-up row order
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3  # rows pad to 4 bytes
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=off
+    ).reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+    gray = rows.astype(np.float64).mean(axis=2) / 255.0
+    return gray[::-1] if flipped else gray
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval <= 255) -> (h, w) grayscale in [0, 1]."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header: 3 whitespace-separated ints after the magic; '#' comments
+    vals, i = [], 2
+    while len(vals) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        vals.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    width, height, maxval = vals
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    px = np.frombuffer(
+        payload, dtype=np.uint8, count=width * height * 3, offset=i
+    ).reshape(height, width, 3)
+    return px.astype(np.float64).mean(axis=2) / maxval
+
+
+def _pool_gray(gray: np.ndarray, side: int = 8) -> np.ndarray:
+    """Mean-pool a grayscale image to side x side — the resize step."""
+    h, w = gray.shape
+    ye = (np.arange(side + 1) * h) // side
+    xe = (np.arange(side + 1) * w) // side
+    out = np.empty((side, side))
+    for r in range(side):
+        for c in range(side):
+            block = gray[ye[r]:max(ye[r + 1], ye[r] + 1),
+                         xe[c]:max(xe[c + 1], xe[c] + 1)]
+            out[r, c] = block.mean()
+    return out
+
+
+def _audio_envelope(x: np.ndarray, bins: int = FEATURE_DIM) -> np.ndarray:
+    """RMS per equal time segment, peak-normalized — a cheap, alignment-
+    robust audio fingerprint."""
+    if x.size == 0:
+        return np.zeros(bins)
+    edges = (np.arange(bins + 1) * x.size) // bins
+    out = np.empty(bins)
+    for i in range(bins):
+        seg = x[edges[i]:max(edges[i + 1], edges[i] + 1)]
+        out[i] = np.sqrt((seg * seg).mean())
+    peak = out.max()
+    return out / peak if peak > 0 else out
+
+
+def _real_decode(kind: str, payload: bytes) -> np.ndarray:
+    """Modality dispatch for the stdlib decoders; FEATURE_DIM floats."""
+    if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
+        return _audio_envelope(decode_wav(payload)).astype(np.float32)
+    if payload[:2] == b"BM":
+        return _pool_gray(decode_bmp(payload)).ravel().astype(np.float32)
+    if payload.startswith(b"P6"):
+        return _pool_gray(decode_ppm(payload)).ravel().astype(np.float32)
+    raise NotImplementedError(
+        f"real decode for kind={kind!r} (magic {payload[:4]!r}) requires "
+        "Pillow/ffmpeg — not available in this environment; stdlib "
+        "decoders cover WAV, 24-bit BMP, and P6 PPM"
+    )
+
+
 def extract_features(media: DataFrame, decode_fn: str = "fake") -> DataFrame:
     """payload -> feature vector via mapInPandas (Arrow batch iterator —
     the shape a real GPU/CPU decode stage uses: one Python worker per
-    partition, batches in, batches out, no driver involvement)."""
+    partition, batches in, batches out, no driver involvement).
+
+    decode_fn: 'fake' (deterministic hash vector), 'real' (stdlib
+    decoders; raises for formats needing Pillow/ffmpeg), 'auto' (real
+    where possible, fake fallback)."""
+    if decode_fn not in ("fake", "real", "auto"):
+        raise ValueError(f"unknown decode_fn {decode_fn!r}")
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import base64
 
         for pdf in it:
             feats, shas = [], []
-            for payload_b64 in pdf["payload"]:
+            for kind, payload_b64 in zip(pdf["kind"], pdf["payload"]):
                 raw = base64.b64decode(payload_b64 or "")
                 if decode_fn == "fake":
-                    feats.append(_fake_decode(raw).tolist())
+                    vec = _fake_decode(raw)
+                elif decode_fn == "real":
+                    vec = _real_decode(kind, raw)
                 else:
-                    raise NotImplementedError(
-                        "real media decode requires Pillow/ffmpeg — "
-                        "not available in this environment"
-                    )
+                    try:
+                        vec = _real_decode(kind, raw)
+                    except (NotImplementedError, ValueError):
+                        vec = _fake_decode(raw)
+                feats.append(vec.tolist())
                 shas.append(hashlib.sha256(raw).hexdigest())
             yield pd.DataFrame(
                 {
@@ -110,6 +247,27 @@ def media_exact_dups(media: DataFrame, decode_fn: str = "fake") -> DataFrame:
             F.sort_array(F.collect_list("id")).alias("members"),
         )
         .filter(F.col("n_members") >= 2)
+    )
+
+
+def media_near_dups(
+    media: DataFrame,
+    decode_fn: str = "real",
+    threshold: float = 0.98,
+    bands: int = 16,
+    bits: int = 6,
+) -> DataFrame:
+    """Perceptual media near-dup pairs: decoded feature vectors through
+    the embedding-cosine tier (RHP-LSH candidates + exact cosine filter)
+    — a slightly re-encoded image/audio file no longer matches by
+    payload hash but its pooled-gray / RMS-envelope vector barely moves,
+    so it pairs at high cosine. Columns: id1, id2, sim."""
+    from .dedup_extra import embedding_cosine_pairs
+
+    feats = extract_features(media, decode_fn).select("id", "feature")
+    return embedding_cosine_pairs(
+        feats, dim=FEATURE_DIM, id_col="id", vec_col="feature",
+        threshold=threshold, bands=bands, bits=bits,
     )
 
 

@@ -139,3 +139,120 @@ def test_frame_sample_plan(spark, media_df):
     plan = frame_sample_plan(media_df, every_ms=1000).collect()
     got = sorted((r["id"], r["frame_ms"]) for r in plan)
     assert got == [(4, 0), (4, 1000), (4, 2000), (4, 3000)]
+
+
+# ------------------------------------------- real stdlib media decoders
+
+def _wav_bytes(freq=440.0, seconds=0.5, rate=8000, silence_tail=0.0):
+    import io as _io
+    import wave
+
+    import numpy as np
+
+    t = np.arange(int(rate * seconds)) / rate
+    x = np.sin(2 * np.pi * freq * t)
+    if silence_tail:
+        x = np.concatenate([x, np.zeros(int(rate * silence_tail))])
+    pcm = (x * 32000).astype("<i2").tobytes()
+    buf = _io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm)
+    return buf.getvalue()
+
+
+def _bmp_bytes(pattern, w=16, h=16):
+    """24-bit BMP from a pattern fn(row, col) -> 0..255 gray."""
+    import struct as _struct
+
+    stride = (w * 3 + 3) & ~3
+    rows = b""
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = b"".join(bytes([pattern(r, c)]) * 3 for c in range(w))
+        rows += row + b"\x00" * (stride - len(row))
+    off = 14 + 40
+    header = b"BM" + _struct.pack("<IHHI", off + len(rows), 0, 0, off)
+    dib = _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows),
+                       2835, 2835, 0, 0)
+    return header + dib + rows
+
+
+def _ppm_bytes(pattern, w=16, h=16):
+    body = bytes(
+        v for r in range(h) for c in range(w) for v in [pattern(r, c)] * 3
+    )
+    return b"P6\n# comment\n16 16\n255\n" + body
+
+
+def test_stdlib_decoders_roundtrip():
+    import numpy as np
+
+    from backupdeduplicator_spark.operators.multimodal import (
+        decode_bmp, decode_ppm, decode_wav)
+
+    grad = lambda r, c: (r * 16 + c) % 256
+    bmp = decode_bmp(_bmp_bytes(grad))
+    ppm = decode_ppm(_ppm_bytes(grad))
+    assert bmp.shape == ppm.shape == (16, 16)
+    # same pattern through both containers decodes identically
+    assert np.allclose(bmp, ppm)
+    assert abs(bmp[0, 0] - 0.0) < 1e-9 and abs(bmp[1, 0] - 16 / 255) < 1e-9
+
+    x = decode_wav(_wav_bytes())
+    assert len(x) == 4000
+    assert abs(float(np.abs(x).max()) - 32000 / 32768) < 1e-3
+
+
+def test_real_feature_extraction_and_near_dups(spark):
+    """'real' decode on stdlib formats: a re-encoded image (BMP vs PPM of
+    the same pixels) is no longer an exact payload dup but pairs at
+    cosine ~1 through the perceptual tier; unrelated media don't pair.
+    Compressed formats still fail loudly."""
+    import base64 as b64
+
+    from backupdeduplicator_spark.operators.multimodal import (
+        extract_features, media_near_dups)
+
+    grad = lambda r, c: (r * 16 + c) % 256
+    inv = lambda r, c: 255 - ((r * 7 + c * 13) % 256)
+    rows = [
+        (1, "image", (16, 16, None, None), b64.b64encode(_bmp_bytes(grad)).decode()),
+        (2, "image", (16, 16, None, None), b64.b64encode(_ppm_bytes(grad)).decode()),
+        (3, "image", (16, 16, None, None), b64.b64encode(_bmp_bytes(inv)).decode()),
+        (4, "audio", (None, None, 8000, 500), b64.b64encode(_wav_bytes(440)).decode()),
+        (5, "audio", (None, None, 8000, 500), b64.b64encode(_wav_bytes(441)).decode()),
+        (6, "audio", (None, None, 8000, 500), b64.b64encode(_wav_bytes(440, silence_tail=0.4)).decode()),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "id long, kind string, meta struct<width:long,height:long,"
+        "sample_rate:long,duration_ms:long>, payload string",
+    )
+    feats = {r["id"]: r["feature"]
+             for r in extract_features(media, decode_fn="real").collect()}
+    assert all(len(v) == 64 for v in feats.values())
+    # exact payloads differ (different containers) but features match
+    assert feats[1] == pytest.approx(feats[2], abs=1e-6)
+
+    pairs = {(r["id1"], r["id2"]) for r in
+             media_near_dups(media, threshold=0.98).collect()}
+    assert (1, 2) in pairs          # same image, different container
+    assert (4, 5) in pairs          # 440 vs 441 Hz: envelope nearly equal
+    assert (1, 3) not in pairs and (3, 4) not in pairs
+
+    # compressed formats still refuse loudly under 'real'
+    fake_png = spark.createDataFrame(
+        [(9, "image", (1, 1, None, None),
+          b64.b64encode(b"\x89PNG\r\n....").decode())],
+        "id long, kind string, meta struct<width:long,height:long,"
+        "sample_rate:long,duration_ms:long>, payload string",
+    )
+    with pytest.raises(Exception) as ei:
+        extract_features(fake_png, decode_fn="real").collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError)
+    # ...and 'auto' falls back to the fake vector instead
+    out = extract_features(fake_png, decode_fn="auto").collect()
+    assert len(out) == 1 and len(out[0]["feature"]) == 64
