@@ -9,6 +9,7 @@ engine's additions (neardup, pipeline).
     python -m backupdeduplicator_spark pipeline --input DIR --checkpoint DIR [--output DIR]
     python -m backupdeduplicator_spark import   --file HASHTREE_JSONL --checkpoint DIR
     python -m backupdeduplicator_spark export   --checkpoint DIR --file HASHTREE_JSONL
+    python -m backupdeduplicator_spark docdedup --input DOCS_PARQUET --output DIR --tier minhash
 
 --input is a parquet directory of (repo, path, commit, lang, content)
 rows; --checkpoint is the snapshot-table root (plans/checkpoint.py);
@@ -198,6 +199,66 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_docdedup(args) -> int:
+    """Document-dedup tiers over a (id, text) parquet table — the
+    training-data-pipeline surface (exact / minhash+LSH clusters /
+    simhash / substring-winnowing / exact n-gram jaccard). Oversized-
+    bucket / boilerplate-fingerprint drops are always surfaced."""
+    from .functions.hashing import hex_hash, sha256_content
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    report: dict = {}
+    if args.tier == "exact":
+        out = (
+            docs.select(F.col(args.id_col).alias("id"),
+                        hex_hash(sha256_content(args.text_col)).alias("hash_hex"))
+            .groupBy("hash_hex")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.sort_array(F.collect_list("id")).alias("members"))
+            .filter(F.col("n_members") >= 2)
+        )
+    elif args.tier == "minhash":
+        from .operators.minhash import near_duplicate_clusters
+
+        corpus = docs.select(
+            F.lit("docs").alias("repo"),
+            F.col(args.id_col).cast("string").alias("path"),
+            F.col(args.text_col).alias("content"),
+        )
+        out = near_duplicate_clusters(
+            corpus, sim_threshold=args.threshold, report=report
+        ).select(F.col("path").alias("id"), "component")
+    elif args.tier == "simhash":
+        from .operators.dedup_extra import simhash_pairs
+
+        out = simhash_pairs(docs, id_col=args.id_col, text_col=args.text_col,
+                            report=report)
+    elif args.tier == "substring":
+        from .operators.substring import substring_duplicate_pairs
+
+        out = substring_duplicate_pairs(
+            docs, id_col=args.id_col, text_col=args.text_col, report=report
+        )
+    else:  # jaccard
+        from .operators.dedup_extra import ngram_jaccard_pairs
+
+        out = ngram_jaccard_pairs(docs, id_col=args.id_col,
+                                  text_col=args.text_col,
+                                  threshold=args.threshold)
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    if "oversized" in report:
+        dropped = report["oversized"].count()
+        if dropped:
+            rows = report["oversized"].agg(F.sum("bn")).collect()[0][0]
+            print(f"docdedup: WARNING {dropped} oversized buckets/"
+                  f"fingerprints dropped ({rows} member rows) — raise the "
+                  f"cap to trade runtime for recall")
+    print(f"docdedup[{args.tier}]: {n} rows -> {args.output}")
+    return 0
+
+
 def cmd_pipeline(args) -> int:
     from .plans.pipeline import run_pipeline
     from .sinks import write_dupsets_jsonl
@@ -249,6 +310,18 @@ def main(argv: list[str] | None = None) -> int:
     imp.add_argument("--checkpoint", required=True)
     imp.add_argument("--root-repo", default="", dest="root_repo")
     imp.set_defaults(fn=cmd_import)
+
+    dd = sub.add_parser("docdedup", parents=[common])
+    dd.add_argument("--input", required=True,
+                    help="parquet table of (id, text) documents")
+    dd.add_argument("--output", required=True)
+    dd.add_argument("--tier", default="minhash",
+                    choices=["exact", "minhash", "simhash", "substring",
+                             "jaccard"])
+    dd.add_argument("--id-col", default="doc_id", dest="id_col")
+    dd.add_argument("--text-col", default="text", dest="text_col")
+    dd.add_argument("--threshold", type=float, default=0.55)
+    dd.set_defaults(fn=cmd_docdedup)
 
     exp = sub.add_parser("export", parents=[common])
     exp.add_argument("--checkpoint", required=True)

@@ -107,3 +107,41 @@ def test_read_input_json_and_csv(spark, tmp_path):
     got_c = sorted(tuple(r) for r in read_input(spark, str(cpath)).collect())
     assert got_j == want
     assert got_c == want
+
+
+def test_cli_docdedup_tiers(spark, tmp_path):
+    """docdedup CLI: every tier runs over a (doc_id, text) parquet and the
+    substring/minhash cap reports surface instead of dropping silently."""
+    import pandas as pd
+
+    from backupdeduplicator_spark.__main__ import main
+
+    base = " ".join(f"tok{i * 37 % 101}x{i}" for i in range(60))
+    other = " ".join(f"w{i * 53 % 89}q{i}" for i in range(60))
+    docs = pd.DataFrame({
+        "doc_id": range(8),
+        "text": [
+            base,
+            base,  # exact dup
+            base + " coda",
+            other,
+            other + " end",
+            "unrelated short note",
+            "another unrelated scribble",
+            "",
+        ],
+    })
+    src = str(tmp_path / "docs.parquet")
+    docs.to_parquet(src)
+    for tier, min_rows in [("exact", 1), ("minhash", 3), ("simhash", 1),
+                           ("substring", 1), ("jaccard", 1)]:
+        out = str(tmp_path / f"out_{tier}")
+        rc = main(["docdedup", "--input", src, "--output", out,
+                   "--tier", tier, "--cores", "4"])
+        assert rc == 0
+        got = spark.read.parquet(out)
+        assert got.count() >= min_rows, tier
+    # exact tier: the identical pair must group
+    ex = spark.read.parquet(str(tmp_path / "out_exact")).collect()
+    assert any(set(r["members"]) >= {"0", "1"} or set(r["members"]) >= {0, 1}
+               for r in ex)
