@@ -185,6 +185,48 @@ def q_t2_doc_quality(d: D) -> str:
     )
 
 
+def q_t5_bpe_tokens(d: D) -> str:
+    """BPE-flavored token estimate (functions/text.bpe_ish_token_count):
+    word pieces (<=8 letters), number runs (<=4 digits), punctuation —
+    the same regex evaluates identically under Java regex (Spark) and
+    RE2 (DuckDB). The Spark side runs the engine function
+    (ENGINE_BACKED)."""
+    pat = r"[A-Za-z]{1,8}|[0-9]{1,4}|[^\sA-Za-z0-9]"
+    if d.dialect == "spark":
+        arr = f"regexp_extract_all(text, '{pat}', 0)"
+        return f"SELECT doc_id, CAST(size({arr}) AS BIGINT) AS n_bpe_tokens FROM documents"
+    return (f"SELECT doc_id, CAST(len(regexp_extract_all(text, '{pat}')) "
+            f"AS BIGINT) AS n_bpe_tokens FROM documents")
+
+
+def q_t6_quality_features(d: D) -> str:
+    """Full quality-feature vector (functions/text.quality_features):
+    length, alpha/punct/whitespace ratios, token count, whitespace per
+    token. Java's Punct class and RE2 [[:punct:]] denote the same ASCII
+    set. The Spark side runs the engine functions (ENGINE_BACKED)."""
+    if d.dialect == "spark":
+        alpha = "length(regexp_replace(text, '[^A-Za-z]', ''))"
+        punct = "length(regexp_replace(text, '[^\\p{Punct}]', ''))"
+        nws = "length(regexp_replace(text, '\\s', ''))"
+    else:
+        alpha = "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+        punct = "length(regexp_replace(text, '[^[:punct:]]', '', 'g'))"
+        nws = r"length(regexp_replace(text, '\s', '', 'g'))"
+    toks = d.token_count("text")
+    n = "CAST(GREATEST(length(text), 1) AS DOUBLE)"
+    return f"""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  ROUND({alpha} / {n}, 6) AS alpha_ratio,
+  ROUND({punct} / {n}, 6) AS punct_ratio,
+  ROUND((length(text) - {nws}) / {n}, 6) AS ws_ratio,
+  CAST({toks} AS BIGINT) AS n_tokens,
+  ROUND(CAST(length(text) - {nws} AS DOUBLE)
+        / GREATEST({toks}, 1), 6) AS ws_per_token
+FROM documents
+"""
+
+
 def q_s2_ann_topk(d: D) -> str:
     if d.dialect == "spark":
         dot = (
@@ -638,6 +680,8 @@ SQL_QUERIES: dict[str, Callable[[D], str]] = {
     "t1_token_counts": q_t1_token_counts,
     "t2_doc_quality": q_t2_doc_quality,
     "t3_lang_quality_fingerprint": q_t3_lang_quality_fingerprint,
+    "t5_bpe_tokens": q_t5_bpe_tokens,
+    "t6_quality_features": q_t6_quality_features,
     "s2_ann_topk": q_s2_ann_topk,
     "s3_ann_lsh_topk": q_s3_ann_lsh_topk,
     "s4_embedding_dup_pairs": q_s4_embedding_dup_pairs,
@@ -750,6 +794,24 @@ def _spark_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score(F.col("text")).alias("quality"),
         doc_fingerprint("text").alias("fingerprint"),
     )
+
+
+def _spark_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import bpe_ish_token_count
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.table("documents").select(
+        "doc_id", bpe_ish_token_count("text").alias("n_bpe_tokens")
+    )
+
+
+def _spark_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import quality_features
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.table("documents").select("doc_id", *quality_features("text"))
 
 
 def _spark_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -866,6 +928,8 @@ ENGINE_BACKED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bd_dup_sets": _spark_bd_dup_sets,
     "t4_ngram_jaccard": _spark_t4_ngram_jaccard,
     "t3_lang_quality_fingerprint": _spark_lang_id,
+    "t5_bpe_tokens": _spark_bpe_tokens,
+    "t6_quality_features": _spark_quality_features,
     "s3_ann_lsh_topk": _spark_ann_lsh,
     "s4_embedding_dup_pairs": _spark_embedding_dup_pairs,
     "d2_near_dup_planted": _spark_near_dup_planted,
