@@ -1,0 +1,154 @@
+"""Stateful streaming NEAR-duplicate detection (engine addition; the
+reference is batch-only and the batch near-dup tier needs a global
+candidate join + connected components — not expressible incrementally).
+
+Streaming semantics: as file rows arrive, each is checked against every
+content seen so far on the stream; an arrival whose MinHash signature
+agrees with a stored content's signature on >= ``sim_threshold`` of
+positions emits a match row pointing at it. This answers the streaming
+question a training-data pipeline actually asks — "is this incoming
+document a near-duplicate of anything already ingested?" — without
+re-running the batch tier per micro-batch. (Full transitive clustering
+stays a batch job; the match rows are its incremental edge feed.)
+
+Shape:
+  1. stateless mapInPandas — the fused sha256+MinHash kernel per row
+     (content crosses Arrow once, the stream carries (id, 1 KB sig));
+  2. JVM band hashing + posexplode to (band, bandhash) keys — the same
+     LSH keys as the batch tier, so state is sharded by bucket across
+     executors exactly like the batch shuffle;
+  3. groupBy(band, bandhash) -> applyInPandasWithState. State per
+     bucket = up to ``max_bucket`` (id, signature) members + an
+     overflow counter: the batch tier's no-unbounded-bucket rule,
+     incremental form. Arrivals in a full bucket are still scored
+     (they can match) but not stored (they cannot be matched *through
+     this bucket* later — the standard cap/recall trade, surfaced via
+     the ``bucket_overflow`` output column, never silent).
+
+A pair sharing several bands emits one match row per shared band —
+consumers dedup on (id, matched_id) (kept raw because chaining a second
+stateful/aggregating operator after applyInPandasWithState is a
+streaming-query restriction; a `foreachBatch` sink dedups trivially).
+State size is O(distinct contents x bands x ~1 KB) — bigger than the
+exact tier's O(distinct contents); cap it with ``max_bucket`` and, on a
+real cluster, the RocksDB state store.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (ArrayType, DoubleType, IntegerType, LongType,
+                               StringType, StructField, StructType)
+
+from ..functions.shingles import (LSH_BANDS, LSH_ROWS, NUM_PERMS,
+                                  minhash_from_shingles, shingle_hashes)
+
+MATCH_OUTPUT = StructType([
+    StructField("repo", StringType()),
+    StructField("path", StringType()),
+    StructField("id", StringType()),
+    StructField("matched_id", StringType()),
+    StructField("est_sim", DoubleType()),
+    StructField("band", IntegerType()),
+    StructField("bucket_overflow", LongType()),
+])
+
+_STATE = StructType([
+    StructField("ids", ArrayType(StringType())),
+    StructField("sigs_flat", ArrayType(LongType())),
+    StructField("n_overflow", LongType()),
+])
+
+
+def _signed(files_stream: DataFrame) -> DataFrame:
+    """(repo, path, content) -> (repo, path, id, sig): the fused
+    sha256+MinHash kernel, one Arrow crossing per row."""
+    import hashlib
+
+    def _kernel(batches):
+        for pdf in batches:
+            ids, sigs = [], []
+            for text in pdf["content"]:
+                t = "" if text is None else str(text)
+                ids.append(hashlib.sha256(t.encode("utf-8")).hexdigest())
+                sigs.append(minhash_from_shingles(shingle_hashes(t)).tolist())
+            yield pd.DataFrame({
+                "repo": pdf["repo"], "path": pdf["path"],
+                "id": ids, "sig": sigs,
+            })
+
+    return files_stream.select("repo", "path", "content").mapInPandas(
+        _kernel, schema="repo string, path string, id string, sig array<long>"
+    )
+
+
+def _match_fn(sim_threshold: float, max_bucket: int):
+    def fn(key, batches, state: GroupState):
+        ids, flat, overflow = (
+            state.get if state.exists else ([], [], 0)
+        )
+        ids = list(ids)
+        flat = list(flat)
+        band = int(key[0])
+        sig_mat = (
+            np.array(flat, dtype=np.int64).reshape(-1, NUM_PERMS)
+            if ids else np.empty((0, NUM_PERMS), dtype=np.int64)
+        )
+        seen = set(ids)
+        out: list[tuple] = []
+        pdf = pd.concat(list(batches), ignore_index=True)
+        # deterministic co-arrival order, same rule as streaming dedup
+        pdf = pdf.sort_values(["repo", "path"], kind="mergesort")
+        for row in pdf.itertuples(index=False):
+            sig = np.asarray(row.sig, dtype=np.int64)
+            if row.id not in seen:
+                if len(sig_mat):
+                    sims = (sig_mat == sig).mean(axis=1)
+                    for j in np.nonzero(sims >= sim_threshold)[0]:
+                        out.append((row.repo, row.path, row.id, ids[j],
+                                    float(sims[j]), band, overflow))
+                if len(ids) < max_bucket:
+                    ids.append(row.id)
+                    flat.extend(int(x) for x in sig)
+                    sig_mat = np.vstack([sig_mat, sig[None, :]])
+                else:
+                    overflow += 1
+                seen.add(row.id)
+            # an id already in state is an exact duplicate — the exact
+            # tier's job (streaming/dedup.py), not a near-dup match
+        state.update((ids, flat, overflow))
+        yield pd.DataFrame(out, columns=[f.name for f in MATCH_OUTPUT.fields])
+
+    return fn
+
+
+def streaming_near_dup_matches(
+    files_stream: DataFrame,
+    sim_threshold: float = 0.55,
+    max_bucket: int = 128,
+) -> DataFrame:
+    """(repo, path, content) stream -> near-dup match rows: one row per
+    (arriving file, previously-seen content, shared LSH band) with the
+    signature-agreement estimate — the incremental edge feed of the
+    batch near-dup tier. Consumers dedup on (id, matched_id)."""
+    signed = _signed(files_stream)
+    banded = signed.select(
+        "repo", "path", "id", "sig",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {LSH_BANDS - 1}), "
+                f"b -> xxhash64(b, slice(sig, b * {LSH_ROWS} + 1, {LSH_ROWS})))"
+            )
+        ).alias("band", "bandhash"),
+    )
+    return banded.groupBy("band", "bandhash").applyInPandasWithState(
+        _match_fn(sim_threshold, max_bucket),
+        MATCH_OUTPUT,
+        _STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

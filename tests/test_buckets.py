@@ -141,3 +141,42 @@ def test_substring_cap_reported(spark):
     assert all(r["bn"] == 40 for r in over)
     # no boilerplate doc may appear in any pair (its fps were capped away)
     assert all(r["id1"] > 1000 and r["id2"] > 1000 for r in pairs)
+
+
+def test_bucket_kernel_matches_bruteforce_property(spark):
+    """Randomized bucket tables: both kernel modes must equal the
+    brute-force per-key pair enumeration (including multiplicity) with
+    oversized keys excluded."""
+    import itertools
+    import random
+
+    rng = random.Random(20260816)
+    for trial in range(6):
+        n_keys = rng.randint(1, 6)
+        cap = rng.randint(2, 5)
+        rows = []
+        for k in range(n_keys):
+            members = rng.sample(range(100), rng.randint(1, 9))
+            rows += [(k, m) for m in members]
+        # brute force
+        by_key: dict[int, list[int]] = {}
+        for k, m in rows:
+            by_key.setdefault(k, []).append(m)
+        want: dict[tuple[int, int], int] = {}
+        over = {k: len(ms) for k, ms in by_key.items() if len(ms) > cap}
+        for k, ms in by_key.items():
+            if len(ms) > cap:
+                continue
+            for a, b in itertools.combinations(sorted(ms), 2):
+                want[(a, b)] = want.get((a, b), 0) + 1
+        df = spark.createDataFrame(rows, "k int, m long")
+        for cf in (False, True):
+            pairs, oversized = bounded_bucket_pairs(
+                df, ["k"], "m", max_bucket=cap, count_first=cf,
+                salt_buckets=3)
+            got: dict[tuple[int, int], int] = {}
+            for r in pairs.collect():
+                got[(r["m1"], r["m2"])] = got.get((r["m1"], r["m2"]), 0) + 1
+            assert got == want, (trial, cf, cap)
+            assert {(r["k"], r["bn"]) for r in oversized.collect()} == set(
+                over.items()), (trial, cf)

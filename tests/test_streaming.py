@@ -140,3 +140,55 @@ def test_streaming_dedup_co_arrival_deterministic(spark, tmp_path):
     for v in got.values():
         assert (v["first_repo"], v["first_path"]) == ("r1", "mm.txt")
     assert sorted(v["n_seen"] for v in got.values()) == [1, 2, 3]
+
+
+def test_streaming_near_dup_matches(spark, tmp_path):
+    """Streaming near-dup: a later arrival whose content is a near-dup of
+    an earlier trigger's content emits match rows pointing at it (state
+    persists across triggers); unrelated content matches nothing."""
+    import hashlib
+
+    from backupdeduplicator_spark.streaming.neardup import (
+        streaming_near_dup_matches)
+
+    base = " ".join(f"tok{i * 37 % 101}x{i}" for i in range(80))
+    other = " ".join(f"w{i * 53 % 89}q{i}" for i in range(80))
+    in_dir = tmp_path / "nd_drops"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "nd_out")
+    sck = str(tmp_path / "nd_sck")
+
+    def run_batch(rows):
+        spark.createDataFrame(
+            rows, ["repo", "path", "commit", "lang", "content"]
+        ).coalesce(1).write.mode("append").parquet(str(in_dir))
+        src = spark.readStream.schema(
+            "repo string, path string, commit string, lang string, "
+            "content string"
+        ).parquet(str(in_dir))
+        q = (
+            streaming_near_dup_matches(src)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", sck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch([("r1", "base.txt", "c", "", base),
+               ("r1", "other.txt", "c", "", other)])
+    run_batch([("r2", "variant.txt", "c", "", base + " tiny suffix"),
+               ("r2", "fresh.txt", "c", "", "totally new short text")])
+
+    rows = spark.read.parquet(out_dir).collect()
+    base_id = hashlib.sha256(base.encode()).hexdigest()
+    matches = {(r["path"], r["matched_id"]) for r in rows}
+    assert ("variant.txt", base_id) in matches
+    assert all(r["path"] == "variant.txt" for r in rows), (
+        "only the planted near-dup may match")
+    assert all(r["est_sim"] >= 0.55 for r in rows)
+    assert all(r["bucket_overflow"] == 0 for r in rows)
+    # several shared bands emit several rows — consumers dedup
+    assert len(rows) >= 2
