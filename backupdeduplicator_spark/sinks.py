@@ -53,19 +53,42 @@ def _tagged_hash(col, algo: str = "SHA256"):
     return F.concat(F.lit(f"{tag}:"), F.lower(F.hex(col)))
 
 
-def dupsets_to_json_rows(dupsets: DataFrame, algo: str = "SHA256") -> DataFrame:
-    """duplicate_sets output -> reference-shaped rows ready for
-    .write.json(): {ftype, size, hash: '<TAG>:<hex>', conflicting:[paths]}.
-    Paths render as 'repo/path' single-component FilePaths (divergence
-    documented above). ``algo`` must be the build-time hash algorithm
-    (read it from checkpoint lineage)."""
+def dupsets_to_json_rows(
+    dupsets: DataFrame, algo: str = "SHA256", structured_paths: bool = True
+) -> DataFrame:
+    """duplicate_sets output -> reference DupSetEntryRef rows ready for
+    .write.json() (dupset_file.rs:13-19): {ftype, size,
+    hash: '<TAG>:<hex>', conflicting: [FilePath...]}. By default each
+    conflicting path serializes as the reference's structured FilePath
+    object ({"path":[{"path":"repo/path","target":"File"}]}) so
+    reference-side tooling parses the file as-is;
+    ``structured_paths=False`` renders compact 'repo/path' strings
+    instead. ``algo`` must be the build-time hash algorithm (read it
+    from checkpoint lineage)."""
+    def _full(s):
+        return F.when(s["repo"] == "", s["path"]).otherwise(
+            F.concat_ws("/", s["repo"], s["path"])
+        )
+
+    if structured_paths:
+        conflicting = F.transform(
+            "conflicting",
+            lambda s: F.struct(
+                F.array(
+                    F.struct(_full(s).alias("path"),
+                             F.lit("File").alias("target"))
+                ).alias("path")
+            ),
+        )
+    else:
+        conflicting = F.transform("conflicting", _full)
     return dupsets.select(
         F.col("file_type").alias("ftype"),
         F.col("size"),
-        _tagged_hash(F.col("hash"), algo).alias("hash"),
-        F.transform(
-            "conflicting", lambda s: F.concat_ws("/", s["repo"], s["path"])
-        ).alias("conflicting"),
+        F.when(F.col("hash").isNull(), F.lit("NULL:00"))
+        .otherwise(_tagged_hash(F.col("hash"), algo))
+        .alias("hash"),
+        conflicting.alias("conflicting"),
     )
 
 

@@ -43,6 +43,10 @@ def test_cli_build_analyze_clean(spark, input_dir, tmp_path, capsys):
     assert row["hash"].startswith("SHA256:")
     assert len(row["hash"]) == len("SHA256:") + 64
     assert isinstance(row["conflicting"], list) and len(row["conflicting"]) >= 2
+    # conflicting paths are structured FilePath objects (dupset_file.rs +
+    # path.rs shape) the reference's own serde parses
+    comp = row["conflicting"][0]["path"][0]
+    assert set(comp) == {"path", "target"} and comp["target"] == "File"
 
     assert main(["clean", "--input", input_dir, "--checkpoint", ck,
                  "--cores", "8"]) == 0
