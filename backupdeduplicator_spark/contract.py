@@ -1,14 +1,12 @@
 """Driver-contract queries: each SURVEY.md §2 operator exposed as a named
 query over the driver's parquet tables, with a DuckDB-oracle SQL twin.
 
-Two kinds of entries:
-  * SQL-twin queries — the Spark side runs Spark-dialect SQL (or an
-    engine-backed DataFrame with identical semantics), the oracle side is
-    DuckDB SQL over the same views; the driver hash-compares results.
-  * engine-only queries — semantics DuckDB can't reproduce exactly
-    (raw-byte Merkle digests, MinHash/LSH clustering); these ship without
-    an oracle twin and get the driver's rows-only check. Their deep
-    conformance is covered by tests/ against the pure-Python oracle.
+Every query ships with a DuckDB oracle twin as of round 3 — including
+the approximate tiers, whose kernels (MinHash signatures, SimHash,
+winnowing) are re-expressed exactly in SQL with the engine's own
+constants; the driver hash-compares results. ENGINE_ONLY remains the
+hook for a genuinely non-SQL-expressible future op (custom stateful
+streaming) and is currently empty.
 
 Column names are aliased identically on both sides (driver compares
 sorted-by-name value hashes).
