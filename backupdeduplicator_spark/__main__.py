@@ -235,11 +235,17 @@ def cmd_docdedup(args) -> int:
         out = simhash_pairs(docs, id_col=args.id_col, text_col=args.text_col,
                             report=report)
     elif args.tier == "substring":
-        from .operators.substring import substring_duplicate_pairs
+        from .operators.substring import (
+            substring_duplicate_pairs, verify_substring_pairs)
 
         out = substring_duplicate_pairs(
             docs, id_col=args.id_col, text_col=args.text_col, report=report
         )
+        if args.min_lcs:  # exact suffix-automaton verification pass
+            out = verify_substring_pairs(
+                docs, out, id_col=args.id_col, text_col=args.text_col,
+                min_lcs=args.min_lcs,
+            )
     else:  # jaccard
         from .operators.dedup_extra import ngram_jaccard_pairs
 
@@ -321,6 +327,10 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--id-col", default="doc_id", dest="id_col")
     dd.add_argument("--text-col", default="text", dest="text_col")
     dd.add_argument("--threshold", type=float, default=0.55)
+    dd.add_argument("--min-lcs", type=int, default=0, dest="min_lcs",
+                    help="substring tier only: verify candidates with the "
+                         "exact suffix-automaton LCS kernel and keep pairs "
+                         "whose longest shared run is >= this many chars")
     dd.set_defaults(fn=cmd_docdedup)
 
     exp = sub.add_parser("export", parents=[common])

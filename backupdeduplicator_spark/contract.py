@@ -368,6 +368,20 @@ def q_x3_substring_planted(d: D) -> str:
     )
 
 
+def q_x5_substring_lcs_planted(d: D) -> str:
+    """Planted-truth oracle for the exact-LCS verification stage
+    (suffix-automaton, operators/substring.verify_substring_pairs): each
+    mirror pair is a verbatim copy, so its longest common substring is
+    the whole text — lcs_len must equal the character length. Any
+    fingerprintable planted doc (>= K_GRAM=25 bytes) must survive
+    verification at min_lcs=1."""
+    blen = d.bytes_len("text")
+    return (
+        f"SELECT doc_id, CAST(length(text) AS BIGINT) AS lcs_len "
+        f"FROM documents WHERE doc_id % 7 = 0 AND {blen} >= 25"
+    )
+
+
 # fingerprint rolling-hash constants: 257^(7-j) mod (2^31 - 1), matching
 # functions/shingles._pows(8) — verified against the kernel
 _FP_POWS = [623063367, 336663071, 168429323, 67503107, 16974593, 66049, 257, 1]
@@ -690,6 +704,7 @@ SQL_QUERIES: dict[str, Callable[[D], str]] = {
     "d2_near_dup_planted": q_d2_near_dup_planted,
     "x3_substring_planted_mirrors": q_x3_substring_planted,
     "x4_simhash_planted_mirrors": q_x4_simhash_planted,
+    "x5_substring_lcs_planted": q_x5_substring_lcs_planted,
     "x1_simhash_pairs": q_x1_simhash_pairs,
     "x2_substring_dup_pairs": q_x2_substring_dup_pairs,
     "near_dup_clusters": q_near_dup_clusters,
@@ -901,6 +916,30 @@ def _spark_substring_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id1").alias("doc_id"))
 
 
+def _spark_substring_lcs_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-LCS verification on the planted-mirror corpus (oracle-
+    checked): winnowing candidates at min_shared=1 are rejoined to
+    content and verified with the suffix-automaton LCS kernel; a mirror
+    pair is a verbatim copy, so the verified lcs_len must equal the
+    planted doc's character length (DuckDB: length(text))."""
+    from .operators.substring import (
+        substring_duplicate_pairs, verify_substring_pairs)
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter("doc_id % 7 = 0").select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    cand = substring_duplicate_pairs(corpus, min_shared=1)
+    verified = verify_substring_pairs(corpus, cand, min_lcs=1)
+    return verified.filter(
+        F.col("id2") == F.col("id1") + 1000000
+    ).select(F.col("id1").alias("doc_id"), "lcs_len")
+
+
 def _spark_simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planted SimHash detection (oracle-checked): verbatim mirrors of
     every 7th doc must be re-found at Hamming 0 through the pigeonhole
@@ -933,6 +972,7 @@ ENGINE_BACKED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d2_near_dup_planted": _spark_near_dup_planted,
     "x3_substring_planted_mirrors": _spark_substring_planted,
     "x4_simhash_planted_mirrors": _spark_simhash_planted,
+    "x5_substring_lcs_planted": _spark_substring_lcs_planted,
     "x1_simhash_pairs": _spark_simhash_pairs,
 }
 

@@ -1,0 +1,106 @@
+"""Exact longest-common-substring kernel for the substring-duplication
+tier (north_rule: "MinHash/SimHash/suffix-array substring").
+
+The winnowing stage (operators/substring.py) is the *approximate*,
+corpus-scale half: it finds candidate pairs sharing fingerprints with a
+detection guarantee but no exact run length. This module is the *exact*
+half: a suffix automaton — the online, linear-time equivalent of a
+suffix array/tree (Blumer et al. 1985; Crochemore 1986) — built on the
+shorter string and streamed with the longer one gives the true longest
+shared substring in O(|a| + |b|) time and O(|a|) space per pair.
+
+Reference parity note: the reference engine (0xCCF4/BackupDeduplicator)
+has no substring tier at all — this is part of the LLM-training-data
+extension surface, verified against an O(n*m) DP oracle in
+tests/test_substring.py and a planted-mirror DuckDB oracle
+(x5_substring_lcs_planted).
+
+Runs per-pair inside Arrow batches (the automaton walk is inherently
+sequential, like the hash folds in functions/hashing.py); the
+distributed shape — bounded candidate generation, id-keyed content
+rejoin — lives in operators/substring.py.
+"""
+
+from __future__ import annotations
+
+
+def lcs_length(a: str | None, b: str | None) -> int:
+    """Length (in characters) of the longest common substring of two
+    strings. O(|a| + |b|) via a suffix automaton over the shorter input.
+    None/empty inputs yield 0.
+    """
+    if not a or not b:
+        return 0
+    if len(a) > len(b):
+        a, b = b, a
+
+    # --- build the suffix automaton of `a` -------------------------------
+    # state arrays: maxlen (longest string in the state's class), suffix
+    # link, and a per-state transition dict keyed by character
+    maxlen = [0]
+    link = [-1]
+    trans: list[dict[str, int]] = [{}]
+    last = 0
+
+    for ch in a:
+        cur = len(maxlen)
+        maxlen.append(maxlen[last] + 1)
+        link.append(-1)
+        trans.append({})
+        p = last
+        while p != -1 and ch not in trans[p]:
+            trans[p][ch] = cur
+            p = link[p]
+        if p == -1:
+            link[cur] = 0
+        else:
+            q = trans[p][ch]
+            if maxlen[p] + 1 == maxlen[q]:
+                link[cur] = q
+            else:
+                clone = len(maxlen)
+                maxlen.append(maxlen[p] + 1)
+                link.append(link[q])
+                trans.append(dict(trans[q]))
+                while p != -1 and trans[p].get(ch) == q:
+                    trans[p][ch] = clone
+                    p = link[p]
+                link[q] = clone
+                link[cur] = clone
+        last = cur
+
+    # --- stream `b` through the automaton --------------------------------
+    v = 0
+    length = 0
+    best = 0
+    for ch in b:
+        while v and ch not in trans[v]:
+            v = link[v]
+            length = maxlen[v]
+        nxt = trans[v].get(ch)
+        if nxt is not None:
+            v = nxt
+            length += 1
+            if length > best:
+                best = length
+        else:  # no transition from the root either: restart
+            v = 0
+            length = 0
+    return best
+
+
+def lcs_length_brute(a: str, b: str) -> int:
+    """O(|a|*|b|) dynamic-programming oracle for tests only."""
+    if not a or not b:
+        return 0
+    prev = [0] * (len(b) + 1)
+    best = 0
+    for ca in a:
+        cur = [0] * (len(b) + 1)
+        for j, cb in enumerate(b, start=1):
+            if ca == cb:
+                cur[j] = prev[j - 1] + 1
+                if cur[j] > best:
+                    best = cur[j]
+        prev = cur
+    return best

@@ -32,6 +32,7 @@ from ..functions.shingles import _P, _pows
 
 K_GRAM = 25  # fingerprint k-gram length
 WINDOW = 50  # winnowing window; guarantees detection at >= 74 shared chars
+GUARANTEE = WINDOW + K_GRAM - 1  # shared runs >= this length always detected
 
 
 def winnow(hashes: np.ndarray, window: int = WINDOW) -> np.ndarray:
@@ -110,3 +111,59 @@ def substring_duplicate_pairs(
         .filter(F.col("shared_fingerprints") >= min_shared)
     )
     return pairs
+
+
+@pandas_udf(LongType())
+def _lcs_len_udf(t1: pd.Series, t2: pd.Series) -> pd.Series:
+    from ..functions.lcs import lcs_length
+
+    return pd.Series(
+        [lcs_length(a, b) for a, b in zip(t1, t2)], dtype="int64"
+    )
+
+
+def verify_substring_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_lcs: int = GUARANTEE,
+) -> DataFrame:
+    """Exact-verification stage of the substring tier: for each candidate
+    pair from :func:`substring_duplicate_pairs`, compute the TRUE longest
+    common substring length with a suffix automaton (the linear-time
+    suffix-array equivalent; functions/lcs.py) and keep pairs with
+    ``lcs_len >= min_lcs``. Output columns: id1, id2,
+    shared_fingerprints, lcs_len.
+
+    Winnowing fingerprints guarantee detection but can over-trigger (two
+    docs sharing ``min_shared`` *short* runs, or a hash collision); this
+    stage removes those false positives exactly. The default threshold is
+    the winnowing guarantee length (WINDOW + K_GRAM - 1 = 74 chars), so
+    verified output == "shares at least one run the fingerprint stage is
+    guaranteed to see".
+
+    Scale shape: the candidate side is already bounded (fingerprint
+    frequency cap + min_shared), so content is rejoined O(|pairs|) times
+    via two equi-joins on the int64 id — content never self-joins. The
+    automaton walk is O(|a| + |b|) per pair with O(min) memory, run
+    per-row inside Arrow batches (same inherently-sequential-fold pattern
+    as functions/hashing.py).
+    """
+    texts = docs.select(F.col(id_col).alias("_vid"), F.col(text_col).alias("_vt"))
+    joined = (
+        pairs.join(
+            texts.select(F.col("_vid").alias("id1"), F.col("_vt").alias("_t1")),
+            "id1",
+        )
+        .join(
+            texts.select(F.col("_vid").alias("id2"), F.col("_vt").alias("_t2")),
+            "id2",
+        )
+    )
+    return (
+        joined.withColumn("lcs_len", _lcs_len_udf(F.col("_t1"), F.col("_t2")))
+        .drop("_t1", "_t2")
+        .filter(F.col("lcs_len") >= min_lcs)
+        .select("id1", "id2", "shared_fingerprints", "lcs_len")
+    )

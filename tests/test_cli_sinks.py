@@ -149,3 +149,33 @@ def test_cli_docdedup_tiers(spark, tmp_path):
     ex = spark.read.parquet(str(tmp_path / "out_exact")).collect()
     assert any(set(r["members"]) >= {"0", "1"} or set(r["members"]) >= {0, 1}
                for r in ex)
+
+
+def test_cli_docdedup_substring_lcs(spark, tmp_path):
+    """--min-lcs adds the exact suffix-automaton verification stage: the
+    surviving pair carries the true shared-run length."""
+    import pandas as pd
+
+    from backupdeduplicator_spark.__main__ import main
+
+    # varied tokens: a periodic block collapses to ONE distinct winnowing
+    # fingerprint (np.unique) and the CLI's min_shared=2 would drop it
+    block = " ".join(f"lic{i * 29 % 97}term{i}" for i in range(40))
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "prefix one " * 30 + block,
+            block + " tail two " * 30,
+            "nothing in common here at all " * 20,
+        ],
+    })
+    src = str(tmp_path / "docs.parquet")
+    docs.to_parquet(src)
+    out = str(tmp_path / "out_lcs")
+    rc = main(["docdedup", "--input", src, "--output", out,
+               "--tier", "substring", "--min-lcs", "100", "--cores", "4"])
+    assert rc == 0
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    assert (rows[0]["id1"], rows[0]["id2"]) == (1, 2)
+    assert rows[0]["lcs_len"] >= len(block)

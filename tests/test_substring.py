@@ -67,3 +67,58 @@ def test_low_jaccard_high_substring(spark):
     docs = spark.createDataFrame([(1, t1), (2, t2)], ["doc_id", "text"])
     pairs = substring_duplicate_pairs(docs).collect()
     assert len(pairs) == 1 and pairs[0]["id1"] == 1 and pairs[0]["id2"] == 2
+
+
+def test_lcs_kernel_vs_brute():
+    """Suffix-automaton LCS == O(n*m) DP oracle on adversarial smalls +
+    seeded randoms over a tiny alphabet (forces long partial matches)."""
+    from backupdeduplicator_spark.functions.lcs import (
+        lcs_length, lcs_length_brute)
+
+    cases = [
+        ("", ""), ("a", ""), ("", "b"), ("a", "a"), ("ab", "ba"),
+        ("abcabc", "bcab"), ("aaaa", "aa"), ("xyz", "abc"),
+        ("mississippi", "ississipp"), ("ababab", "bababa"),
+        ("héllo wörld", "wörld héllo"),  # non-ASCII chars count as 1
+    ]
+    rng = np.random.RandomState(7)
+    for _ in range(60):
+        n, m = rng.randint(0, 40, size=2)
+        a = "".join(rng.choice(list("abc"), size=n))
+        b = "".join(rng.choice(list("abc"), size=m))
+        cases.append((a, b))
+    for a, b in cases:
+        assert lcs_length(a, b) == lcs_length_brute(a, b), (a, b)
+    assert lcs_length(None, "x") == 0 and lcs_length("x", None) == 0
+
+
+def test_verify_substring_pairs(spark):
+    """Exact-LCS verification keeps true long-run pairs with the correct
+    run length and drops pairs below min_lcs."""
+    from backupdeduplicator_spark.operators.substring import (
+        GUARANTEE, verify_substring_pairs)
+
+    block = "SHARED RUN: " + "tok%d " % 7 * 40  # ~250 chars, one run
+    rng = np.random.RandomState(3)
+    noise = lambda n: "".join(rng.choice(list("qwerty uiop\n"), size=n))
+    docs = spark.createDataFrame(
+        [
+            (1, noise(900) + block + noise(400)),
+            (2, block + noise(1100)),
+            (3, noise(1800)),
+        ],
+        ["doc_id", "text"],
+    )
+    cand = substring_duplicate_pairs(docs, min_shared=1)
+    out = {
+        (r["id1"], r["id2"]): r
+        for r in verify_substring_pairs(docs, cand).collect()
+    }
+    assert (1, 2) in out
+    r = out[(1, 2)]
+    assert r["lcs_len"] >= len(block) >= GUARANTEE
+    assert r["shared_fingerprints"] >= 1
+    # raising the bar above the doc length drops everything
+    assert (
+        verify_substring_pairs(docs, cand, min_lcs=10_000).count() == 0
+    )
