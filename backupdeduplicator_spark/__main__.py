@@ -255,9 +255,12 @@ def cmd_docdedup(args) -> int:
     out.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     if "oversized" in report:
-        dropped = report["oversized"].count()
+        # single pass: count + sum in one action (the report is lazy and
+        # may recompute the tier's signature kernel to answer)
+        dropped, rows = report["oversized"].agg(
+            F.count(F.lit(1)), F.sum("bn")
+        ).collect()[0]
         if dropped:
-            rows = report["oversized"].agg(F.sum("bn")).collect()[0][0]
             print(f"docdedup: WARNING {dropped} oversized buckets/"
                   f"fingerprints dropped ({rows} member rows) — raise the "
                   f"cap to trade runtime for recall")
@@ -330,7 +333,8 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--min-lcs", type=int, default=0, dest="min_lcs",
                     help="substring tier only: verify candidates with the "
                          "exact suffix-automaton LCS kernel and keep pairs "
-                         "whose longest shared run is >= this many chars")
+                         "whose longest shared run is >= this many UTF-8 "
+                         "bytes")
     dd.set_defaults(fn=cmd_docdedup)
 
     exp = sub.add_parser("export", parents=[common])

@@ -372,12 +372,13 @@ def q_x5_substring_lcs_planted(d: D) -> str:
     """Planted-truth oracle for the exact-LCS verification stage
     (suffix-automaton, operators/substring.verify_substring_pairs): each
     mirror pair is a verbatim copy, so its longest common substring is
-    the whole text — lcs_len must equal the character length. Any
+    the whole text — lcs_len must equal the UTF-8 byte length (the
+    kernel is byte-denominated like the winnowing guarantee). Any
     fingerprintable planted doc (>= K_GRAM=25 bytes) must survive
     verification at min_lcs=1."""
     blen = d.bytes_len("text")
     return (
-        f"SELECT doc_id, CAST(length(text) AS BIGINT) AS lcs_len "
+        f"SELECT doc_id, CAST({blen} AS BIGINT) AS lcs_len "
         f"FROM documents WHERE doc_id % 7 = 0 AND {blen} >= 25"
     )
 
@@ -421,13 +422,16 @@ def q_x1_simhash_pairs(d: D) -> str:
         f"* ({asc5}[length(text) - i + 1]))) % 2147483647"
     )
     return f"""
-WITH sh AS (
+WITH docs0 AS (
+  -- engine simhash64 maps NULL text to signature 0, same as empty text
+  SELECT doc_id, COALESCE(text, '') AS text FROM documents
+), sh AS (
   SELECT doc_id,
     CASE WHEN length(text) = 0 THEN CAST([] AS BIGINT[])
          WHEN length(text) < 5 THEN [{short5}]
          ELSE list_distinct(list_transform(range(1, length(text) - 3),
               i -> ({win5}) % 2147483647)) END AS hs
-  FROM documents
+  FROM docs0
 ), e AS (
   SELECT doc_id, len(hs) AS nsh, unnest(hs) AS h FROM sh
 ), h64 AS (
@@ -450,7 +454,7 @@ WITH sh AS (
 ), s AS (
   SELECT doc_id, CAST(COALESCE(sh, 0) AS BIGINT) AS sh FROM packed
   UNION ALL
-  SELECT doc_id, 0 AS sh FROM documents WHERE length(text) = 0
+  SELECT doc_id, 0 AS sh FROM docs0 WHERE length(text) = 0
 )
 SELECT a.doc_id AS id1, b.doc_id AS id2,
   CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
@@ -647,8 +651,10 @@ eq AS (
     FROM eq
   ) GROUP BY id1, id2
 ), edges AS (
+  -- bands counts agreeing POSITIONS inside fully-agreeing bands (4 per
+  -- band), so the engine's min_band_matches=2 is bands >= 2*4 = 8
   SELECT id1, id2 FROM pairstats
-  WHERE bands >= 2 AND agree >= CAST(ceil(0.55 * 128) AS BIGINT)
+  WHERE bands >= 8 AND agree >= CAST(ceil(0.55 * 128) AS BIGINT)
 ), bi AS (
   SELECT id1 AS a, id2 AS b FROM edges UNION SELECT id2, id1 FROM edges
 ), closure AS (
@@ -921,7 +927,7 @@ def _spark_substring_lcs_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked): winnowing candidates at min_shared=1 are rejoined to
     content and verified with the suffix-automaton LCS kernel; a mirror
     pair is a verbatim copy, so the verified lcs_len must equal the
-    planted doc's character length (DuckDB: length(text))."""
+    planted doc's UTF-8 byte length (DuckDB: octet_length)."""
     from .operators.substring import (
         substring_duplicate_pairs, verify_substring_pairs)
     from .sources.tables import register_views

@@ -24,22 +24,34 @@ rejoin — lives in operators/substring.py.
 from __future__ import annotations
 
 
-def lcs_length(a: str | None, b: str | None) -> int:
-    """Length (in characters) of the longest common substring of two
+def lcs_length(a: str | bytes | None, b: str | bytes | None) -> int:
+    """Length in UTF-8 BYTES of the longest common substring of two
     strings. O(|a| + |b|) via a suffix automaton over the shorter input.
     None/empty inputs yield 0.
+
+    Byte-denominated on purpose: the winnowing stage fingerprints k=25
+    byte grams, so its detection guarantee (shared run >= WINDOW+K-1
+    bytes) and this verifier must use the same unit — a character count
+    would under-credit multibyte (e.g. CJK) runs and drop
+    guaranteed-detectable pairs at the default threshold. A multibyte
+    character may match partially at run boundaries; for dedup-run
+    measurement that is the desired byte semantics.
     """
     if not a or not b:
         return 0
+    if isinstance(a, str):
+        a = a.encode("utf-8")
+    if isinstance(b, str):
+        b = b.encode("utf-8")
     if len(a) > len(b):
         a, b = b, a
 
     # --- build the suffix automaton of `a` -------------------------------
     # state arrays: maxlen (longest string in the state's class), suffix
-    # link, and a per-state transition dict keyed by character
+    # link, and a per-state transition dict keyed by byte value
     maxlen = [0]
     link = [-1]
-    trans: list[dict[str, int]] = [{}]
+    trans: list[dict[int, int]] = [{}]
     last = 0
 
     for ch in a:
@@ -89,10 +101,15 @@ def lcs_length(a: str | None, b: str | None) -> int:
     return best
 
 
-def lcs_length_brute(a: str, b: str) -> int:
-    """O(|a|*|b|) dynamic-programming oracle for tests only."""
+def lcs_length_brute(a: str | bytes, b: str | bytes) -> int:
+    """O(|a|*|b|) dynamic-programming oracle for tests only (same UTF-8
+    byte denomination as lcs_length)."""
     if not a or not b:
         return 0
+    if isinstance(a, str):
+        a = a.encode("utf-8")
+    if isinstance(b, str):
+        b = b.encode("utf-8")
     prev = [0] * (len(b) + 1)
     best = 0
     for ca in a:

@@ -23,13 +23,17 @@ SALTED (default) — one logical pass, two exchanges:
   use count_first) for adversarial skew.
 
 COUNT-FIRST (count_first=True) — hard per-task bound:
-  a map-side-combinable count pass finds oversized keys BEFORE any list
-  exists; they are broadcast-anti-joined away, so collect_list is
-  provably bounded at max_bucket elements. Costs one extra exchange of
-  ~24-byte count rows + a second scan of ``buckets`` (callers should
-  persist a UDF-derived bucket table upstream) — measured ~+35% on the
-  candidate stage at bench scale, the price of the guarantee. This is
-  the shape to force when a corpus is known boilerplate-heavy.
+  a map-side-combinable count pass (materialized once via
+  localCheckpoint) finds oversized keys BEFORE any list exists; they
+  are anti-joined away — broadcast when the oversized key set is small
+  (<= max_broadcast_keys), shuffle anti-join past that (a degenerate
+  corpus can have 10^8+ oversized keys; force-broadcasting those is its
+  own OOM) — so collect_list is provably bounded at max_bucket
+  elements. Costs one extra exchange of ~24-byte count rows + a second
+  scan of ``buckets`` (callers should persist a UDF-derived bucket
+  table upstream) — measured ~+35% on the candidate stage at bench
+  scale, the price of the guarantee. This is the shape to force when a
+  corpus is known boilerplate-heavy.
 
 Dropped keys are returned, never silently ignored (the engine's
 no-silent-caps rule): callers surface/count them via the lazy
@@ -55,6 +59,7 @@ def bounded_bucket_pairs(
     max_bucket: int,
     salt_buckets: int = 16,
     count_first: bool = False,
+    max_broadcast_keys: int = 4_000_000,
 ) -> tuple[DataFrame, DataFrame]:
     """(pairs, oversized) from a (key..., member) bucket table.
 
@@ -69,17 +74,28 @@ def bounded_bucket_pairs(
     path.
     """
     if count_first:
+        # localCheckpoint: the count table (one 24-byte row per distinct
+        # key, map-side combined) is materialized ONCE and feeds the
+        # guard count, the anti-join side, and the caller's oversized
+        # accounting without re-scanning `buckets`
         counts = buckets.groupBy(*key_cols).agg(
             F.count(F.lit(1)).alias("bn")
-        )
+        ).localCheckpoint()
         oversized = counts.filter(F.col("bn") > max_bucket)
         # explicit broadcast: without the hint AQE first materializes
         # BOTH anti-join sides as shuffle stages (a wasted full exchange
         # of the bucket table — measured 2.6x the candidate stage); the
-        # oversized side is <= total_rows/max_bucket keys by construction.
-        bounded = buckets.join(
-            F.broadcast(oversized.select(*key_cols)), key_cols, "left_anti"
-        )
+        # oversized side is <= total_rows/max_bucket keys by construction,
+        # but that bound is only small for sane caps — a boilerplate-heavy
+        # corpus with a tiny cap can still yield 10^8+ oversized keys, and
+        # force-broadcasting those would OOM driver + executors. Guard:
+        # count them (one cheap job over 16-byte count rows) and fall back
+        # to a shuffle anti-join past max_broadcast_keys.
+        n_over = oversized.count()
+        anti_side = oversized.select(*key_cols)
+        if n_over <= max_broadcast_keys:
+            anti_side = F.broadcast(anti_side)
+        bounded = buckets.join(anti_side, key_cols, "left_anti")
         lists = (
             bounded.groupBy(*key_cols)
             .agg(F.sort_array(F.collect_list(member_col)).alias("ms"))

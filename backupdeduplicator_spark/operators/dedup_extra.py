@@ -41,7 +41,8 @@ def simhash_pairs(
     miss pairs whose every matching block is degenerate. Dropped buckets
     are never silent: pass ``report`` (a dict) to receive
     ``report['oversized']``, a lazy (block_idx, block_val, bn) DataFrame
-    of what was dropped.
+    of what was dropped (counting it after this call re-runs the simhash
+    kernel once — the sh cache is released when the result materializes).
 
     The 8-byte simhash value rides along as part of the bucket member
     (struct ordering is field-wise with id first, so pair order is by
@@ -86,13 +87,20 @@ def simhash_pairs(
         F.col("m1.sh").alias("sh1"),
         F.col("m2.sh").alias("sh2"),
     ).distinct()
-    return (
+    out = (
         cand.withColumn(
             "hamming", F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id1", "id2", "hamming")
+        # eager + lineage-truncating: the bounded pair set is small, and
+        # materializing it here lets us release the sh cache instead of
+        # leaking one persisted table per call (blocks are freed by the
+        # ContextCleaner once the result is GC'd, unlike persist)
+        .localCheckpoint()
     )
+    sh.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(

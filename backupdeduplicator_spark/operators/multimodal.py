@@ -219,9 +219,14 @@ def extract_features(media: DataFrame, decode_fn: str = "fake") -> DataFrame:
                 elif decode_fn == "real":
                     vec = _real_decode(kind, raw)
                 else:
+                    # catch broadly: corrupt/truncated payloads raise
+                    # struct.error, wave.Error, EOFError, IndexError...
+                    # from the stdlib parsers — 'auto' must degrade to
+                    # the fake vector, not fail the task, on ANY
+                    # undecodable payload in a mixed corpus
                     try:
                         vec = _real_decode(kind, raw)
-                    except (NotImplementedError, ValueError):
+                    except Exception:
                         vec = _fake_decode(raw)
                 feats.append(vec.tolist())
                 shas.append(hashlib.sha256(raw).hexdigest())

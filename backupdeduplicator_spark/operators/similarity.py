@@ -243,13 +243,18 @@ def cosine_topk_ivf(
                n_rows, xor_ids)
         cent = _CENTROID_CACHE.get(key)
         if cent is None:
-            modulus = max(1, n_rows // train_sample)
+            # ceil, not floor: a floor modulus of 1 (train_sample <
+            # n_rows < 2*train_sample) would keep every row and let the
+            # ordered limit reintroduce the low-id bias this filter
+            # exists to remove
+            modulus = max(1, -(-n_rows // train_sample))
             sample_pdf = (
                 corpus.select(id_col, vec_col)
                 .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(modulus)) == 0)
-                # the filtered set is ~train_sample rows; the ordered limit
-                # (TakeOrderedAndProject, no global Sort) makes the exact
-                # subset deterministic across runs/partitionings
+                # the filtered set is ~<= train_sample rows; the ordered
+                # limit (TakeOrderedAndProject, no global Sort) only trims
+                # hash-variance overshoot and makes the exact subset
+                # deterministic across runs/partitionings
                 .orderBy(id_col).limit(train_sample).toPandas()
             )
             if len(sample_pdf) == 0:

@@ -88,7 +88,9 @@ def substring_duplicate_pairs(
     is ever collected for a boilerplate fingerprint. Dropped
     fingerprints are never silent: pass ``report`` (a dict) to receive
     ``report['oversized']``, a lazy (fp, bn) DataFrame of what the cap
-    cost (same no-silent-caps hook as the MinHash/SimHash tiers).
+    cost (same no-silent-caps hook as the MinHash/SimHash tiers;
+    counting it after this call re-runs the winnow kernel once — the
+    fps cache is released when the result materializes).
     """
     from .buckets import bounded_bucket_pairs
 
@@ -109,7 +111,12 @@ def substring_duplicate_pairs(
         pair_rows.groupBy(F.col("m1").alias("id1"), F.col("m2").alias("id2"))
         .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
         .filter(F.col("shared_fingerprints") >= min_shared)
+        # eager + lineage-truncating: the bounded pair set is small, and
+        # materializing it here lets us release the fps cache instead of
+        # leaking one persisted table per call
+        .localCheckpoint()
     )
+    fps.unpersist()
     return pairs
 
 
@@ -131,15 +138,16 @@ def verify_substring_pairs(
 ) -> DataFrame:
     """Exact-verification stage of the substring tier: for each candidate
     pair from :func:`substring_duplicate_pairs`, compute the TRUE longest
-    common substring length with a suffix automaton (the linear-time
-    suffix-array equivalent; functions/lcs.py) and keep pairs with
-    ``lcs_len >= min_lcs``. Output columns: id1, id2,
-    shared_fingerprints, lcs_len.
+    common substring length in UTF-8 BYTES with a suffix automaton (the
+    linear-time suffix-array equivalent; functions/lcs.py) and keep pairs
+    with ``lcs_len >= min_lcs``. Output columns: id1, id2,
+    shared_fingerprints, lcs_len. Byte-denominated to match the
+    winnowing guarantee, which is over k=25 BYTE grams.
 
     Winnowing fingerprints guarantee detection but can over-trigger (two
     docs sharing ``min_shared`` *short* runs, or a hash collision); this
     stage removes those false positives exactly. The default threshold is
-    the winnowing guarantee length (WINDOW + K_GRAM - 1 = 74 chars), so
+    the winnowing guarantee length (WINDOW + K_GRAM - 1 = 74 bytes), so
     verified output == "shares at least one run the fingerprint stage is
     guaranteed to see".
 

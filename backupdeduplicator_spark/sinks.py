@@ -4,11 +4,11 @@ Dup-set JSONL (S5): one JSON object per duplicate set, shaped like
 DupSetEntryRef (/root/reference/src/stages/analyze/output/dupset_file.rs:
 13-19) with hashes serialized "<TYPE>:<hex>" (Display form,
 /root/reference/src/data/hash.rs:237-291). The hash tag follows the
-algorithm actually used at build time (pass ``algo``). NOTE one
-documented divergence: the reference serializes each conflicting path as
-a structured FilePath object ({"path":[{"path":...,"target":"File"}]});
-we render 'repo/path' strings — tooling that parses FilePath objects
-needs the small adapter described in CONFORMANCE.md §2.9.
+algorithm actually used at build time (pass ``algo``). Conflicting
+paths are serialized as structured FilePath objects
+({"path":[{"path":...,"target":"File"}]}) by default, matching the
+reference byte shape; pass ``structured_paths=False`` for the legacy
+flat 'repo/path' strings.
 
 Hash-tree JSONL (S3/S4): header line {version, hash_type, creation_date}
 then one entry per line (hashtreefile.rs:35-40,157-163,63-71). Two

@@ -79,7 +79,7 @@ def test_lcs_kernel_vs_brute():
         ("", ""), ("a", ""), ("", "b"), ("a", "a"), ("ab", "ba"),
         ("abcabc", "bcab"), ("aaaa", "aa"), ("xyz", "abc"),
         ("mississippi", "ississipp"), ("ababab", "bababa"),
-        ("héllo wörld", "wörld héllo"),  # non-ASCII chars count as 1
+        ("héllo wörld", "wörld héllo"),  # multibyte chars, byte units
     ]
     rng = np.random.RandomState(7)
     for _ in range(60):
@@ -90,6 +90,9 @@ def test_lcs_kernel_vs_brute():
     for a, b in cases:
         assert lcs_length(a, b) == lcs_length_brute(a, b), (a, b)
     assert lcs_length(None, "x") == 0 and lcs_length("x", None) == 0
+    # byte denomination: a shared CJK run counts its UTF-8 bytes (3 each),
+    # matching the winnowing guarantee's unit
+    assert lcs_length("xx一丁丂yy", "ab一丁丂cd") == 9
 
 
 def test_verify_substring_pairs(spark):

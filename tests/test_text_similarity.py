@@ -229,3 +229,18 @@ def test_ivf_cache_distinguishes_corpora(spark):
                           n_cells=4, nprobe=4, seed=3, centroids=c1)
     assert out.count() > 0
     assert len(S._CENTROID_CACHE) == 0
+
+
+def test_simhash_null_text_pairs_with_empty(spark):
+    """NULL and empty texts both map to simhash 0 (hamming 0 pair) — the
+    x1 oracle mirrors this via COALESCE(text, '')."""
+    from backupdeduplicator_spark.operators.dedup_extra import simhash_pairs
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "completely unrelated content here " * 8)],
+        "doc_id: long, text: string",
+    )
+    rows = {(r["id1"], r["id2"]): r["hamming"]
+            for r in simhash_pairs(docs).collect()}
+    assert rows.get((1, 2)) == 0
+    assert (1, 3) not in rows and (2, 3) not in rows
