@@ -22,6 +22,7 @@ def simhash_pairs(
     block_bits: int | None = None,
     max_bucket: int = 1000,
     report: dict | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
@@ -93,13 +94,16 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id1", "id2", "hamming")
+    )
+    if materialize:
         # eager + lineage-truncating: the bounded pair set is small, and
         # materializing it here lets us release the sh cache instead of
         # leaking one persisted table per call (blocks are freed by the
-        # ContextCleaner once the result is GC'd, unlike persist)
-        .localCheckpoint()
-    )
-    sh.unpersist()
+        # ContextCleaner once the result is GC'd, unlike persist).
+        # materialize=False keeps the full lazy plan (plan inspection /
+        # caller-managed caching).
+        out = out.localCheckpoint()
+        sh.unpersist()
     return out
 
 

@@ -77,6 +77,7 @@ def substring_duplicate_pairs(
     min_shared: int = 2,
     max_fingerprint_freq: int = 500,
     report: dict | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Pairs of docs sharing >= min_shared winnowing fingerprints
     (i.e. >= ~min_shared long verbatim runs / one long run crossing
@@ -111,12 +112,14 @@ def substring_duplicate_pairs(
         pair_rows.groupBy(F.col("m1").alias("id1"), F.col("m2").alias("id2"))
         .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
         .filter(F.col("shared_fingerprints") >= min_shared)
+    )
+    if materialize:
         # eager + lineage-truncating: the bounded pair set is small, and
         # materializing it here lets us release the fps cache instead of
-        # leaking one persisted table per call
-        .localCheckpoint()
-    )
-    fps.unpersist()
+        # leaking one persisted table per call. materialize=False keeps
+        # the full lazy plan (plan inspection / caller-managed caching).
+        pairs = pairs.localCheckpoint()
+        fps.unpersist()
     return pairs
 
 

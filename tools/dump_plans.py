@@ -55,7 +55,8 @@ def main() -> None:
 
     docs = spark.table("documents")
     sections.append(("substring pairs (winnowing fingerprint join)",
-                     _explain(substring_duplicate_pairs(docs))))
+                     _explain(substring_duplicate_pairs(
+                         docs, materialize=False))))
 
     from backupdeduplicator_spark.operators.dedup_extra import (
         embedding_cosine_pairs, simhash_pairs)
@@ -75,7 +76,7 @@ def main() -> None:
     ))
     sections.append((
         "simhash pairs (pigeonhole blocks, capped buckets)",
-        _explain(simhash_pairs(docs, max_hamming=8)),
+        _explain(simhash_pairs(docs, max_hamming=8, materialize=False)),
     ))
 
     out = ["# PLANS — formatted physical plans of the headline queries\n",
