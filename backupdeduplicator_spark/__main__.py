@@ -95,6 +95,35 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_diff(args) -> int:
+    """Diff two hash-tree snapshots: added/removed/modified/type_changed
+    nodes (incl. directory Merkle changes -> whole-subtree detection).
+    Sides are checkpoint dirs, optionally pinned to a snapshot id with
+    dir@id — so `diff --a ck --b ck@3` compares a pipeline's current
+    entries against its own history."""
+    from .operators.clean import snapshot_diff
+    from .plans.checkpoint import CheckpointManager
+
+    spark = _spark(args)
+
+    def load(spec: str):
+        root, _, sid = spec.partition("@")
+        ck = CheckpointManager(spark, root)
+        return ck.read("entries", int(sid) if sid else None)
+
+    diff = snapshot_diff(load(args.a), load(args.b),
+                         include_unchanged=args.include_unchanged)
+    if args.output:
+        diff.write.mode("overwrite").parquet(args.output)
+        diff = spark.read.parquet(args.output)
+    counts = {r["status"]: r["n"] for r in
+              diff.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()}
+    print("diff: " + ", ".join(
+        f"{counts.get(s, 0)} {s}"
+        for s in ["added", "removed", "modified", "type_changed"]))
+    return 0
+
+
 def _fmt_bytes(n: int) -> str:
     """Human-scaled size: GiB like the reference (cmd.rs:194 divides by
     1024^3), dropping to MiB/KiB/B below 0.01 GiB so small corpora don't
@@ -336,6 +365,16 @@ def main(argv: list[str] | None = None) -> int:
                          "whose longest shared run is >= this many UTF-8 "
                          "bytes")
     dd.set_defaults(fn=cmd_docdedup)
+
+    df_ = sub.add_parser("diff", parents=[common])
+    df_.add_argument("--a", required=True,
+                     help="checkpoint dir (optionally dir@snapshot_id)")
+    df_.add_argument("--b", required=True,
+                     help="checkpoint dir (optionally dir@snapshot_id)")
+    df_.add_argument("--output", default=None)
+    df_.add_argument("--include-unchanged", action="store_true",
+                     dest="include_unchanged")
+    df_.set_defaults(fn=cmd_diff)
 
     exp = sub.add_parser("export", parents=[common])
     exp.add_argument("--checkpoint", required=True)

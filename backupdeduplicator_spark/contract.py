@@ -670,6 +670,39 @@ SELECT fh.repo, fh.path, fh.id, l.cluster FROM fh JOIN labels l ON fh.id = l.id
 """
 
 
+def q_c1_snapshot_diff(d: D) -> str:
+    """File-level oracle for the snapshot_diff operator (clean-stage
+    change detection): snapshot B = files minus '%7.txt' paths, with
+    '%3.txt' contents mutated, plus new docs under org-new. The diff is
+    a full-outer join on (repo, path) with null-safe hash comparison;
+    the engine side additionally reports directory-level (Merkle)
+    changes, which this file-level projection excludes (pytest covers
+    them)."""
+    sha_a = d.sha256("content")
+    return f"""
+{_files_cte(d)}, fb_src AS (
+  SELECT repo, path,
+    CASE WHEN path LIKE '%3.txt' THEN content || ' MUTATED'
+         ELSE content END AS content
+  FROM files WHERE path NOT LIKE '%7.txt'
+  UNION ALL
+  SELECT 'org-new/repo-new' AS repo,
+    'new/f' || CAST(doc_id AS STRING) || '.txt' AS path,
+    text AS content
+  FROM documents WHERE doc_id % 9 = 0
+), fa AS (SELECT repo, path, {sha_a} AS h FROM files),
+fb AS (SELECT repo, path, {sha_a} AS h FROM fb_src)
+SELECT COALESCE(fa.repo, fb.repo) AS repo,
+  COALESCE(fa.path, fb.path) AS path,
+  CASE WHEN fa.path IS NULL THEN 'added'
+       WHEN fb.path IS NULL THEN 'removed'
+       ELSE 'modified' END AS status,
+  fa.h AS hash_a, fb.h AS hash_b
+FROM fa FULL JOIN fb ON fa.repo = fb.repo AND fa.path = fb.path
+WHERE fa.path IS NULL OR fb.path IS NULL OR fa.h IS DISTINCT FROM fb.h
+"""
+
+
 def q_d1_exact_dup_docs(d: D) -> str:
     """Exact dedup over the documents table (hash-groupBy). The raw table
     has no duplicate texts, so every 7th doc is mirrored under a shifted
@@ -707,6 +740,7 @@ SQL_QUERIES: dict[str, Callable[[D], str]] = {
     "set1_repo_except": q_set1_repo_except,
     "t4_ngram_jaccard": q_t4_ngram_jaccard,
     "d1_exact_dup_docs": q_d1_exact_dup_docs,
+    "c1_snapshot_diff": q_c1_snapshot_diff,
     "d2_near_dup_planted": q_d2_near_dup_planted,
     "x3_substring_planted_mirrors": q_x3_substring_planted,
     "x4_simhash_planted_mirrors": q_x4_simhash_planted,
@@ -922,6 +956,41 @@ def _spark_substring_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id1").alias("doc_id"))
 
 
+def _spark_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two full hash-tree builds (files + Merkle dirs) diffed with the
+    snapshot_diff operator; projected to File rows for the file-level
+    DuckDB twin (directory/Merkle change rows are engine-only here and
+    verified in tests/test_analyze.py)."""
+    from .operators.build import build_entries
+    from .operators.clean import snapshot_diff
+    from .sources.tables import files_df, register_views
+
+    register_views(spark, sf_dir)
+    files_a = files_df(spark, sf_dir)
+    added = spark.table("documents").filter("doc_id % 9 = 0").select(
+        F.lit("org-new/repo-new").alias("repo"),
+        F.concat(
+            F.lit("new/f"), F.col("doc_id").cast("string"), F.lit(".txt")
+        ).alias("path"),
+        F.col("text").alias("content"),
+    )
+    files_b = (
+        files_a.filter(~F.col("path").like("%7.txt"))
+        .withColumn(
+            "content",
+            F.when(
+                F.col("path").like("%3.txt"),
+                F.concat(F.col("content"), F.lit(" MUTATED")),
+            ).otherwise(F.col("content")),
+        )
+        .unionByName(added)
+    )
+    diff = snapshot_diff(build_entries(files_a), build_entries(files_b))
+    return diff.filter(
+        F.coalesce("file_type_a", "file_type_b") == "File"
+    ).select("repo", "path", "status", "hash_a", "hash_b")
+
+
 def _spark_substring_lcs_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-LCS verification on the planted-mirror corpus (oracle-
     checked): winnowing candidates at min_shared=1 are rejoined to
@@ -979,6 +1048,7 @@ ENGINE_BACKED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x3_substring_planted_mirrors": _spark_substring_planted,
     "x4_simhash_planted_mirrors": _spark_simhash_planted,
     "x5_substring_lcs_planted": _spark_substring_lcs_planted,
+    "c1_snapshot_diff": _spark_snapshot_diff,
     "x1_simhash_pairs": _spark_simhash_pairs,
 }
 

@@ -144,3 +144,60 @@ def entries_from_file_hashes(fh: DataFrame, algo: str = "sha256") -> DataFrame:
     )
     dirs = merkle_directories(fe, algo)
     return fe.select(*ENTRY_COLUMNS).unionByName(dirs.select(*ENTRY_COLUMNS))
+
+
+def snapshot_diff(
+    entries_a: DataFrame,
+    entries_b: DataFrame,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Change detection between two hash-tree snapshots: which nodes were
+    added / removed / modified / type_changed from snapshot A to B.
+
+    The relational form of re-running the reference's clean+build pass
+    and comparing trees (clean drops vanished/type-changed paths,
+    src/stages/clean/cmd.rs:58-96; build rewrites changed hashes) — but
+    as ONE full-outer join on node identity (repo, path), so a 10^12-row
+    tree pair diffs in a single co-partitioned shuffle (bucket both
+    stage tables by (repo, path) to make it exchange-free). Works on any
+    two entries tables: checkpoint snapshots of the same pipeline,
+    imported reference `.bdd` trees, or trees built with different
+    sources. Because directory entries carry Merkle hashes, a changed
+    file surfaces its whole ancestor chain as `modified` — subtree
+    change detection comes free.
+
+    Output: repo, path, status, file_type_a, file_type_b, hash_a,
+    hash_b (hex), size_a, size_b. Hash comparison is null-safe (two
+    NULL-content hashes compare equal, matching the build's NULL-hash
+    convention). `unchanged` rows are dropped unless requested.
+    """
+    def side(entries: DataFrame, tag: str) -> DataFrame:
+        return entries.select(
+            "repo",
+            "path",
+            F.col("file_type").alias(f"file_type_{tag}"),
+            F.lower(F.hex("hash")).alias(f"hash_{tag}"),
+            F.col("size").alias(f"size_{tag}"),
+        )
+
+    joined = side(entries_a, "a").join(
+        side(entries_b, "b"), ["repo", "path"], "full_outer"
+    )
+    status = (
+        F.when(F.col("file_type_a").isNull(), F.lit("added"))
+        .when(F.col("file_type_b").isNull(), F.lit("removed"))
+        .when(
+            F.col("file_type_a") != F.col("file_type_b"), F.lit("type_changed")
+        )
+        .when(
+            ~F.col("hash_a").eqNullSafe(F.col("hash_b")), F.lit("modified")
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    out = joined.withColumn("status", status).select(
+        "repo", "path", "status", "file_type_a", "file_type_b",
+        "hash_a", "hash_b", "size_a", "size_b",
+    )
+    if not include_unchanged:
+        out = out.filter(F.col("status") != "unchanged")
+    return out

@@ -98,3 +98,68 @@ def test_subtree_children_suppressed(small_fixture, spark_entries, oracle_sets):
             f"fully-contained group leaked: {members}"
         )
     assert emitted_paths  # sanity
+
+
+def test_snapshot_diff_statuses_and_merkle_ancestors(spark):
+    """snapshot_diff classifies added/removed/modified/type_changed and
+    surfaces a changed file's whole ancestor directory chain (Merkle), while
+    untouched subtrees stay out of the diff."""
+    from backupdeduplicator_spark.operators.build import build_entries
+    from backupdeduplicator_spark.operators.clean import snapshot_diff
+
+    a = spark.createDataFrame(
+        [
+            ("r", "src/a.txt", "alpha"),
+            ("r", "src/sub/b.txt", "bravo"),
+            ("r", "docs/c.txt", "charlie"),
+            ("r", "gone.txt", "delta"),
+        ],
+        ["repo", "path", "content"],
+    )
+    b = spark.createDataFrame(
+        [
+            ("r", "src/a.txt", "alpha"),
+            ("r", "src/sub/b.txt", "BRAVO CHANGED"),
+            ("r", "docs/c.txt", "charlie"),
+            ("r", "fresh.txt", "echo"),
+        ],
+        ["repo", "path", "content"],
+    )
+    diff = {
+        r["path"]: r["status"]
+        for r in snapshot_diff(build_entries(a), build_entries(b)).collect()
+    }
+    assert diff["src/sub/b.txt"] == "modified"
+    assert diff["gone.txt"] == "removed"
+    assert diff["fresh.txt"] == "added"
+    # Merkle ancestors of the changed file (and of the root, which also
+    # gained/lost files) are modified
+    assert diff["src/sub"] == "modified"
+    assert diff["src"] == "modified"
+    assert diff[""] == "modified"  # repo root
+    # untouched subtree and files are absent
+    for quiet in ("docs", "docs/c.txt", "src/a.txt"):
+        assert quiet not in diff, quiet
+
+    # type change: a path that was a file becomes a directory
+    b2 = spark.createDataFrame(
+        [
+            ("r", "src/a.txt/x.txt", "nested"),
+            ("r", "src/sub/b.txt", "bravo"),
+            ("r", "docs/c.txt", "charlie"),
+            ("r", "gone.txt", "delta"),
+        ],
+        ["repo", "path", "content"],
+    )
+    diff2 = {
+        r["path"]: r["status"]
+        for r in snapshot_diff(build_entries(a), build_entries(b2)).collect()
+    }
+    assert diff2["src/a.txt"] == "type_changed"
+    assert diff2["src/a.txt/x.txt"] == "added"
+
+    # include_unchanged keeps the quiet rows too
+    full = snapshot_diff(
+        build_entries(a), build_entries(b), include_unchanged=True
+    )
+    assert full.filter("status = 'unchanged'").count() > 0

@@ -179,3 +179,37 @@ def test_cli_docdedup_substring_lcs(spark, tmp_path):
     assert len(rows) == 1
     assert (rows[0]["id1"], rows[0]["id2"]) == (1, 2)
     assert rows[0]["lcs_len"] >= len(block)
+
+
+def test_cli_diff_checkpoints(spark, input_dir, tmp_path, capsys):
+    """CLI diff: two builds (second from a mutated input) compared by
+    checkpoint dir; counts line reports the change classes."""
+    import pandas as pd
+
+    base = spark.read.parquet(input_dir)
+    mutated = base.withColumn(
+        "content",
+        F.when(F.col("path").endswith("0.py"),
+               F.concat(F.col("content"), F.lit(" CHANGED")))
+        .otherwise(F.col("content")),
+    )
+    in_b = str(tmp_path / "input_b")
+    mutated.write.parquet(in_b)
+    ck_a, ck_b = str(tmp_path / "ck_a"), str(tmp_path / "ck_b")
+    assert main(["build", "--input", input_dir, "--checkpoint", ck_a,
+                 "--cores", "4"]) == 0
+    assert main(["build", "--input", in_b, "--checkpoint", ck_b,
+                 "--cores", "4"]) == 0
+    out = str(tmp_path / "diff_out")
+    assert main(["diff", "--a", ck_a, "--b", ck_b, "--output", out,
+                 "--cores", "4"]) == 0
+    printed = capsys.readouterr().out
+    assert "diff:" in printed and "modified" in printed
+    got = spark.read.parquet(out)
+    n_changed_files = base.filter(F.col("path").endswith("0.py")).count()
+    statuses = {r["status"] for r in got.collect()}
+    assert statuses <= {"added", "removed", "modified", "type_changed"}
+    # every mutated file appears as modified
+    assert got.filter(
+        (F.col("status") == "modified") & F.col("path").endswith("0.py")
+    ).count() == n_changed_files
