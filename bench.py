@@ -154,6 +154,37 @@ def main() -> None:
         fn()
         timings[name] = round(time.monotonic() - t0, 3)
 
+    # stage mode (SPARK_GRAFT_BENCH_STAGE=sigs): time ONLY the fused
+    # sha256+dedup+MinHash signature kernel — the map-side stage that
+    # dominates cost at 100 TB and whose scaling is shuffle-free. Used by
+    # bench_scaling.py --stage to evidence compute-stage efficiency
+    # separately from the substrate-bound shuffle tail.
+    stage = os.environ.get("SPARK_GRAFT_BENCH_STAGE", "")
+    if stage == "sigs":
+        from backupdeduplicator_spark.operators.minhash import (
+            distinct_content_signatures)
+
+        timed("sigs", lambda: distinct_content_signatures(files).count())
+        total = timings["sigs"]
+        wall_all = time.monotonic() - _T_START
+        cpu_user, cpu_sys = _tree_cpu_seconds()
+        spark.stop()
+        print(json.dumps({
+            "metric": "sigs_stage_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+            "rows": n_rows,
+            "files_per_sec": round(n_rows / total, 1) if total else None,
+            "cpus": cpus,
+            "bench_mult": mult,
+            "cpu_user_sec": round(cpu_user, 1),
+            "cpu_sys_sec": round(cpu_sys, 1),
+            "wall_total_sec": round(wall_all, 1),
+        }))
+        return
+
     entries = None
 
     def _build():
