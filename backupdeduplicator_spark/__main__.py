@@ -107,7 +107,13 @@ def cmd_diff(args) -> int:
     spark = _spark(args)
 
     def load(spec: str):
-        root, _, sid = spec.partition("@")
+        # rightmost '@' with a numeric suffix pins a snapshot id; any
+        # other '@' (including none) is part of the directory path
+        root, sid = spec, ""
+        if "@" in spec:
+            head, _, tail = spec.rpartition("@")
+            if tail.isdigit():
+                root, sid = head, tail
         ck = CheckpointManager(spark, root)
         return ck.read("entries", int(sid) if sid else None)
 
@@ -118,9 +124,10 @@ def cmd_diff(args) -> int:
         diff = spark.read.parquet(args.output)
     counts = {r["status"]: r["n"] for r in
               diff.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()}
-    print("diff: " + ", ".join(
-        f"{counts.get(s, 0)} {s}"
-        for s in ["added", "removed", "modified", "type_changed"]))
+    classes = ["added", "removed", "modified", "type_changed"]
+    if args.include_unchanged:
+        classes.append("unchanged")
+    print("diff: " + ", ".join(f"{counts.get(s, 0)} {s}" for s in classes))
     return 0
 
 
@@ -188,9 +195,10 @@ def cmd_neardup(args) -> int:
     )
     ck.write(nd, "near_dup", lineage={"stage": "near_dup",
                                       "sim_threshold": args.threshold})
-    dropped = report["oversized"].count()
+    dropped, rows = report["oversized"].agg(
+        F.count(F.lit(1)), F.sum("bn")
+    ).collect()[0]
     if dropped:
-        rows = report["oversized"].agg(F.sum("bn")).collect()[0][0]
         print(f"neardup: WARNING {dropped} oversized LSH buckets dropped "
               f"({rows} member rows) — raise max_bucket to trade runtime "
               f"for recall on boilerplate-heavy corpora")

@@ -74,14 +74,15 @@ def bounded_bucket_pairs(
     path.
     """
     if count_first:
-        # localCheckpoint: the count table (one 24-byte row per distinct
-        # key, map-side combined) is materialized ONCE and feeds the
-        # guard count, the anti-join side, and the caller's oversized
-        # accounting without re-scanning `buckets`
         counts = buckets.groupBy(*key_cols).agg(
             F.count(F.lit(1)).alias("bn")
-        ).localCheckpoint()
-        oversized = counts.filter(F.col("bn") > max_bucket)
+        )
+        # localCheckpoint the OVERSIZED SUBSET only (<= total/max_bucket
+        # keys — the full count table is one row per distinct key and
+        # would be corpus-scale storage): materialized once, it feeds the
+        # guard count, the anti-join side, and the caller's accounting
+        # without re-running the count aggregation
+        oversized = counts.filter(F.col("bn") > max_bucket).localCheckpoint()
         # explicit broadcast: without the hint AQE first materializes
         # BOTH anti-join sides as shuffle stages (a wasted full exchange
         # of the bucket table — measured 2.6x the candidate stage); the

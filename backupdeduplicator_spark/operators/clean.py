@@ -190,7 +190,11 @@ def snapshot_diff(
             F.col("file_type_a") != F.col("file_type_b"), F.lit("type_changed")
         )
         .when(
-            ~F.col("hash_a").eqNullSafe(F.col("hash_b")), F.lit("modified")
+            ~F.col("hash_a").eqNullSafe(F.col("hash_b"))
+            # size participates so metadata-only builds (--hash null, all
+            # hashes NULL ⇒ null-safe-equal) still see modifications
+            | ~F.col("size_a").eqNullSafe(F.col("size_b")),
+            F.lit("modified"),
         )
         .otherwise(F.lit("unchanged"))
     )

@@ -41,9 +41,9 @@ def simhash_pairs(
     ``max_bucket`` BEFORE any membership array is collected, which can
     miss pairs whose every matching block is degenerate. Dropped buckets
     are never silent: pass ``report`` (a dict) to receive
-    ``report['oversized']``, a lazy (block_idx, block_val, bn) DataFrame
-    of what was dropped (counting it after this call re-runs the simhash
-    kernel once — the sh cache is released when the result materializes).
+    ``report['oversized']``, a (block_idx, block_val, bn) DataFrame of
+    what was dropped (materialized before the sh cache is released, so
+    counting it is cheap).
 
     The 8-byte simhash value rides along as part of the bucket member
     (struct ordering is field-wise with id first, so pair order is by
@@ -103,6 +103,11 @@ def simhash_pairs(
         # materialize=False keeps the full lazy plan (plan inspection /
         # caller-managed caching).
         out = out.localCheckpoint()
+        if report is not None:
+            # materialize the (tiny) dropped-keys table while the sh
+            # cache is still alive, so caller accounting doesn't re-run
+            # the simhash kernel
+            report["oversized"] = report["oversized"].localCheckpoint()
         sh.unpersist()
     return out
 

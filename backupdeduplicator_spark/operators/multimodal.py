@@ -219,14 +219,19 @@ def extract_features(media: DataFrame, decode_fn: str = "fake") -> DataFrame:
                 elif decode_fn == "real":
                     vec = _real_decode(kind, raw)
                 else:
-                    # catch broadly: corrupt/truncated payloads raise
-                    # struct.error, wave.Error, EOFError, IndexError...
-                    # from the stdlib parsers — 'auto' must degrade to
-                    # the fake vector, not fail the task, on ANY
-                    # undecodable payload in a mixed corpus
+                    # corrupt/truncated payloads raise struct.error,
+                    # wave.Error, EOFError, IndexError from the stdlib
+                    # parsers — 'auto' degrades those to the fake vector
+                    # instead of failing the task. The tuple is explicit
+                    # (not bare Exception) so genuine code defects in
+                    # _real_decode still surface.
+                    import struct
+                    import wave
+
                     try:
                         vec = _real_decode(kind, raw)
-                    except Exception:
+                    except (NotImplementedError, ValueError, EOFError,
+                            IndexError, struct.error, wave.Error):
                         vec = _fake_decode(raw)
                 feats.append(vec.tolist())
                 shas.append(hashlib.sha256(raw).hexdigest())

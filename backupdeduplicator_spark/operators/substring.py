@@ -88,10 +88,9 @@ def substring_duplicate_pairs(
     kernel (operators/buckets.py) — counts first, so no membership array
     is ever collected for a boilerplate fingerprint. Dropped
     fingerprints are never silent: pass ``report`` (a dict) to receive
-    ``report['oversized']``, a lazy (fp, bn) DataFrame of what the cap
-    cost (same no-silent-caps hook as the MinHash/SimHash tiers;
-    counting it after this call re-runs the winnow kernel once — the
-    fps cache is released when the result materializes).
+    ``report['oversized']``, a (fp, bn) DataFrame of what the cap cost
+    (same no-silent-caps hook as the MinHash/SimHash tiers; materialized
+    before the fps cache is released, so counting it is cheap).
     """
     from .buckets import bounded_bucket_pairs
 
@@ -119,6 +118,11 @@ def substring_duplicate_pairs(
         # leaking one persisted table per call. materialize=False keeps
         # the full lazy plan (plan inspection / caller-managed caching).
         pairs = pairs.localCheckpoint()
+        if report is not None:
+            # materialize the (tiny) dropped-fingerprints table while the
+            # fps cache is still alive, so caller accounting doesn't
+            # re-run the winnow kernel
+            report["oversized"] = report["oversized"].localCheckpoint()
         fps.unpersist()
     return pairs
 

@@ -163,3 +163,28 @@ def test_snapshot_diff_statuses_and_merkle_ancestors(spark):
         build_entries(a), build_entries(b), include_unchanged=True
     )
     assert full.filter("status = 'unchanged'").count() > 0
+
+
+def test_snapshot_diff_null_hash_build_uses_size(spark):
+    """Metadata-only builds (--hash null => all hashes NULL) still detect
+    modifications via the size comparison; same-size same-NULL rows stay
+    unchanged."""
+    from backupdeduplicator_spark.operators.build import build_entries
+    from backupdeduplicator_spark.operators.clean import snapshot_diff
+
+    a = spark.createDataFrame(
+        [("r", "x.txt", "one"), ("r", "y.txt", "two")],
+        ["repo", "path", "content"],
+    )
+    b = spark.createDataFrame(
+        [("r", "x.txt", "one-changed"), ("r", "y.txt", "two")],
+        ["repo", "path", "content"],
+    )
+    diff = {
+        r["path"]: r["status"]
+        for r in snapshot_diff(
+            build_entries(a, algo="null"), build_entries(b, algo="null")
+        ).collect()
+    }
+    assert diff.get("x.txt") == "modified"
+    assert "y.txt" not in diff

@@ -184,8 +184,6 @@ def test_cli_docdedup_substring_lcs(spark, tmp_path):
 def test_cli_diff_checkpoints(spark, input_dir, tmp_path, capsys):
     """CLI diff: two builds (second from a mutated input) compared by
     checkpoint dir; counts line reports the change classes."""
-    import pandas as pd
-
     base = spark.read.parquet(input_dir)
     mutated = base.withColumn(
         "content",
