@@ -1,0 +1,70 @@
+"""Event-time windowed ingest/dedup metrics for streaming pipelines.
+
+The stateful tiers (streaming/dedup.py, streaming/neardup.py) answer
+"is THIS row a duplicate?"; this module answers the monitoring question
+"how duplicated is the feed right now?" — per event-time window: rows
+ingested, approximate distinct contents (HyperLogLog — the only
+cardinality that is streaming- and 100 TB-safe), and the implied
+duplicate fraction.
+
+Late data is handled the standard Structured Streaming way: a watermark
+on the event-time column bounds how late a row may arrive; windows
+finalize (and in append mode emit exactly once) when the watermark
+passes their end, and rows later than the watermark are dropped — the
+documented trade between state size and late-data tolerance. The
+reference has no streaming surface at all (SURVEY §2.9); this extends
+the LLM-pipeline monitoring side of the engine.
+
+Works identically on a batch DataFrame (the watermark is a no-op there),
+which is how the oracle test cross-checks the aggregation itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_dedup_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    content_col: str = "content",
+    window_duration: str = "1 minute",
+    watermark_delay: str = "2 minutes",
+    slide_duration: str | None = None,
+) -> DataFrame:
+    """Per event-time window: rows, approx distinct contents, estimated
+    duplicate rows/fraction.
+
+    Output: window_start, window_end, rows, approx_distinct,
+    est_dup_rows, est_dup_fraction. Use with
+    ``writeStream.outputMode("append")`` — each window emits once, after
+    the watermark (max event time seen - ``watermark_delay``) passes its
+    end; rows arriving later than the watermark are dropped by design.
+
+    ``approx_count_distinct`` keeps per-window state at one HLL sketch
+    (KB) regardless of content volume — an exact distinct would buffer
+    every content hash per open window, which does not survive 100 TB
+    feeds. Pass a pre-hashed column (e.g. sha256 hex) as ``content_col``
+    to avoid shipping raw content into the sketch.
+    """
+    e = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if events.isStreaming:
+        e = e.withWatermark(ts_col, watermark_delay)
+    win = F.window(ts_col, window_duration, slide_duration or window_duration)
+    agg = e.groupBy(win.alias("w")).agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.approx_count_distinct(content_col).alias("approx_distinct"),
+    )
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "rows",
+        "approx_distinct",
+        (F.col("rows") - F.col("approx_distinct")).alias("est_dup_rows"),
+        F.when(F.col("rows") > 0,
+               (F.col("rows") - F.col("approx_distinct"))
+               / F.col("rows").cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("est_dup_fraction"),
+    )

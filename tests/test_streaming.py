@@ -192,3 +192,75 @@ def test_streaming_near_dup_matches(spark, tmp_path):
     assert all(r["bucket_overflow"] == 0 for r in rows)
     # several shared bands emit several rows — consumers dedup
     assert len(rows) >= 2
+
+
+def test_streaming_dedup_stats_watermark_and_late_rows(spark, tmp_path):
+    """Windowed dedup stats: append mode emits a window once when the
+    watermark (max ts - 2 min) passes its end; a row arriving later than
+    the watermark is dropped and never mutates the emitted window."""
+    from backupdeduplicator_spark.streaming.stats import streaming_dedup_stats
+
+    in_dir = tmp_path / "stat_drops"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "stat_out")
+    sck = str(tmp_path / "stat_sck")
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, ["ts", "content"]).coalesce(1) \
+            .write.mode("append").parquet(str(in_dir))
+        src = spark.readStream.schema("ts string, content string") \
+            .parquet(str(in_dir))
+        q = (
+            streaming_dedup_stats(src)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", sck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # window [00:00,00:01): 3 rows, 2 distinct. The 00:03:30 row pushes
+    # the watermark to 00:01:30 > 00:01, finalizing the first window;
+    # its own window [00:03,00:04) stays open (emitted in a later run).
+    run_batch([
+        ("2026-01-01 00:00:10", "alpha"),
+        ("2026-01-01 00:00:20", "alpha"),
+        ("2026-01-01 00:00:40", "beta"),
+        ("2026-01-01 00:03:30", "gamma"),
+    ])
+    first = spark.read.parquet(out_dir).collect()
+    assert len(first) == 1
+    w = first[0]
+    assert str(w["window_start"]).endswith("00:00:00")
+    assert w["rows"] == 3 and w["approx_distinct"] == 2
+    assert w["est_dup_rows"] == 1 and abs(w["est_dup_fraction"] - 1 / 3) < 1e-9
+
+    # second trigger: one LATE row for the finalized window (dropped —
+    # watermark is 00:01:30) plus one at 00:07 that finalizes [00:03,00:04)
+    run_batch([
+        ("2026-01-01 00:00:50", "late-dropped"),
+        ("2026-01-01 00:07:00", "delta"),
+    ])
+    rows = {str(r["window_start"]): r for r in spark.read.parquet(out_dir).collect()}
+    # first window unchanged (emitted exactly once, late row ignored)
+    w0 = rows["2026-01-01 00:00:00"]
+    assert w0["rows"] == 3 and w0["approx_distinct"] == 2
+    # gamma's window emitted with 1 row, 0 duplicates
+    w3 = rows["2026-01-01 00:03:00"]
+    assert w3["rows"] == 1 and w3["est_dup_rows"] == 0
+    # 00:07 window still open (watermark 00:05:00)
+    assert "2026-01-01 00:07:00" not in rows
+
+    # batch cross-check: the same aggregation over the same rows (minus
+    # the dropped-late row) matches
+    batch = streaming_dedup_stats(
+        spark.createDataFrame(
+            [("2026-01-01 00:00:10", "alpha"),
+             ("2026-01-01 00:00:20", "alpha"),
+             ("2026-01-01 00:00:40", "beta")],
+            ["ts", "content"],
+        )
+    ).collect()
+    assert batch[0]["rows"] == 3 and batch[0]["approx_distinct"] == 2
