@@ -126,7 +126,13 @@ def main() -> None:
     global _T_START
     _T_START = time.monotonic()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # default 16, not 32: interleaved A/B on this VM (BENCH/BASELINE.md)
+    # shows local[32] pays a 51-54% kernel/hypervisor sys-time share vs
+    # 17-33% at local[16], and local[16] wall-clock WINS every paired run
+    # (44.0/60.8 s vs 58.6/91.4 s same-minute pairs). Picking the
+    # parallelism the substrate can actually schedule is part of the
+    # engine's job; set SPARK_GRAFT_CPUS to override.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
     mult = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "24"))
 
     from backupdeduplicator_spark.operators.analyze import (
