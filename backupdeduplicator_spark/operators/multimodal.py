@@ -3,13 +3,14 @@
 The Spark-side plumbing (schemas, mapInPandas batch shape, partitioning)
 is real and tested. Decoding has three modes:
 
-  * ``decode_fn='real'`` — REAL decoders for the container-friendly
-    formats parseable with the standard library alone: WAV/PCM audio
-    (``wave`` module), 24-bit uncompressed BMP and binary PPM (P6)
-    images (struct/numpy). Each yields a FEATURE_DIM feature vector:
-    images are grayscaled and mean-pooled to 8x8 (the resize step),
-    audio is a 64-segment RMS envelope. Compressed formats (JPEG/PNG/
-    MP4/...) raise NotImplementedError at exactly the point a
+  * ``decode_fn='real'`` — REAL decoders for the formats parseable with
+    the standard library alone: WAV/PCM audio (``wave`` module), 24-bit
+    uncompressed BMP, binary PPM (P6), and 8-bit PNG (``zlib`` inflate +
+    full None/Sub/Up/Average/Paeth unfilter — gray/RGB/palette/alpha).
+    Each yields a FEATURE_DIM feature vector: images are grayscaled and
+    mean-pooled to 8x8 (the resize step), audio is a 64-segment RMS
+    envelope. Remaining compressed formats (JPEG/MP4/...)
+    raise NotImplementedError at exactly the point a
     Pillow/ffmpeg call would go — those libraries are not in this
     container, and faking a codec would be worse than failing loudly.
   * ``decode_fn='fake'`` (default) — deterministic sha256-seeded vector;
@@ -27,6 +28,7 @@ from __future__ import annotations
 import hashlib
 import io
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -153,6 +155,98 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return px.astype(np.float64).mean(axis=2) / maxval
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG -> (h, w) grayscale in [0, 1].
+
+    Pure stdlib: chunk walk + ``zlib`` inflate + per-scanline unfilter
+    (None/Sub/Up/Average/Paeth, the complete PNG filter set). Color
+    types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA);
+    alpha is ignored for the grayscale feature. Interlaced (Adam7) and
+    16-bit images raise NotImplementedError. The Sub/Average/Paeth
+    unfilter is a per-byte sequential recurrence (runs inside Arrow
+    batches like the hash folds); None/Up rows stay vectorized.
+    """
+    if not payload.startswith(PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, idat, plte, hdr = 8, [], None, None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # chunk header + data + CRC
+        if ctype == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if hdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width, height, depth, color, comp, filt, interlace = hdr
+    if depth != 8 or comp != 0 or filt != 0:
+        raise NotImplementedError(f"PNG depth={depth} compression={comp}")
+    if interlace != 0:
+        raise NotImplementedError("interlaced (Adam7) PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"PNG color type {color}")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG without PLTE")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:  # surface as the standard corrupt-payload type
+        raise ValueError(f"PNG deflate stream corrupt: {e}") from e
+    stride = width * channels
+    if len(raw) < height * (1 + stride):
+        raise ValueError("PNG pixel data truncated")
+    img = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(height):
+        base = y * (1 + stride)
+        ftype = raw[base]
+        line = np.frombuffer(raw, np.uint8, stride, base + 1).copy()
+        if ftype == 0:
+            pass
+        elif ftype == 2:  # Up
+            line += prev
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential
+            ln, pv = line.tolist(), prev.tolist()
+            for i in range(stride):
+                a = ln[i - bpp] if i >= bpp else 0  # left
+                b = pv[i]                           # up
+                if ftype == 1:
+                    ln[i] = (ln[i] + a) & 0xFF
+                elif ftype == 3:
+                    ln[i] = (ln[i] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = pv[i - bpp] if i >= bpp else 0  # upper-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c)
+                    ln[i] = (ln[i] + pred) & 0xFF
+            line = np.array(ln, dtype=np.uint8)
+        else:
+            raise ValueError(f"PNG filter type {ftype}")
+        img[y] = line
+        prev = line
+    px = img.reshape(height, width, channels)
+    if color == 3:
+        rgb = plte[px[:, :, 0]]
+        return rgb.astype(np.float64).mean(axis=2) / 255.0
+    if color == 0:
+        return px[:, :, 0].astype(np.float64) / 255.0
+    if color == 4:
+        return px[:, :, 0].astype(np.float64) / 255.0
+    return px[:, :, :3].astype(np.float64).mean(axis=2) / 255.0
+
+
 def _pool_gray(gray: np.ndarray, side: int = 8) -> np.ndarray:
     """Mean-pool a grayscale image to side x side — the resize step."""
     h, w = gray.shape
@@ -189,10 +283,12 @@ def _real_decode(kind: str, payload: bytes) -> np.ndarray:
         return _pool_gray(decode_bmp(payload)).ravel().astype(np.float32)
     if payload.startswith(b"P6"):
         return _pool_gray(decode_ppm(payload)).ravel().astype(np.float32)
+    if payload.startswith(PNG_SIG):
+        return _pool_gray(decode_png(payload)).ravel().astype(np.float32)
     raise NotImplementedError(
         f"real decode for kind={kind!r} (magic {payload[:4]!r}) requires "
         "Pillow/ffmpeg — not available in this environment; stdlib "
-        "decoders cover WAV, 24-bit BMP, and P6 PPM"
+        "decoders cover WAV, 24-bit BMP, P6 PPM, and 8-bit PNG"
     )
 
 

@@ -256,3 +256,101 @@ def test_real_feature_extraction_and_near_dups(spark):
     # ...and 'auto' falls back to the fake vector instead
     out = extract_features(fake_png, decode_fn="auto").collect()
     assert len(out) == 1 and len(out[0]["feature"]) == 64
+
+
+def _png_encode(arr: "np.ndarray", filters: list[int]) -> bytes:
+    """Minimal PNG writer for tests: 8-bit RGB, non-interlaced, one
+    explicit filter type per row (exercises the decoder's full
+    None/Sub/Up/Average/Paeth unfilter set)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(t: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + t + data
+                + struct.pack(">I", zlib.crc32(t + data)))
+
+    h, w, _ = arr.shape
+    bpp = 3
+    raw = bytearray()
+    prev = bytes(w * bpp)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        line = arr[y].tobytes()
+        out = bytearray(w * bpp)
+        for i in range(w * bpp):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[i] = (line[i] - pred) & 0xFF
+        raw += bytes([f]) + bytes(out)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_decode_all_filters():
+    """decode_png reconstructs exact pixels through every PNG filter type
+    and rejects truncated/interlaced payloads."""
+    import numpy as np
+    import pytest
+
+    from backupdeduplicator_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(9)
+    arr = rng.randint(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        payload = _png_encode(arr, filters)
+        gray = decode_png(payload)
+        want = arr.astype(np.float64).mean(axis=2) / 255.0
+        assert gray.shape == (10, 7)
+        assert np.allclose(gray, want), f"filters={filters}"
+
+    full = _png_encode(arr, [4])
+    with pytest.raises(ValueError):
+        decode_png(full[:40])  # missing IDAT
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+
+
+def test_png_feature_pipeline(spark):
+    """PNG payloads flow through extract_features in 'real' mode, and a
+    corrupt PNG degrades to the fake vector in 'auto' mode."""
+    import base64
+
+    import numpy as np
+
+    from backupdeduplicator_spark.operators.multimodal import extract_features
+
+    rng = np.random.RandomState(10)
+    arr = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    good = _png_encode(arr, [0, 1, 2, 3, 4])
+    corrupt = good[:60]  # signature intact, chunks truncated
+    media = spark.createDataFrame(
+        [
+            (1, "image", base64.b64encode(good).decode()),
+            (2, "image", base64.b64encode(corrupt).decode()),
+        ],
+        ["id", "kind", "payload"],
+    )
+    feats = {r["id"]: r["feature"]
+             for r in extract_features(
+                 media.filter("id = 1"), decode_fn="real").collect()}
+    assert len(feats[1]) == 64 and any(v > 0 for v in feats[1])
+    auto = extract_features(media, decode_fn="auto").collect()
+    assert len(auto) == 2  # corrupt payload fell back, no task failure
