@@ -116,3 +116,47 @@ def test_order_invariance_spark(spark):
         }
 
     assert key_set(df1) == key_set(df2)
+
+
+@given(
+    st.text(alphabet="abcé\n ", max_size=60),
+    st.text(alphabet="abcé\n ", max_size=60),
+)
+@settings(max_examples=120, deadline=None)
+def test_lcs_matches_dp_oracle(a, b):
+    """(d) suffix-automaton LCS == O(n*m) DP for arbitrary strings,
+    including multibyte characters (byte denomination)."""
+    from backupdeduplicator_spark.functions.lcs import (
+        lcs_length, lcs_length_brute)
+
+    assert lcs_length(a, b) == lcs_length_brute(a, b)
+    # symmetry and the substring upper bound
+    assert lcs_length(a, b) == lcs_length(b, a)
+    assert lcs_length(a, b) <= min(
+        len(a.encode("utf-8")), len(b.encode("utf-8")))
+
+
+def test_snapshot_diff_identity_and_symmetry(spark):
+    """(e) diff(t, t) is empty; diff(a, b) mirrors diff(b, a) with
+    added/removed swapped and modified preserved."""
+    from backupdeduplicator_spark.operators.build import build_entries
+    from backupdeduplicator_spark.operators.clean import snapshot_diff
+
+    a = spark.createDataFrame(
+        [("r", "d/x.txt", "one"), ("r", "d/y.txt", "two"),
+         ("r", "z.txt", "three")],
+        ["repo", "path", "content"],
+    )
+    b = spark.createDataFrame(
+        [("r", "d/x.txt", "one CHANGED"), ("r", "z.txt", "three"),
+         ("r", "w.txt", "four")],
+        ["repo", "path", "content"],
+    )
+    ea, eb = build_entries(a), build_entries(b)
+    assert snapshot_diff(ea, ea).count() == 0
+    fwd = {r["path"]: r["status"] for r in snapshot_diff(ea, eb).collect()}
+    rev = {r["path"]: r["status"] for r in snapshot_diff(eb, ea).collect()}
+    assert set(fwd) == set(rev)
+    swap = {"added": "removed", "removed": "added"}
+    for p, s in fwd.items():
+        assert rev[p] == swap.get(s, s), (p, s, rev[p])
