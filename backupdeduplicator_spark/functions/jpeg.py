@@ -1,0 +1,262 @@
+"""Baseline JPEG (SOF0/SOF1) luminance decoder — pure stdlib + numpy.
+
+The multimodal tier (operators/multimodal.py) needs grayscale pixels for
+its pooled-gray feature, so this decoder reconstructs the Y (luminance)
+component only: every component's entropy-coded coefficients are decoded
+(the bitstream is serial — chroma cannot be skipped), but dequant + IDCT
+run just for Y. Supports arbitrary 1-2 sampling factors (4:4:4, 4:2:2,
+4:2:0, grayscale), multiple DQT/DHT segments, 16-bit quant tables, and
+restart intervals. Progressive (SOF2) and arithmetic coding raise
+NotImplementedError — the honest boundary of a stdlib decoder.
+
+The per-symbol Huffman walk is an inherently-sequential Python loop (the
+same Arrow-batch fold pattern as functions/hashing.py); the IDCT is a
+vectorized numpy basis multiply per 8x8 block.
+
+Verified in tests/test_archive_multimodal.py against an in-test baseline
+ENCODER (forward DCT + the JPEG Annex K tables) at 4:4:4, 4:2:0, and
+grayscale, with round-trip pixel tolerance.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+# 8x8 DCT-II basis: C[u, x] = c(u)/2 * cos((2x+1) u pi / 16)
+_C = np.array([
+    [(np.sqrt(0.125) if u == 0 else 0.5)
+     * np.cos((2 * x + 1) * u * np.pi / 16) for x in range(8)]
+    for u in range(8)
+])
+
+
+def _idct2(block: np.ndarray) -> np.ndarray:
+    """2-D inverse DCT of an 8x8 coefficient block."""
+    return _C.T @ block @ _C
+
+
+class _Huff:
+    """Canonical JPEG Huffman table: (code, length) -> symbol."""
+
+    def __init__(self, counts: bytes, symbols: bytes):
+        self.map: dict[tuple[int, int], int] = {}
+        code, k = 0, 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                self.map[(length, code)] = symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    un-stuffing; stops at any non-RST marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # RST handled by caller via align
+                raise _RestartMarker()
+            else:
+                raise EOFError("marker inside entropy segment")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def decode(self, table: _Huff) -> int:
+        code, length = 0, 0
+        for _ in range(16):
+            code = (code << 1) | self.bit()
+            length += 1
+            sym = table.map.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+    def restart_align(self) -> None:
+        """Consume the RST marker and reset bit state."""
+        self.acc = 0
+        self.nbits = 0
+        # self.pos points AT the 0xFF of the RST marker
+        assert self.data[self.pos] == 0xFF
+        self.pos += 2
+
+
+class _RestartMarker(Exception):
+    pass
+
+
+def _extend(v: int, size: int) -> int:
+    """JPEG sign-extension of a SIZE-bit magnitude (spec F.2.2.1)."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG -> (h, w) luminance array in [0, 1]."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _Huff] = {}
+    huff_ac: dict[int, _Huff] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            continue  # standalone
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        seg = payload[pos + 2:pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                if pq:
+                    tbl = np.frombuffer(seg, ">u2", 64, i).astype(np.int32)
+                    i += 128
+                else:
+                    tbl = np.frombuffer(seg, np.uint8, 64, i).astype(np.int32)
+                    i += 64
+                qt[tq] = tbl
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                counts = seg[i + 1:i + 17]
+                n = sum(counts)
+                symbols = seg[i + 17:i + 17 + n]
+                (huff_ac if tc else huff_dc)[th] = _Huff(counts, symbols)
+                i += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                              "tq": tq})
+            frame = (h, w, comps)
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG not supported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(f"JPEG SOF marker {marker:#x}")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan_tables = {}
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan_tables[cs] = (tt >> 4, tt & 0xF)
+            return _decode_scan(payload, pos, frame, scan_tables, qt,
+                                huff_dc, huff_ac, restart_interval)
+    raise ValueError("no SOS segment found")
+
+
+def _decode_scan(payload, pos, frame, scan_tables, qt, huff_dc, huff_ac,
+                 restart_interval) -> np.ndarray:
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    y_comp = comps[0]  # first component is luminance by convention
+    yw, yv = y_comp["h"], y_comp["v"]
+    yplane = np.zeros((mcuy * yv * 8, mcux * yw * 8))
+    reader = _BitReader(payload, pos)
+    pred = {c["id"]: 0 for c in comps}
+    n_mcu = mcux * mcuy
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.restart_align()
+            pred = {c["id"]: 0 for c in comps}
+        my, mx = divmod(m, mcux)
+        for comp in comps:
+            dc_t, ac_t = scan_tables[comp["id"]]
+            dct, act = huff_dc[dc_t], huff_ac[ac_t]
+            is_y = comp is y_comp
+            q = qt[comp["tq"]]
+            for by in range(comp["v"]):
+                for bx in range(comp["h"]):
+                    coef = np.zeros(64, dtype=np.int32)
+                    s = reader.decode(dct)
+                    diff = _extend(reader.bits(s), s) if s else 0
+                    pred[comp["id"]] += diff
+                    coef[0] = pred[comp["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = reader.decode(act)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC index overflow")
+                        # coef stays in ZIGZAG order (so does the DQT
+                        # table); _dezigzag maps once after dequant
+                        coef[k] = _extend(reader.bits(s), s)
+                        k += 1
+                    if is_y:
+                        block = _idct2(_dezigzag(coef * q))
+                        py = (my * yv + by) * 8
+                        px = (mx * yw + bx) * 8
+                        yplane[py:py + 8, px:px + 8] = block + 128.0
+    # crop to the luminance component's true dimensions
+    ch = -(-h * yv // vmax)
+    cw = -(-w * yw // hmax)
+    out = np.clip(yplane[:ch, :cw], 0, 255)
+    return out / 255.0
+
+
+def _dezigzag(flat: np.ndarray) -> np.ndarray:
+    out = np.empty(64, dtype=np.float64)
+    out[ZIGZAG] = flat
+    return out.reshape(8, 8)

@@ -5,11 +5,13 @@ is real and tested. Decoding has three modes:
 
   * ``decode_fn='real'`` — REAL decoders for the formats parseable with
     the standard library alone: WAV/PCM audio (``wave`` module), 24-bit
-    uncompressed BMP, binary PPM (P6), and 8-bit PNG (``zlib`` inflate +
-    full None/Sub/Up/Average/Paeth unfilter — gray/RGB/palette/alpha).
+    uncompressed BMP, binary PPM (P6), 8-bit PNG (``zlib`` inflate +
+    full None/Sub/Up/Average/Paeth unfilter — gray/RGB/palette/alpha),
+    and baseline JPEG (functions/jpeg.py: Huffman + dequant + IDCT of
+    the luminance channel, 4:4:4/4:2:2/4:2:0/gray, restart intervals).
     Each yields a FEATURE_DIM feature vector: images are grayscaled and
     mean-pooled to 8x8 (the resize step), audio is a 64-segment RMS
-    envelope. Remaining compressed formats (JPEG/MP4/...)
+    envelope. Remaining formats (progressive JPEG/MP4/...)
     raise NotImplementedError at exactly the point a
     Pillow/ffmpeg call would go — those libraries are not in this
     container, and faking a codec would be worse than failing loudly.
@@ -285,10 +287,15 @@ def _real_decode(kind: str, payload: bytes) -> np.ndarray:
         return _pool_gray(decode_ppm(payload)).ravel().astype(np.float32)
     if payload.startswith(PNG_SIG):
         return _pool_gray(decode_png(payload)).ravel().astype(np.float32)
+    if payload[:3] == b"\xff\xd8\xff":
+        from ..functions.jpeg import decode_jpeg
+
+        return _pool_gray(decode_jpeg(payload)).ravel().astype(np.float32)
     raise NotImplementedError(
         f"real decode for kind={kind!r} (magic {payload[:4]!r}) requires "
         "Pillow/ffmpeg — not available in this environment; stdlib "
-        "decoders cover WAV, 24-bit BMP, P6 PPM, and 8-bit PNG"
+        "decoders cover WAV, 24-bit BMP, P6 PPM, 8-bit PNG, and baseline "
+        "JPEG"
     )
 
 

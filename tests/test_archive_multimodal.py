@@ -354,3 +354,240 @@ def test_png_feature_pipeline(spark):
     assert len(feats[1]) == 64 and any(v > 0 for v in feats[1])
     auto = extract_features(media, decode_fn="auto").collect()
     assert len(auto) == 2  # corrupt payload fell back, no task failure
+
+
+def _jpeg_encode(rgb, subsample=False, gray=False, restart=0):
+    """Minimal baseline JPEG writer for tests: forward DCT + flat quant
+    tables + per-image canonical Huffman tables (all symbols at one code
+    length), 4:4:4 or 4:2:0 or single-component grayscale, optional
+    restart interval. Valid per ITU T.81; exists to round-trip
+    decode_jpeg against known pixels."""
+    import struct
+
+    import numpy as np
+
+    from backupdeduplicator_spark.functions.jpeg import ZIGZAG, _C
+
+    h, w = rgb.shape[:2]
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    qy = np.full(64, 4, dtype=np.int32)   # flat tables: bounded error
+    qc = np.full(64, 8, dtype=np.int32)
+
+    if gray:
+        comps = [{"id": 1, "h": 1, "v": 1, "tq": 0, "plane": y}]
+    elif subsample:
+        def half(p):
+            hh, ww = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+            pp = np.pad(p, ((0, hh - h), (0, ww - w)), mode="edge")
+            return (pp[0::2, 0::2] + pp[0::2, 1::2]
+                    + pp[1::2, 0::2] + pp[1::2, 1::2]) / 4.0
+        comps = [{"id": 1, "h": 2, "v": 2, "tq": 0, "plane": y},
+                 {"id": 2, "h": 1, "v": 1, "tq": 1, "plane": half(cb)},
+                 {"id": 3, "h": 1, "v": 1, "tq": 1, "plane": half(cr)}]
+    else:
+        comps = [{"id": 1, "h": 1, "v": 1, "tq": 0, "plane": y},
+                 {"id": 2, "h": 1, "v": 1, "tq": 1, "plane": cb},
+                 {"id": 3, "h": 1, "v": 1, "tq": 1, "plane": cr}]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    def blocks_of(c):
+        """Per-MCU blocks of a component, padded to the MCU grid."""
+        ph, pw = mcuy * c["v"] * 8, mcux * c["h"] * 8
+        p = c["plane"]
+        p = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                   mode="edge")
+        out = []
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    py, px = (my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8
+                    out.append(p[py:py + 8, px:px + 8])
+        return out
+
+    def cat(v):
+        return 0 if v == 0 else int(v).bit_length() if v > 0 \
+            else int(-v).bit_length()
+
+    # pass 1: quantized zigzag coefficients for every block, MCU order
+    per_comp_blocks = [blocks_of(c) for c in comps]
+    qts = [qy, qc]
+    n_blk = {i: comps[i]["h"] * comps[i]["v"] for i in range(len(comps))}
+    stream = []  # (comp_idx, zigzag int array)
+    for m in range(mcux * mcuy):
+        for ci, c in enumerate(comps):
+            for k in range(n_blk[ci]):
+                blk = per_comp_blocks[ci][m * n_blk[ci] + k]
+                f = _C @ (blk - 128.0) @ _C.T
+                zig = f.flatten()[ZIGZAG]
+                q = qts[c["tq"]]
+                stream.append((ci, np.round(zig / q).astype(int)))
+
+    # pass 2: symbol statistics -> one-length canonical tables. DC
+    # predictors reset at restart boundaries, mirroring the decoder.
+    dc_syms, ac_syms = [set() for _ in comps], [set() for _ in comps]
+    pred = [0] * len(comps)
+    seq = []  # ('rst',)/('dc', ci, size, val)/('ac', ci, rs, val)
+    blocks_per_mcu = sum(comps[i]["h"] * comps[i]["v"]
+                         for i in range(len(comps)))
+    for idx, (ci, zig) in enumerate(stream):
+        mcu = idx // blocks_per_mcu
+        if (restart and idx % blocks_per_mcu == 0 and mcu
+                and mcu % restart == 0):
+            seq.append(("rst",))
+            pred = [0] * len(comps)
+        diff = int(zig[0]) - pred[ci]
+        pred[ci] = int(zig[0])
+        s = cat(diff)
+        dc_syms[ci].add(s)
+        seq.append(("dc", ci, s, diff))
+        run = 0
+        for k in range(1, 64):
+            v = int(zig[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ac_syms[ci].add(0xF0)
+                seq.append(("ac", ci, 0xF0, 0))
+                run -= 16
+            s = cat(v)
+            ac_syms[ci].add((run << 4) | s)
+            seq.append(("ac", ci, (run << 4) | s, v))
+            run = 0
+        if run:
+            ac_syms[ci].add(0x00)
+            seq.append(("ac", ci, 0x00, 0))
+
+    def table(symset):
+        syms = sorted(symset) or [0]
+        length = max(2, (len(syms) + 1).bit_length())
+        counts = [0] * 16
+        counts[length - 1] = len(syms)
+        codes = {s: (length, i) for i, s in enumerate(syms)}
+        return bytes(counts), bytes(syms), codes
+
+    # gray uses table ids 0/0; color assigns id per component index
+    tids = [0] * len(comps) if gray else list(range(len(comps)))
+    dct = [table(dc_syms[i]) for i in range(len(comps))]
+    act = [table(ac_syms[i]) for i in range(len(comps))]
+
+    class BW:
+        def __init__(self):
+            self.out = bytearray()
+            self.acc = 0
+            self.n = 0
+
+        def put(self, val, nbits):
+            for i in range(nbits - 1, -1, -1):
+                self.acc = (self.acc << 1) | ((val >> i) & 1)
+                self.n += 1
+                if self.n == 8:
+                    self.out.append(self.acc)
+                    if self.acc == 0xFF:
+                        self.out.append(0x00)
+                    self.acc, self.n = 0, 0
+
+        def pad(self):
+            while self.n:
+                self.put(1, 1)
+
+    bw = BW()
+    rst_n = 0
+    for item in seq:
+        if item[0] == "rst":
+            bw.pad()
+            bw.out += bytes([0xFF, 0xD0 + (rst_n % 8)])
+            rst_n += 1
+            continue
+        kind, ci, sym, val = item
+        ln, code = (dct if kind == "dc" else act)[ci][2][sym]
+        bw.put(code, ln)
+        size = sym & 0xF if kind == "ac" else sym
+        if size:
+            bw.put(val if val > 0 else val + (1 << size) - 1, size)
+    bw.pad()
+
+    def chunk(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += chunk(0xDB, bytes([0]) + bytes(qy.tolist()))
+    out += chunk(0xDB, bytes([1]) + bytes(qc.tolist()))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += chunk(0xC0, sof)
+    for i in range(len(comps)):
+        tid = tids[i]
+        out += chunk(0xC4, bytes([0x00 | tid]) + dct[i][0] + dct[i][1])
+        out += chunk(0xC4, bytes([0x10 | tid]) + act[i][0] + act[i][1])
+    if restart:
+        out += chunk(0xDD, struct.pack(">H", restart))
+    sos = bytes([len(comps)])
+    for i, c in enumerate(comps):
+        sos += bytes([c["id"], (tids[i] << 4) | tids[i]])
+    sos += bytes([0, 63, 0])
+    out += chunk(0xDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out), y
+
+
+def test_jpeg_decode_roundtrip():
+    """decode_jpeg recovers the luminance plane from 4:4:4, 4:2:0, and
+    grayscale baseline JPEGs within quantization tolerance."""
+    import numpy as np
+    import pytest
+
+    from backupdeduplicator_spark.functions.jpeg import decode_jpeg
+
+    rng = np.random.RandomState(12)
+    # smooth image: low-frequency content keeps flat-quant error tiny
+    base = rng.rand(3, 4, 3)
+    rgb = (np.kron(base, np.ones((8, 8, 1)))[:, :, :3] * 255).astype(np.uint8)
+    rgb = rgb[:22, :29]  # non-multiple-of-8/16 dims exercise padding
+    for kwargs in ({}, {"subsample": True}, {"gray": True},
+                   {"restart": 1}, {"subsample": True, "restart": 2}):
+        payload, y = _jpeg_encode(rgb, **kwargs)
+        got = decode_jpeg(payload)
+        assert got.shape == y.shape
+        err = np.abs(got * 255.0 - y).max()
+        assert err < 6.0, (kwargs, err)
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not jpeg")
+
+
+def test_jpeg_decodes_real_world_samples():
+    """Real JPEGs from system test data (libjpeg-family encoders) decode:
+    validates interop beyond our own test encoder."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from backupdeduplicator_spark.functions.jpeg import decode_jpeg
+
+    candidates = [
+        "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11"
+        "/test/imghdrdata/python.jpg",
+        "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/"
+        "doc/rust/html/embedded-book/assets/verify.jpeg",
+    ]
+    found = [p for p in candidates if os.path.exists(p)]
+    if not found:
+        pytest.skip("no system JPEG samples on this machine")
+    for p in found:
+        g = decode_jpeg(open(p, "rb").read())
+        assert g.ndim == 2 and g.size > 0
+        assert 0.0 <= float(g.min()) and float(g.max()) <= 1.0
+        assert float(np.std(g)) >= 0.0
