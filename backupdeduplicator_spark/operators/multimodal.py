@@ -7,8 +7,9 @@ is real and tested. Decoding has three modes:
     the standard library alone: WAV/PCM audio (``wave`` module), 24-bit
     uncompressed BMP, binary PPM (P6), 8-bit PNG (``zlib`` inflate +
     full None/Sub/Up/Average/Paeth unfilter — gray/RGB/palette/alpha),
-    and baseline JPEG (functions/jpeg.py: Huffman + dequant + IDCT of
-    the luminance channel, 4:4:4/4:2:2/4:2:0/gray, restart intervals).
+    baseline JPEG (functions/jpeg.py: Huffman + dequant + IDCT of
+    the luminance channel, 4:4:4/4:2:2/4:2:0/gray, restart intervals),
+    and GIF87a/89a (LZW, global/local palettes, interlace; first frame).
     Each yields a FEATURE_DIM feature vector: images are grayscaled and
     mean-pooled to 8x8 (the resize step), audio is a 64-segment RMS
     envelope. Remaining formats (progressive JPEG/MP4/...)
@@ -249,6 +250,112 @@ def decode_png(payload: bytes) -> np.ndarray:
     return px[:, :, :3].astype(np.float64).mean(axis=2) / 255.0
 
 
+def _gif_lzw(min_size: int, data: bytes) -> bytearray:
+    """GIF-variant LZW decompress (LSB-first codes, 12-bit cap)."""
+    clear, end = 1 << min_size, (1 << min_size) + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_size + 1
+    acc = nbits = 0
+    out = bytearray()
+    prev = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = list(base)
+                code_size = min_size + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("GIF LZW code out of range")
+            out += entry
+            prev = entry
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+    return out
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a first frame -> (h, w) grayscale in [0, 1].
+
+    Pure stdlib/numpy: logical-screen + image descriptors, global/local
+    color tables, LZW decompression (_gif_lzw), interlaced row
+    reordering. Animation frames after the first are ignored (the
+    feature tier wants one representative raster)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags = struct.unpack_from("<HHB", payload, 6)
+    pos = 13
+    gpal = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gpal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(-1, 3)
+        pos += n * 3
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _, _, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            pal = gpal
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                pal = np.frombuffer(payload, np.uint8, n * 3, pos) \
+                    .reshape(-1, 3)
+                pos += n * 3
+            if pal is None:
+                raise ValueError("GIF frame without color table")
+            min_size = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos]:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1:pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(
+                bytes(_gif_lzw(min_size, b"".join(chunks))[:w * h]),
+                np.uint8,
+            )
+            if idx.size < w * h:
+                raise ValueError("GIF pixel data truncated")
+            px = idx.reshape(h, w)
+            if iflags & 0x40:  # interlaced: 4-pass row order
+                ordered = np.empty_like(px)
+                rows = np.concatenate([np.arange(0, h, 8),
+                                       np.arange(4, h, 8),
+                                       np.arange(2, h, 4),
+                                       np.arange(1, h, 2)])
+                ordered[rows] = px
+                px = ordered
+            return pal[np.minimum(px, len(pal) - 1)] \
+                .astype(np.float64).mean(axis=2) / 255.0
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block {b:#x}")
+    raise ValueError("GIF has no image frame")
+
+
 def _pool_gray(gray: np.ndarray, side: int = 8) -> np.ndarray:
     """Mean-pool a grayscale image to side x side — the resize step."""
     h, w = gray.shape
@@ -291,11 +398,13 @@ def _real_decode(kind: str, payload: bytes) -> np.ndarray:
         from ..functions.jpeg import decode_jpeg
 
         return _pool_gray(decode_jpeg(payload)).ravel().astype(np.float32)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _pool_gray(decode_gif(payload)).ravel().astype(np.float32)
     raise NotImplementedError(
         f"real decode for kind={kind!r} (magic {payload[:4]!r}) requires "
         "Pillow/ffmpeg — not available in this environment; stdlib "
-        "decoders cover WAV, 24-bit BMP, P6 PPM, 8-bit PNG, and baseline "
-        "JPEG"
+        "decoders cover WAV, 24-bit BMP, P6 PPM, 8-bit PNG, baseline "
+        "JPEG, and GIF"
     )
 
 

@@ -591,3 +591,82 @@ def test_jpeg_decodes_real_world_samples():
         assert g.ndim == 2 and g.size > 0
         assert 0.0 <= float(g.min()) and float(g.max()) <= 1.0
         assert float(np.std(g)) >= 0.0
+
+
+def _gif_encode(idx, pal):
+    """Minimal GIF89a writer: global palette + per-pixel literal LZW
+    (a CLEAR code before every pixel keeps the dictionary empty — legal,
+    inefficient, deterministic)."""
+    import struct as _struct
+
+    import numpy as np
+
+    h, w = idx.shape
+    nbits = max(2, int(np.max(idx)).bit_length())
+    npal = 1 << nbits
+    pal = np.vstack([pal, np.zeros((npal - len(pal), 3), np.uint8)])
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HHBBB", w, h, 0x80 | (nbits - 1), 0, 0)
+    out += pal.astype(np.uint8).tobytes()
+    out += b"\x2c" + _struct.pack("<HHHHB", 0, 0, w, h, 0)
+    min_size = nbits
+    clear, end = 1 << min_size, (1 << min_size) + 1
+    code_size = min_size + 1
+    acc = accbits = 0
+    data = bytearray()
+
+    def put(code):
+        nonlocal acc, accbits
+        acc |= code << accbits
+        accbits += code_size
+        while accbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            accbits -= 8
+
+    put(clear)
+    for v in idx.ravel():
+        put(int(v))
+        put(clear)  # keep the dictionary permanently empty
+    put(end)
+    if accbits:
+        data.append(acc & 0xFF)
+    out += bytes([min_size])
+    for i in range(0, len(data), 255):
+        block = data[i:i + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_decode_roundtrip_and_real_samples():
+    import glob
+    import os
+
+    import numpy as np
+    import pytest
+
+    from backupdeduplicator_spark.operators.multimodal import decode_gif
+
+    rng = np.random.RandomState(13)
+    pal = rng.randint(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.randint(0, 8, size=(11, 13)).astype(np.uint8)
+    gray = decode_gif(_gif_encode(idx, pal))
+    want = pal[idx].astype(np.float64).mean(axis=2) / 255.0
+    assert gray.shape == (11, 13)
+    assert np.allclose(gray, want)
+
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF89a truncated")
+    with pytest.raises(ValueError):
+        decode_gif(b"totally not a gif")
+
+    # real-world encoder interop (skip silently if absent)
+    real = glob.glob(
+        "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11"
+        "/idlelib/Icons/*.gif"
+    )[:4]
+    for p in real:
+        g = decode_gif(open(p, "rb").read())
+        assert g.ndim == 2 and g.size > 0
+        assert 0.0 <= float(g.min()) and float(g.max()) <= 1.0
