@@ -30,10 +30,19 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
 
-    # SPARK_GRAFT_MASTER overrides the master verbatim — e.g.
-    # "local-cluster[4,8,8192]" for real multi-executor JVMs (the faithful
-    # N-vs-4N stand-in: separate heaps, separate GC, real shuffle fetch)
-    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
+    # Master resolution order:
+    #   1. SPARK_GRAFT_MASTER overrides verbatim — e.g.
+    #      "local-cluster[4,8,8192]" for real multi-executor JVMs (the
+    #      faithful N-vs-4N stand-in: separate heaps, real shuffle fetch)
+    #   2. a master already provided by spark-submit (--master lands in
+    #      the JVM system properties that SparkConf() loads) — the
+    #      production path; tools/submit_pipeline.py relies on this
+    #   3. local[cores] for tests/bench
+    from pyspark import SparkConf
+
+    submit_master = SparkConf().get("spark.master", None)
+    master = os.environ.get("SPARK_GRAFT_MASTER") or submit_master \
+        or f"local[{cores}]"
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

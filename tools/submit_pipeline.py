@@ -1,0 +1,31 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the full pipeline — the production run
+mode (north_rule: "run via spark-submit --py-files on a multi-executor
+cluster").
+
+Usage (any real master works; local-cluster gives true multi-executor
+JVMs on one box):
+
+    spark-submit \
+        --master local-cluster[2,2,2048] \
+        --py-files /tmp/backupdeduplicator_spark_pyfiles.zip \
+        tools/submit_pipeline.py \
+        <subcommand and args for python -m backupdeduplicator_spark>
+
+e.g. ``... tools/submit_pipeline.py pipeline --input /data/files.parquet
+--checkpoint /data/ck``. The session factory (session.get_spark) detects
+the spark-submit-provided master and does not override it; for
+multi-executor masters it also re-ships the package zip to executor
+Python workers automatically.
+
+Build the --py-files zip with:
+    python -c "from backupdeduplicator_spark.session import _package_zip;
+               print(_package_zip())"
+"""
+
+import sys
+
+from backupdeduplicator_spark.__main__ import main
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
