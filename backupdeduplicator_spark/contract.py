@@ -703,6 +703,24 @@ WHERE fa.path IS NULL OR fb.path IS NULL OR fa.h IS DISTINCT FROM fb.h
 """
 
 
+def q_w2_windowed_dedup_stats(d: D) -> str:
+    """Batch twin of the streaming windowed dedup-stats operator
+    (streaming/stats.py, exact mode): per 1-hour event-time window over
+    the events table — rows, distinct users, and the implied repeat
+    fraction. DuckDB time_bucket == Spark window() (both epoch-aligned
+    tumbling windows)."""
+    return """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+  time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+  COUNT(*) AS n_rows,
+  COUNT(DISTINCT user_id) AS n_users,
+  COUNT(*) - COUNT(DISTINCT user_id) AS repeat_rows,
+  (COUNT(*) - COUNT(DISTINCT user_id)) / CAST(COUNT(*) AS DOUBLE)
+    AS repeat_fraction
+FROM events GROUP BY 1
+"""
+
+
 def q_d1_exact_dup_docs(d: D) -> str:
     """Exact dedup over the documents table (hash-groupBy). The raw table
     has no duplicate texts, so every 7th doc is mirrored under a shifted
@@ -741,6 +759,7 @@ SQL_QUERIES: dict[str, Callable[[D], str]] = {
     "t4_ngram_jaccard": q_t4_ngram_jaccard,
     "d1_exact_dup_docs": q_d1_exact_dup_docs,
     "c1_snapshot_diff": q_c1_snapshot_diff,
+    "w2_windowed_dedup_stats": q_w2_windowed_dedup_stats,
     "d2_near_dup_planted": q_d2_near_dup_planted,
     "x3_substring_planted_mirrors": q_x3_substring_planted,
     "x4_simhash_planted_mirrors": q_x4_simhash_planted,
@@ -956,6 +975,27 @@ def _spark_substring_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id1").alias("doc_id"))
 
 
+def _spark_windowed_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming stats aggregation run in batch mode with exact
+    distinct (count_distinct) so DuckDB can twin it; the streaming path
+    (watermark + HLL) is verified in tests/test_streaming.py."""
+    from .sources.tables import register_views
+    from .streaming.stats import streaming_dedup_stats
+
+    register_views(spark, sf_dir)
+    out = streaming_dedup_stats(
+        spark.table("events"), ts_col="ts", content_col="user_id",
+        window_duration="1 hour", exact=True,
+    )
+    return out.select(
+        "window_start", "window_end",
+        F.col("rows").alias("n_rows"),
+        F.col("approx_distinct").alias("n_users"),
+        F.col("est_dup_rows").alias("repeat_rows"),
+        F.col("est_dup_fraction").alias("repeat_fraction"),
+    )
+
+
 def _spark_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two full hash-tree builds (files + Merkle dirs) diffed with the
     snapshot_diff operator; projected to File rows for the file-level
@@ -1049,6 +1089,7 @@ ENGINE_BACKED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x4_simhash_planted_mirrors": _spark_simhash_planted,
     "x5_substring_lcs_planted": _spark_substring_lcs_planted,
     "c1_snapshot_diff": _spark_snapshot_diff,
+    "w2_windowed_dedup_stats": _spark_windowed_dedup_stats,
     "x1_simhash_pairs": _spark_simhash_pairs,
 }
 

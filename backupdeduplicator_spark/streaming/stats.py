@@ -32,6 +32,7 @@ def streaming_dedup_stats(
     window_duration: str = "1 minute",
     watermark_delay: str = "2 minutes",
     slide_duration: str | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """Per event-time window: rows, approx distinct contents, estimated
     duplicate rows/fraction.
@@ -46,15 +47,21 @@ def streaming_dedup_stats(
     (KB) regardless of content volume — an exact distinct would buffer
     every content hash per open window, which does not survive 100 TB
     feeds. Pass a pre-hashed column (e.g. sha256 hex) as ``content_col``
-    to avoid shipping raw content into the sketch.
+    to avoid shipping raw content into the sketch. ``exact=True``
+    switches to count_distinct — batch mode only (streaming append
+    forbids it), used by the oracle-checked batch twin.
     """
     e = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     if events.isStreaming:
+        if exact:
+            raise ValueError("exact distinct is batch-only")
         e = e.withWatermark(ts_col, watermark_delay)
     win = F.window(ts_col, window_duration, slide_duration or window_duration)
+    distinct = (F.count_distinct(F.col(content_col)) if exact
+                else F.approx_count_distinct(content_col))
     agg = e.groupBy(win.alias("w")).agg(
         F.count(F.lit(1)).alias("rows"),
-        F.approx_count_distinct(content_col).alias("approx_distinct"),
+        distinct.alias("approx_distinct"),
     )
     return agg.select(
         F.col("w.start").alias("window_start"),
