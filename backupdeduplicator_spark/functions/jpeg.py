@@ -114,7 +114,8 @@ class _BitReader:
         self.acc = 0
         self.nbits = 0
         # self.pos points AT the 0xFF of the RST marker
-        assert self.data[self.pos] == 0xFF
+        if self.data[self.pos] != 0xFF:
+            raise ValueError("expected restart marker")
         self.pos += 2
 
 
@@ -128,7 +129,20 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG -> (h, w) luminance array in [0, 1]."""
+    """Baseline JPEG -> (h, w) luminance array in [0, 1]. Corrupt
+    payloads raise ValueError (or NotImplementedError for recognized but
+    unsupported variants) — never the internal KeyError/IndexError/
+    _RestartMarker shapes, so 'auto' decode modes can catch one type."""
+    try:
+        return _decode_jpeg_impl(payload)
+    except (KeyError, IndexError, struct.error, _RestartMarker,
+            EOFError) as e:
+        raise ValueError(
+            f"corrupt JPEG ({type(e).__name__}: {e})"
+        ) from e
+
+
+def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}

@@ -34,18 +34,22 @@ def get_spark(
     #   1. SPARK_GRAFT_MASTER overrides verbatim — e.g.
     #      "local-cluster[4,8,8192]" for real multi-executor JVMs (the
     #      faithful N-vs-4N stand-in: separate heaps, real shuffle fetch)
-    #   2. a master already provided by spark-submit (--master lands in
-    #      the JVM system properties that SparkConf() loads) — the
-    #      production path; tools/submit_pipeline.py relies on this
+    #   2. under spark-submit (detected via the PYSPARK_GATEWAY_PORT env
+    #      the PythonRunner sets for the driver script), DON'T set a
+    #      master at all — the submit-provided one lives in the already-
+    #      running JVM's conf and builder.master() would clobber it.
+    #      (SparkConf() can NOT be used to read it here: before the
+    #      context exists it returns an empty Python-side conf.)
     #   3. local[cores] for tests/bench
-    from pyspark import SparkConf
-
-    submit_master = SparkConf().get("spark.master", None)
-    master = os.environ.get("SPARK_GRAFT_MASTER") or submit_master \
-        or f"local[{cores}]"
+    env_master = os.environ.get("SPARK_GRAFT_MASTER")
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    builder = SparkSession.builder.appName(app_name)
+    if env_master:
+        builder = builder.master(env_master)
+    elif not under_submit:
+        builder = builder.master(f"local[{cores}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.executor.memory",
                 os.environ.get("SPARK_EXECUTOR_MEM", "4g"))
         # -- correctness-relevant --
@@ -66,10 +70,13 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
-    if not master.startswith("local[") or os.environ.get("SPARK_GRAFT_PYFILES"):
+    effective_master = spark.sparkContext.master or ""
+    if (not effective_master.startswith("local[")
+            or os.environ.get("SPARK_GRAFT_PYFILES")):
         # multi-executor masters (local-cluster / standalone / yarn): ship
         # the package to executor Python workers — the spark-submit
-        # --py-files mechanism, automated
+        # --py-files mechanism, automated. The decision uses the
+        # EFFECTIVE master (spark-submit may have provided it).
         spark.sparkContext.addPyFile(_package_zip())
     return spark
 
@@ -79,6 +86,17 @@ def _package_zip() -> str:
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.isdir(pkg_dir):
+        # the package was itself imported FROM a --py-files zip (driver
+        # under spark-submit): that zip IS the distribution — reuse it
+        p = pkg_dir
+        while p and p != os.path.dirname(p) and not os.path.isfile(p):
+            p = os.path.dirname(p)
+        if p and zipfile.is_zipfile(p):
+            return p
+        raise RuntimeError(
+            f"package dir {pkg_dir} is neither a directory nor inside a zip"
+        )
     out = os.path.join("/tmp", "backupdeduplicator_spark_pyfiles.zip")
     newest = max(
         os.path.getmtime(os.path.join(root, f))

@@ -670,3 +670,95 @@ def test_gif_decode_roundtrip_and_real_samples():
         g = decode_gif(open(p, "rb").read())
         assert g.ndim == 2 and g.size > 0
         assert 0.0 <= float(g.min()) and float(g.max()) <= 1.0
+
+
+def test_jpeg_corrupt_payloads_raise_valueerror():
+    """Internal decode failures (truncated entropy data, bad markers)
+    surface as ValueError so the auto pipeline can catch one type."""
+    import numpy as np
+    import pytest
+
+    from backupdeduplicator_spark.functions.jpeg import decode_jpeg
+
+    rng = np.random.RandomState(14)
+    rgb = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+    full, _ = _jpeg_encode(rgb)
+    for cut in (len(full) // 2, len(full) - 4):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg(full[:cut])
+
+
+def _gif_lzw_compress(seq, min_size):
+    """Real GIF LZW compressor (dictionary growth + early code-size
+    change + 12-bit cap with CLEAR reset) — timing derived independently
+    of the decoder: the decoder's table after reading k codes is one
+    entry behind the encoder's next_code, so the encoder bumps at
+    next_code == (1 << code_size) + 1."""
+    clear, end = 1 << min_size, (1 << min_size) + 1
+    out_codes = []
+
+    def reset():
+        return {bytes([i]): i for i in range(clear)}, end + 1, min_size + 1
+
+    table, next_code, code_size = reset()
+    sizes = []
+
+    def emit(code):
+        out_codes.append(code)
+        sizes.append(code_size)
+
+    emit(clear)
+    w = b""
+    for b in bytes(seq):
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:  # dictionary full: reset mid-stream
+            emit(clear)
+            table, next_code, code_size = reset()
+        w = bytes([b])
+    if w:
+        emit(table[w])
+    emit(end)
+    # pack LSB-first with the code size in force at each emission
+    acc = accbits = 0
+    data = bytearray()
+    for code, cs in zip(out_codes, sizes):
+        acc |= code << accbits
+        accbits += cs
+        while accbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            accbits -= 8
+    if accbits:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def test_gif_lzw_dictionary_growth_roundtrip():
+    """_gif_lzw decodes REAL compressed streams: dictionary growth
+    through several code sizes, the K?K (code == len(table)) case, and
+    the 12-bit cap with a mid-stream CLEAR."""
+    import numpy as np
+
+    from backupdeduplicator_spark.operators.multimodal import _gif_lzw
+
+    rng = np.random.RandomState(15)
+    cases = [
+        bytes(rng.randint(0, 4, size=40_000).tolist()),   # grows past 12 bits
+        b"\x00" * 5000,                                    # K?K chains
+        bytes(rng.randint(0, 2, size=300).tolist()),
+        bytes([0, 1, 0, 1, 0, 1, 0]),
+        b"\x01",
+    ]
+    for seq in cases:
+        comp = _gif_lzw_compress(seq, 2)
+        got = bytes(_gif_lzw(2, comp))
+        assert got == seq, (len(seq), len(got))

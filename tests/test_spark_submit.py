@@ -45,6 +45,9 @@ def test_spark_submit_pyfiles_local_cluster(spark, tmp_path):
         cwd=repo_root,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
+    # the submit-provided master must be honored — this is the assertion
+    # that catches get_spark silently replacing it with local[N]
+    assert "master=local-cluster[2,1,1024]" in proc.stdout, proc.stdout[-2000:]
     out = spark.read.parquet(f"{ck}/entries/snapshot=1")
     n = out.count()
     assert n > 120  # files + derived directory entries

@@ -19,13 +19,17 @@ multi-executor masters it also re-ships the package zip to executor
 Python workers automatically.
 
 Build the --py-files zip with:
-    python -c "from backupdeduplicator_spark.session import _package_zip;
-               print(_package_zip())"
+    python -c "from backupdeduplicator_spark.session import _package_zip; print(_package_zip())"
 """
 
 import sys
 
 from backupdeduplicator_spark.__main__ import main
+from backupdeduplicator_spark.session import get_spark
 
 if __name__ == "__main__":
+    spark = get_spark("bd-spark-submit")
+    # printed so callers (and tests/test_spark_submit.py) can verify the
+    # submit-provided master was honored, not silently replaced
+    print(f"submit_pipeline: master={spark.sparkContext.master}", flush=True)
     sys.exit(main(sys.argv[1:]))
