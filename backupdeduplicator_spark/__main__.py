@@ -289,6 +289,13 @@ def cmd_docdedup(args) -> int:
         out = ngram_jaccard_pairs(docs, id_col=args.id_col,
                                   text_col=args.text_col,
                                   threshold=args.threshold)
+    if args.verify_jaccard and args.tier in ("simhash", "substring"):
+        # exact pairwise verification of the approximate tier's output
+        from .operators.dedup_extra import verify_jaccard_pairs
+
+        out = verify_jaccard_pairs(docs, out, id_col=args.id_col,
+                                   text_col=args.text_col,
+                                   threshold=args.verify_jaccard)
     out.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     if "oversized" in report:
@@ -367,6 +374,11 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--id-col", default="doc_id", dest="id_col")
     dd.add_argument("--text-col", default="text", dest="text_col")
     dd.add_argument("--threshold", type=float, default=0.55)
+    dd.add_argument("--verify-jaccard", type=float, default=0.0,
+                    dest="verify_jaccard",
+                    help="simhash/substring tiers: append the exact "
+                         "char-5-gram Jaccard per candidate pair and keep "
+                         "pairs >= this similarity")
     dd.add_argument("--min-lcs", type=int, default=0, dest="min_lcs",
                     help="substring tier only: verify candidates with the "
                          "exact suffix-automaton LCS kernel and keep pairs "

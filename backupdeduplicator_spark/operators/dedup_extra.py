@@ -6,8 +6,11 @@ with operators.components.connected_components.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 from ..functions.text import simhash64
 from .components import connected_components
@@ -211,3 +214,60 @@ def pairs_to_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2") -> D
     return connected_components(
         pairs.select(F.col(id1).alias("u"), F.col(id2).alias("v"))
     )
+
+
+@pandas_udf(DoubleType())
+def _jaccard5_udf(t1: pd.Series, t2: pd.Series) -> pd.Series:
+    def j(a: object, b: object) -> float:
+        if a is None or b is None:
+            return 0.0
+        a, b = str(a), str(b)
+        sa = {a[i:i + 5] for i in range(max(len(a) - 4, 0))} or ({a} if a else set())
+        sb = {b[i:i + 5] for i in range(max(len(b) - 4, 0))} or ({b} if b else set())
+        if not sa and not sb:
+            return 1.0
+        u = len(sa | sb)
+        return len(sa & sb) / u if u else 0.0
+
+    return pd.Series([j(a, b) for a, b in zip(t1, t2)], dtype="float64")
+
+
+def verify_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact-verification stage for any candidate-pair tier (MinHash,
+    SimHash, winnowing): rejoin pair ids to content and compute the TRUE
+    character-5-gram Jaccard similarity per pair (the same shingle
+    definition as the MinHash signatures and the reference oracle),
+    keeping pairs with ``jaccard >= threshold``. All columns of
+    ``pairs`` are preserved; a ``jaccard`` column is appended.
+
+    The scalable exact check: ngram_jaccard_pairs computes all-pairs
+    exact Jaccard (quadratic — validation only), while this verifies a
+    bounded candidate set in O(|pairs|) content rejoins, the same shape
+    as operators/substring.verify_substring_pairs. Short texts (< 5
+    chars) shingle to the whole string; two empty/NULL-vs-empty texts
+    score 1.0/0.0 respectively.
+    """
+    texts = docs.select(F.col(id_col).alias("_vid"), F.col(text_col).alias("_vt"))
+    joined = (
+        pairs.join(
+            texts.select(F.col("_vid").alias("id1"), F.col("_vt").alias("_t1")),
+            "id1",
+        )
+        .join(
+            texts.select(F.col("_vid").alias("id2"), F.col("_vt").alias("_t2")),
+            "id2",
+        )
+    )
+    out = (
+        joined.withColumn("jaccard", _jaccard5_udf(F.col("_t1"), F.col("_t2")))
+        .drop("_t1", "_t2")
+    )
+    if threshold > 0.0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out

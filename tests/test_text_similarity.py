@@ -244,3 +244,32 @@ def test_simhash_null_text_pairs_with_empty(spark):
             for r in simhash_pairs(docs).collect()}
     assert rows.get((1, 2)) == 0
     assert (1, 3) not in rows and (2, 3) not in rows
+
+
+def test_verify_jaccard_pairs(spark):
+    """Pairwise exact-Jaccard verification matches the pure-Python
+    oracle and filters below-threshold candidates."""
+    from backupdeduplicator_spark import oracle
+    from backupdeduplicator_spark.operators.dedup_extra import (
+        verify_jaccard_pairs)
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over the lazy dog",   # J = 1
+        3: "the quick brown fox leaps over the lazy dog",   # high J
+        4: "completely different content with no overlap",  # low J
+        5: "ab",                                            # short text
+    }
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5)], ["id1", "id2"]
+    )
+    got = {(r["id1"], r["id2"]): r["jaccard"]
+           for r in verify_jaccard_pairs(docs, pairs).collect()}
+    for (i, j), v in got.items():
+        want = oracle.jaccard(
+            oracle.char_shingles(texts[i]), oracle.char_shingles(texts[j]))
+        assert abs(v - want) < 1e-12, (i, j, v, want)
+    assert got[(1, 2)] == 1.0 and got[(1, 4)] < 0.05
+    kept = verify_jaccard_pairs(docs, pairs, threshold=0.5).collect()
+    assert {(r["id1"], r["id2"]) for r in kept} == {(1, 2), (1, 3)}
