@@ -762,3 +762,28 @@ def test_gif_lzw_dictionary_growth_roundtrip():
         comp = _gif_lzw_compress(seq, 2)
         got = bytes(_gif_lzw(2, comp))
         assert got == seq, (len(seq), len(got))
+
+
+def test_png_jpeg_degenerate_sizes():
+    """Codecs handle 1x1, 1xN, Nx1, and odd dimensions: PNG exactly,
+    JPEG within flat-quant tolerance (incl. 4:2:0 odd-dim padding)."""
+    import numpy as np
+
+    from backupdeduplicator_spark.functions.jpeg import decode_jpeg
+    from backupdeduplicator_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(16)
+    for h, w in [(1, 1), (1, 9), (9, 1), (3, 5), (17, 1), (1, 17), (7, 7)]:
+        arr = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        gray = decode_png(_png_encode(arr, [0, 1, 2, 3, 4]))
+        want = arr.astype(np.float64).mean(axis=2) / 255.0
+        assert gray.shape == (h, w) and np.allclose(gray, want), (h, w)
+
+        payload, y = _jpeg_encode(arr)
+        got = decode_jpeg(payload)
+        assert got.shape == (h, w), (h, w)
+        assert np.abs(got * 255.0 - y).max() < 30.0, (h, w)  # blocky smalls
+
+        payload, y = _jpeg_encode(arr, subsample=True)
+        got = decode_jpeg(payload)
+        assert got.shape == (h, w), ("420", h, w)
