@@ -38,10 +38,12 @@ def bench_files(
     code; $SPARK_GRAFT_BENCH_REPEAT, default 8). Within a family,
     variants 0 and 4 are exact copies; the rest differ by a one-line
     suffix (Jaccard ~0.99 — true near-dups). Different families of the
-    same doc share only half their content (J ~ 1/3, below the LSH
-    S-curve), so candidate volume grows LINEARLY with mult and no
-    mega-buckets form — the corpus exercises exact groups, Merkle, LSH,
-    and CC at any scale without quadratic blowup.
+    same doc share only half their content, which keeps per-bucket
+    membership bounded (no mega-buckets) at any mult. Candidate volume
+    is near-linear at the default mult=24 but grows quadratically in
+    families-per-doc beyond it (measured: 4x rows at mult 96 -> 6.9x
+    candidate pairs; see BENCH/BASELINE.md's data-size section) — that
+    extra load is itself a useful stress profile, just not a linear one.
     """
     if repeat is None:
         repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "8"))
