@@ -271,3 +271,56 @@ def verify_jaccard_pairs(
     if threshold > 0.0:
         out = out.filter(F.col("jaccard") >= threshold)
     return out
+
+
+def cluster_quality_report(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    member_col: str = "doc_id",
+    cluster_col: str = "component",
+    sample_per_cluster: int = 3,
+) -> DataFrame:
+    """Sampled exact-similarity audit of a near-dup clustering: for each
+    cluster take the ``sample_per_cluster`` lowest-id members
+    (deterministic), chain them into adjacent pairs, verify with the
+    exact char-5-gram Jaccard kernel, and report per-cluster
+    (n_members, n_checked_pairs, min_jaccard, avg_jaccard).
+
+    The corpus-scale QA pass for the MinHash tier: full pairwise
+    verification of every cluster is O(sum m_c^2), but a chained sample
+    is O(clusters * S) content rejoins and still flags a poisoned
+    cluster (any unrelated member chained next to a true member drags
+    min_jaccard down). Singleton clusters report zero checked pairs.
+    """
+    from pyspark.sql import Window
+
+    c = clusters.select(
+        F.col(member_col).alias("_m"), F.col(cluster_col).alias("_c")
+    )
+    w = Window.partitionBy("_c").orderBy("_m")
+    sampled = (
+        c.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= sample_per_cluster)
+        .withColumn("_nxt", F.lead("_m").over(w))
+    )
+    pairs = sampled.filter(F.col("_nxt").isNotNull()).select(
+        F.col("_m").alias("id1"), F.col("_nxt").alias("id2"),
+        F.col("_c").alias("cluster"),
+    )
+    ver = verify_jaccard_pairs(docs, pairs, id_col=id_col, text_col=text_col)
+    sizes = c.groupBy(F.col("_c").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    per_cluster = ver.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_checked_pairs"),
+        F.min("jaccard").alias("min_jaccard"),
+        F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+    )
+    return (
+        sizes.join(per_cluster, "cluster", "left")
+        .na.fill({"n_checked_pairs": 0})
+        .select("cluster", "n_members", "n_checked_pairs",
+                "min_jaccard", "avg_jaccard")
+    )

@@ -273,3 +273,35 @@ def test_verify_jaccard_pairs(spark):
     assert got[(1, 2)] == 1.0 and got[(1, 4)] < 0.05
     kept = verify_jaccard_pairs(docs, pairs, threshold=0.5).collect()
     assert {(r["id1"], r["id2"]) for r in kept} == {(1, 2), (1, 3)}
+
+
+def test_cluster_quality_report(spark):
+    """The sampled audit flags a poisoned cluster (unrelated member) via
+    low min_jaccard while a clean cluster scores ~1."""
+    from backupdeduplicator_spark.operators.dedup_extra import (
+        cluster_quality_report)
+
+    base = "shared near duplicate content body " * 10
+    docs = spark.createDataFrame(
+        [
+            (1, base), (2, base + "x"), (3, base + "yy"),     # clean
+            (10, "first topic entirely " * 12),
+            (11, "first topic entirely " * 12 + "z"),
+            (12, "second topic wholly unrelated words " * 12),  # poison
+            (20, "a lone document"),                           # singleton
+        ],
+        ["doc_id", "text"],
+    )
+    clusters = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100),
+         (10, 200), (11, 200), (12, 200),
+         (20, 300)],
+        ["doc_id", "component"],
+    )
+    rep = {r["cluster"]: r for r in cluster_quality_report(
+        docs, clusters).collect()}
+    assert rep[100]["n_members"] == 3 and rep[100]["n_checked_pairs"] == 2
+    assert rep[100]["min_jaccard"] > 0.9
+    assert rep[200]["min_jaccard"] < 0.3  # the poisoned link
+    assert rep[300]["n_checked_pairs"] == 0
+    assert rep[300]["min_jaccard"] is None
