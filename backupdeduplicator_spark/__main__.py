@@ -289,13 +289,19 @@ def cmd_docdedup(args) -> int:
         out = ngram_jaccard_pairs(docs, id_col=args.id_col,
                                   text_col=args.text_col,
                                   threshold=args.threshold)
-    if args.verify_jaccard and args.tier in ("simhash", "substring"):
-        # exact pairwise verification of the approximate tier's output
-        from .operators.dedup_extra import verify_jaccard_pairs
+    if args.verify_jaccard:
+        if args.tier in ("simhash", "substring"):
+            # exact pairwise verification of the approximate tier's output
+            from .operators.dedup_extra import verify_jaccard_pairs
 
-        out = verify_jaccard_pairs(docs, out, id_col=args.id_col,
-                                   text_col=args.text_col,
-                                   threshold=args.verify_jaccard)
+            out = verify_jaccard_pairs(docs, out, id_col=args.id_col,
+                                       text_col=args.text_col,
+                                       threshold=args.verify_jaccard)
+        else:
+            print(f"docdedup: WARNING --verify-jaccard applies to the "
+                  f"simhash/substring pair tiers only; ignored for "
+                  f"--tier {args.tier} (exact/jaccard are already exact; "
+                  f"audit minhash clusters with cluster_quality_report)")
     out.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     if "oversized" in report:

@@ -218,18 +218,41 @@ def pairs_to_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2") -> D
 
 @pandas_udf(DoubleType())
 def _jaccard5_udf(t1: pd.Series, t2: pd.Series) -> pd.Series:
+    # the pinned shingle/Jaccard definitions live in oracle.py — call
+    # them rather than inlining, so the verifier can never drift from
+    # the semantics it verifies; only the NULL handling is local
+    from ..oracle import char_shingles, jaccard
+
     def j(a: object, b: object) -> float:
         if a is None or b is None:
             return 0.0
-        a, b = str(a), str(b)
-        sa = {a[i:i + 5] for i in range(max(len(a) - 4, 0))} or ({a} if a else set())
-        sb = {b[i:i + 5] for i in range(max(len(b) - 4, 0))} or ({b} if b else set())
-        if not sa and not sb:
-            return 1.0
-        u = len(sa | sb)
-        return len(sa & sb) / u if u else 0.0
+        return jaccard(char_shingles(str(a)), char_shingles(str(b)))
 
     return pd.Series([j(a, b) for a, b in zip(t1, t2)], dtype="float64")
+
+
+def rejoin_pair_content(
+    docs: DataFrame, pairs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Attach each (id1, id2) candidate pair's two texts as _t1/_t2 via
+    two LEFT equi-joins on the id — shared by every pairwise verifier.
+    LEFT on purpose: a pair whose id is missing from ``docs`` (stale
+    candidates, filtered corpus) keeps its row with a NULL text — the
+    verifier kernels score NULL as 0 — instead of silently vanishing;
+    a verification stage must never delete candidates unaccounted."""
+    texts = docs.select(
+        F.col(id_col).alias("_vid"), F.col(text_col).alias("_vt")
+    )
+    return (
+        pairs.join(
+            texts.select(F.col("_vid").alias("id1"), F.col("_vt").alias("_t1")),
+            "id1", "left",
+        )
+        .join(
+            texts.select(F.col("_vid").alias("id2"), F.col("_vt").alias("_t2")),
+            "id2", "left",
+        )
+    )
 
 
 def verify_jaccard_pairs(
@@ -251,19 +274,10 @@ def verify_jaccard_pairs(
     bounded candidate set in O(|pairs|) content rejoins, the same shape
     as operators/substring.verify_substring_pairs. Short texts (< 5
     chars) shingle to the whole string; two empty/NULL-vs-empty texts
-    score 1.0/0.0 respectively.
+    score 1.0/0.0 respectively; pairs whose ids are missing from
+    ``docs`` score 0.0 (see rejoin_pair_content) rather than vanishing.
     """
-    texts = docs.select(F.col(id_col).alias("_vid"), F.col(text_col).alias("_vt"))
-    joined = (
-        pairs.join(
-            texts.select(F.col("_vid").alias("id1"), F.col("_vt").alias("_t1")),
-            "id1",
-        )
-        .join(
-            texts.select(F.col("_vid").alias("id2"), F.col("_vt").alias("_t2")),
-            "id2",
-        )
-    )
+    joined = rejoin_pair_content(docs, pairs, id_col, text_col)
     out = (
         joined.withColumn("jaccard", _jaccard5_udf(F.col("_t1"), F.col("_t2")))
         .drop("_t1", "_t2")

@@ -160,22 +160,16 @@ def verify_substring_pairs(
 
     Scale shape: the candidate side is already bounded (fingerprint
     frequency cap + min_shared), so content is rejoined O(|pairs|) times
-    via two equi-joins on the int64 id — content never self-joins. The
+    via two left equi-joins on the int64 id (shared helper
+    rejoin_pair_content; a pair whose id is missing from ``docs`` scores
+    lcs_len 0 rather than vanishing) — content never self-joins. The
     automaton walk is O(|a| + |b|) per pair with O(min) memory, run
     per-row inside Arrow batches (same inherently-sequential-fold pattern
     as functions/hashing.py).
     """
-    texts = docs.select(F.col(id_col).alias("_vid"), F.col(text_col).alias("_vt"))
-    joined = (
-        pairs.join(
-            texts.select(F.col("_vid").alias("id1"), F.col("_vt").alias("_t1")),
-            "id1",
-        )
-        .join(
-            texts.select(F.col("_vid").alias("id2"), F.col("_vt").alias("_t2")),
-            "id2",
-        )
-    )
+    from .dedup_extra import rejoin_pair_content
+
+    joined = rejoin_pair_content(docs, pairs, id_col, text_col)
     return (
         joined.withColumn("lcs_len", _lcs_len_udf(F.col("_t1"), F.col("_t2")))
         .drop("_t1", "_t2")

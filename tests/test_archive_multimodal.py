@@ -787,3 +787,7 @@ def test_png_jpeg_degenerate_sizes():
         payload, y = _jpeg_encode(arr, subsample=True)
         got = decode_jpeg(payload)
         assert got.shape == (h, w), ("420", h, w)
+        # 4:2:0 Y-plane encoding equals 4:4:4's, so the same tolerance
+        # applies — this catches odd-dimension chroma-padding bugs that
+        # desync the bitstream and corrupt decoded Y
+        assert np.abs(got * 255.0 - y).max() < 30.0, ("420", h, w)

@@ -305,3 +305,16 @@ def test_cluster_quality_report(spark):
     assert rep[200]["min_jaccard"] < 0.3  # the poisoned link
     assert rep[300]["n_checked_pairs"] == 0
     assert rep[300]["min_jaccard"] is None
+
+
+def test_verifiers_keep_missing_id_pairs(spark):
+    """A candidate pair referencing an id absent from docs is scored 0
+    (left rejoin), never silently dropped."""
+    from backupdeduplicator_spark.operators.dedup_extra import (
+        verify_jaccard_pairs)
+
+    docs = spark.createDataFrame([(1, "some content here " * 5)],
+                                 ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 999)], ["id1", "id2"])
+    rows = verify_jaccard_pairs(docs, pairs).collect()
+    assert len(rows) == 1 and rows[0]["jaccard"] == 0.0
