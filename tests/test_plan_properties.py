@@ -1,0 +1,80 @@
+"""Physical-plan regression guards: pin the plan properties the design
+docs claim (PLANS.md / README "Design notes") so an innocent refactor
+cannot silently reintroduce a known pathology.
+
+These assert on executedPlan/explain STRINGS — cheap (no job runs unless
+noted) and version-tolerant (substring checks only).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_and_projection_reach_parquet_scan(spark):
+    """Predicate pushdown + column pruning: a filtered 2-column read must
+    show PushedFilters and a pruned ReadSchema at the scan."""
+    df = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id") > 100)
+        .select("doc_id", "lang")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,100)]" in plan
+    assert "text" not in plan.split("ReadSchema")[1].splitlines()[0], (
+        "projection did not prune the text column from the scan"
+    )
+
+
+def test_no_cartesian_product_in_contract_plans(spark):
+    """No contract query may plan a CartesianProduct. (Brute-force ANN
+    intentionally uses a broadcast nested-loop join — that is allowed;
+    an un-broadcast cartesian is not.)"""
+    import __spark_entry__ as entry_mod
+
+    for name, q in entry_mod.queries().items():
+        df = q(spark, SF_DIR)
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_duplicate_sets_hashes_content_once(spark):
+    """The 'hash once, reuse everywhere' claim: the analyze plan consumes
+    materialized file entries, so the sha256 pandas UDF must not appear
+    in it at all (round 1 measured it SIX times before entries were
+    checkpointed)."""
+    from backupdeduplicator_spark.operators.analyze import duplicate_sets
+    from backupdeduplicator_spark.operators.build import build_entries
+    from backupdeduplicator_spark.sources.tables import files_df
+
+    entries = build_entries(files_df(spark, SF_DIR))
+    plan = _plan(duplicate_sets(entries))
+    # the fused content kernels run inside build_entries' localCheckpoint;
+    # downstream plans read the checkpointed RDD, never re-invoking them
+    assert "content_sha" not in plan
+    # each Merkle level consumed the checkpoint too: the plan reads the
+    # materialized entries, no Python eval of content anywhere
+    assert "Scan ExistingRDD" in plan
+
+
+def test_exact_dup_groups_use_two_phase_aggregation(spark):
+    """The salted two-phase member collect keeps a partial_ aggregate
+    before the final one (map-side combine — the bounded-memory shape)."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["a3_exact_dup_groups"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "partial_" in plan, "no map-side partial aggregation in a3"
