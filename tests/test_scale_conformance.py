@@ -69,3 +69,31 @@ def test_unseen_seed_recall(spark, fx):
         1 for a, b in truth if comp.get(a) is not None and comp.get(a) == comp.get(b)
     )
     assert hits / len(truth) >= 0.99, f"{hits}/{len(truth)}"
+
+
+def test_empty_corpus_end_to_end(spark):
+    """An empty input table flows through every tier without crashing:
+    build, analyze, near-dup clustering, SimHash, substring, diff."""
+    from backupdeduplicator_spark.operators.analyze import (
+        duplicate_pairs, duplicate_sets)
+    from backupdeduplicator_spark.operators.build import build_entries
+    from backupdeduplicator_spark.operators.clean import snapshot_diff
+    from backupdeduplicator_spark.operators.dedup_extra import simhash_pairs
+    from backupdeduplicator_spark.operators.minhash import (
+        near_duplicate_clusters)
+    from backupdeduplicator_spark.operators.substring import (
+        substring_duplicate_pairs)
+
+    files = spark.createDataFrame(
+        [], "repo string, path string, commit string, lang string, "
+            "content string")
+    entries = build_entries(files)
+    assert entries.count() == 0
+    assert duplicate_sets(entries).count() == 0
+    assert duplicate_pairs(entries).count() == 0
+    assert snapshot_diff(entries, entries).count() == 0
+    assert near_duplicate_clusters(files).count() == 0
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert simhash_pairs(docs).count() == 0
+    assert substring_duplicate_pairs(docs).count() == 0
