@@ -270,13 +270,14 @@ def cmd_docdedup(args) -> int:
         from .operators.dedup_extra import simhash_pairs
 
         out = simhash_pairs(docs, id_col=args.id_col, text_col=args.text_col,
-                            report=report)
+                            report=report, count_first=args.count_first)
     elif args.tier == "substring":
         from .operators.substring import (
             substring_duplicate_pairs, verify_substring_pairs)
 
         out = substring_duplicate_pairs(
-            docs, id_col=args.id_col, text_col=args.text_col, report=report
+            docs, id_col=args.id_col, text_col=args.text_col, report=report,
+            count_first=args.count_first,
         )
         if args.min_lcs:  # exact suffix-automaton verification pass
             out = verify_substring_pairs(
@@ -328,6 +329,18 @@ def cmd_pipeline(args) -> int:
                        sim_threshold=args.threshold, force=args.force)
     if args.output:
         write_dupsets_jsonl(res.dup_sets, args.output)
+    # no-silent-caps: the near_dup stage records what the LSH bucket cap
+    # dropped in its snapshot lineage — surface it on every run (free:
+    # it's a manifest read, no Spark job)
+    from .plans.checkpoint import CheckpointManager
+
+    lin = CheckpointManager(spark, args.checkpoint).manifest("near_dup")[
+        "lineage"]
+    dropped = lin.get("dropped_lsh_buckets", 0)
+    if dropped:
+        print(f"pipeline: WARNING {dropped} oversized LSH buckets dropped "
+              f"({lin.get('dropped_lsh_rows', 0)} member rows) — raise "
+              f"max_bucket to trade runtime for recall")
     print(f"pipeline: snapshots {res.snapshot_ids}")
     return 0
 
@@ -385,6 +398,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="simhash/substring tiers: append the exact "
                          "char-5-gram Jaccard per candidate pair and keep "
                          "pairs >= this similarity")
+    dd.add_argument("--count-first", action="store_const", const=True,
+                    default=None, dest="count_first",
+                    help="simhash/substring tiers: force the hard-bound "
+                         "count-first bucket plan (for corpora known to be "
+                         "boilerplate-heavy); default auto-selects via the "
+                         "kernel's skew probe")
     dd.add_argument("--min-lcs", type=int, default=0, dest="min_lcs",
                     help="substring tier only: verify candidates with the "
                          "exact suffix-automaton LCS kernel and keep pairs "

@@ -35,6 +35,18 @@ COUNT-FIRST (count_first=True) — hard per-task bound:
   scale, the price of the guarantee. This is the shape to force when a
   corpus is known boilerplate-heavy.
 
+AUTO MODE (count_first=None, the default): a cheap deterministic skew
+probe picks the plan. The probe counts members per key over a 1/64
+member-hash sample (one extra scan of ``buckets``, aggregating ~1.6% of
+its rows) and estimates the largest bucket; when that estimate exceeds
+``salt_buckets * max_bucket * probe_headroom`` — the point where even a
+salted phase-1 reducer buffer holds several caps' worth of one
+boilerplate key — the provable-bound count-first plan is selected,
+otherwise the cheaper salted plan. So benign corpora pay only the probe
+scan, and an adversarial corpus (10^7 identical payloads) gets the hard
+bound WITHOUT the caller having to know its skew in advance. Callers
+that do know can still force either plan explicitly.
+
 Dropped keys are returned, never silently ignored (the engine's
 no-silent-caps rule): callers surface/count them via the lazy
 ``oversized`` DataFrame.
@@ -52,14 +64,41 @@ _PAIR_EXPR = (
 )
 
 
+_PROBE_RATE = 64  # deterministic 1-in-64 member-hash sample
+
+
+def probe_max_bucket(
+    buckets: DataFrame, key_cols: list[str], member_col: str,
+    probe_rate: int = _PROBE_RATE,
+) -> int:
+    """Estimated size of the largest bucket: exact per-key counts over a
+    deterministic 1/probe_rate member-hash sample, scaled back up. One
+    cheap scan (the aggregation sees ~1/probe_rate of the rows); a bucket
+    of true size B is expected to contribute B/probe_rate sampled rows,
+    so the estimate is reliable (±~20%) once B >> probe_rate — exactly
+    the regime where the estimate matters. Returns 0 for an empty table.
+    """
+    row = (
+        buckets.filter(
+            F.pmod(F.xxhash64(F.col(member_col)), F.lit(probe_rate)) == 0
+        )
+        .groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("mx"))
+        .collect()[0]
+    )
+    return int(row["mx"] or 0) * probe_rate
+
+
 def bounded_bucket_pairs(
     buckets: DataFrame,
     key_cols: list[str],
     member_col: str,
     max_bucket: int,
     salt_buckets: int = 16,
-    count_first: bool = False,
+    count_first: bool | None = None,
     max_broadcast_keys: int = 4_000_000,
+    probe_headroom: int = 4,
 ) -> tuple[DataFrame, DataFrame]:
     """(pairs, oversized) from a (key..., member) bucket table.
 
@@ -72,7 +111,17 @@ def bounded_bucket_pairs(
     ``oversized`` has columns (key..., bn): keys dropped because their
     membership exceeded ``max_bucket`` — lazy, no barrier on the hot
     path.
+
+    ``count_first=None`` (default) auto-selects the plan via the skew
+    probe (module docstring): salted unless the largest estimated bucket
+    exceeds ``salt_buckets * max_bucket * probe_headroom``. The probe is
+    an eager (blocking) job — callers that persist a UDF-derived bucket
+    table upstream pay one cached scan; callers needing a fully lazy
+    plan (plan dumps) should pass an explicit False/True.
     """
+    if count_first is None:
+        est = probe_max_bucket(buckets, key_cols, member_col)
+        count_first = est > salt_buckets * max_bucket * probe_headroom
     if count_first:
         counts = buckets.groupBy(*key_cols).agg(
             F.count(F.lit(1)).alias("bn")
@@ -133,3 +182,41 @@ def bounded_bucket_pairs(
         "p.m1", "p.m2"
     )
     return pairs, oversized
+
+
+def bounded_probe_join(
+    build: DataFrame,
+    probe: DataFrame,
+    key_cols: list[str],
+    max_bucket: int,
+    max_broadcast_keys: int = 4_000_000,
+) -> tuple[DataFrame, DataFrame]:
+    """(joined, oversized): the probe-join sibling of the pair kernel —
+    ``probe`` (small: a query set's bucket keys, broadcastable) equi-joins
+    ``build`` (corpus-scale) on ``key_cols``, but build-side buckets
+    holding more than ``max_bucket`` rows are dropped + accounted FIRST.
+    Without the cap, one degenerate corpus bucket hit by any query emits
+    O(|bucket|) join rows per probing query in a single task — the
+    ANN-probe version of the mega-bucket hazard.
+
+    Count-first shape, restricted to keys the probe actually hits (a
+    broadcast semi-join): bucket sizes are counted BEFORE any join output
+    exists, and only for hit keys — degenerate buckets no query probes
+    never cost anything. The oversized key set is localCheckpointed (it
+    feeds the guard count, the anti-join, and caller accounting), and the
+    anti-join side is broadcast while small, shuffled past
+    ``max_broadcast_keys``. ``build`` is scanned twice (count + join) —
+    callers with a UDF-derived bucket table should persist it upstream.
+
+    ``oversized`` has columns (key..., bn).
+    """
+    hit_keys = probe.select(*key_cols).distinct()
+    hit = build.join(F.broadcast(hit_keys), key_cols, "left_semi")
+    counts = hit.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("bn"))
+    oversized = counts.filter(F.col("bn") > max_bucket).localCheckpoint()
+    n_over = oversized.count()
+    anti_side = oversized.select(*key_cols)
+    if n_over <= max_broadcast_keys:
+        anti_side = F.broadcast(anti_side)
+    bounded = hit.join(anti_side, key_cols, "left_anti")
+    return probe.join(bounded, key_cols), oversized

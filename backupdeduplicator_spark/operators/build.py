@@ -85,7 +85,10 @@ def hash_files(files: DataFrame, algo: str = "sha256") -> DataFrame:
     )
 
 
-def merkle_directories(file_entries: DataFrame, algo: str = "sha256") -> DataFrame:
+def merkle_directories(
+    file_entries: DataFrame, algo: str = "sha256",
+    checkpoint_levels: bool = True,
+) -> DataFrame:
     """Bottom-up Merkle aggregation (reference A1/O2,
     /root/reference/src/stages/build/cmd/worker/directory.rs:81-153):
 
@@ -99,6 +102,12 @@ def merkle_directories(file_entries: DataFrame, algo: str = "sha256") -> DataFra
     Spark's BinaryType sort order (unsigned lexicographic) matches Rust's
     [u8; N] ordering, so ``sort_array`` reproduces the reference's
     ``finished.sort_by(hash)`` exactly.
+
+    ``checkpoint_levels=False`` skips the per-level lazy localCheckpoint
+    so the full multi-level plan stays visible to ``explain`` — plan
+    inspection only (tools/dump_plans.py, test_plan_properties): the
+    checkpoint exists to truncate lineage that otherwise grows by one
+    groupBy per directory level.
     """
     spark = file_entries.sparkSession
 
@@ -139,12 +148,13 @@ def merkle_directories(file_entries: DataFrame, algo: str = "sha256") -> DataFra
                 "children",
                 F.lit(d).cast("int").alias("depth"),
             )
+        )
+        if checkpoint_levels:
             # truncate lineage per level; lazy — materialized by the first
             # downstream action, so the whole Merkle loop is ONE Spark job
             # instead of one per level. At cluster scale swap for a
             # reliable checkpoint / Iceberg stage table.
-            .localCheckpoint(eager=False)
-        )
+            dirs_d = dirs_d.localCheckpoint(eager=False)
         dir_levels.append(dirs_d)
         if d > 0:
             dir_contrib = dirs_d.select(
@@ -178,7 +188,8 @@ def _dir_schema():
 
 
 def build_entries(
-    files: DataFrame, materialize: bool = True, algo: str = "sha256"
+    files: DataFrame, materialize: bool = True, algo: str = "sha256",
+    checkpoint_levels: bool = True,
 ) -> DataFrame:
     """Full hash-tree table: file entries ∪ derived directory/root entries.
 
@@ -204,5 +215,5 @@ def build_entries(
     fe = hash_files(files, algo)
     if materialize:
         fe = fe.localCheckpoint(eager=True)
-    dirs = merkle_directories(fe, algo)
+    dirs = merkle_directories(fe, algo, checkpoint_levels=checkpoint_levels)
     return fe.select(*ENTRY_COLUMNS).unionByName(dirs.select(*ENTRY_COLUMNS))

@@ -26,6 +26,7 @@ def simhash_pairs(
     max_bucket: int = 1000,
     report: dict | None = None,
     materialize: bool = True,
+    count_first: bool | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
@@ -40,9 +41,11 @@ def simhash_pairs(
     Skew defence (the shared bounded kernel, operators/buckets.py —
     identical to the MinHash tier): a degenerate (block_idx, block_val)
     bucket — e.g. every empty/near-empty doc hashing to sh=0 — would
-    emit O(m^2) candidates; a count pass drops buckets over
-    ``max_bucket`` BEFORE any membership array is collected, which can
-    miss pairs whose every matching block is degenerate. Dropped buckets
+    emit O(m^2) candidates; buckets over ``max_bucket`` are dropped
+    (salted capped collect by default, the kernel's skew probe flips to
+    the hard count-first bound on adversarial skew; force with
+    ``count_first``), which can miss pairs whose every matching block is
+    degenerate. Dropped buckets
     are never silent: pass ``report`` (a dict) to receive
     ``report['oversized']``, a (block_idx, block_val, bn) DataFrame of
     what was dropped (materialized before the sh cache is released, so
@@ -81,7 +84,8 @@ def simhash_pairs(
         ).alias("block_idx", "block_val"),
     )
     pair_rows, oversized = bounded_bucket_pairs(
-        blocks, ["block_idx", "block_val"], "m", max_bucket
+        blocks, ["block_idx", "block_val"], "m", max_bucket,
+        count_first=count_first,
     )
     if report is not None:
         report["oversized"] = oversized
@@ -178,35 +182,62 @@ def embedding_cosine_pairs(
     threshold: float = 0.95,
     bands: int = 8,
     bits: int = 10,
+    max_bucket: int = 2000,
+    report: dict | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Embedding near-dup pairs: RHP-LSH candidate generation + exact
     cosine filter >= threshold.
 
-    The bucket self-join and the candidate dedup run on ids only (8-byte
+    Candidates come from the shared bounded kernel (operators/buckets.py
+    — the same skew defence as the MinHash/SimHash/winnowing tiers, NOT
+    a raw bucket self-join): a degenerate (band, bucket) key — zero
+    vectors from a failed encoder batch, thousands of near-blank images
+    whose pooled features coincide — would emit O(m^2) candidates in one
+    task; buckets over ``max_bucket`` are dropped + accounted instead.
+    Pass ``report`` (a dict) to receive ``report['oversized']``, a
+    (band, bucket, bn) DataFrame of what the cap cost (materialized
+    while the signature cache is alive, so counting it is cheap).
+
+    The bucket pairing and the candidate dedup run on ids only (8-byte
     keys); full vectors are re-joined once per surviving candidate pair —
     never carried through an Exchange as part of a grouping key."""
+    from .buckets import bounded_bucket_pairs
+
     vecs = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    sig = rhp_buckets(vecs, "id", "v", dim, bands, bits)
-    a, b = sig.alias("a"), sig.alias("b")
+    # persisted EAGERLY: the kernel's probe/count and collect passes are
+    # separate consumers — a lazy cache would race under AQE's concurrent
+    # leaf-stage submission and run the RHP signature kernel twice
+    sig = rhp_buckets(vecs, "id", "v", dim, bands, bits).persist()
+    sig.count()
+    pair_rows, oversized = bounded_bucket_pairs(
+        sig, ["band", "bucket"], "id", max_bucket
+    )
+    if report is not None:
+        report["oversized"] = oversized
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        pair_rows.select(F.col("m1").alias("id1"), F.col("m2").alias("id2"))
         .distinct()
     )
     v1 = vecs.select(F.col("id").alias("id1"), F.col("v").alias("v1"))
     v2 = vecs.select(F.col("id").alias("id2"), F.col("v").alias("v2"))
-    return (
+    out = (
         cand.join(v1, "id1")
         .join(v2, "id2")
         .withColumn("sim", F.expr(_COS.format(a="v1", b="v2")))
         .filter(F.col("sim") >= threshold)
         .select("id1", "id2", F.round("sim", 6).alias("sim"))
     )
+    if materialize:
+        # eager + lineage-truncating (same pattern as simhash_pairs):
+        # materialize the bounded result + the tiny dropped-keys table
+        # while the sig cache is alive, then release it — no per-call
+        # persist leak, and caller accounting never re-runs the kernel
+        out = out.localCheckpoint()
+        if report is not None:
+            report["oversized"] = report["oversized"].localCheckpoint()
+        sig.unpersist()
+    return out
 
 
 def pairs_to_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2") -> DataFrame:

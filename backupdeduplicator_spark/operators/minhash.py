@@ -173,7 +173,7 @@ class CandidateStats:
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, max_bucket: int = 128, count_first: bool = False
+    sigs: DataFrame, max_bucket: int = 128, count_first: bool | None = None
 ) -> CandidateStats:
     """Distinct candidate pairs (id1 < id2) sharing >=1 LSH bucket.
 
@@ -189,7 +189,11 @@ def lsh_candidate_pairs(
     ran (an ~800 MB single-task array for a 10^8-member band bucket);
     ``count_first=True`` buys a hard max_bucket bound for one extra
     count exchange (~+35% candidate-stage time, the knob for known
-    boilerplate-heavy corpora). Both prune oversized keys before pair
+    boilerplate-heavy corpora); ``count_first=None`` (default) probes a
+    1/64 member sample and flips to count-first automatically when the
+    largest estimated bucket would overflow even the salted buffers —
+    so an unknown adversarially-skewed corpus gets the hard bound under
+    the default call. Both plans prune oversized keys before pair
     expansion, expand pairs JVM-side from sorted arrays, and end with
     ONE groupBy(nid1, nid2) counting band matches; pair sets are
     byte-identical across the shapes (tested).

@@ -459,16 +459,48 @@ def extract_features(media: DataFrame, decode_fn: str = "fake") -> DataFrame:
     return media.mapInPandas(_batches, schema=FEATURES_SCHEMA)
 
 
-def media_exact_dups(media: DataFrame, decode_fn: str = "fake") -> DataFrame:
-    """Exact media dedup: group by payload sha256 (same rule as text)."""
+def media_exact_dups(
+    media: DataFrame,
+    decode_fn: str = "fake",
+    max_members: int = 10000,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Exact media dedup: group by payload sha256 (same rule as text).
+
+    Salted capped two-phase collect (the operators/analyze.duplicate_sets
+    shape): a boilerplate payload duplicated 10^7 times (tracking pixel,
+    silence.wav) must never materialize 10^7 ids in one aggregation
+    buffer. Phase 1 groups by (sha, salt) and slices each partial at
+    ``max_members``; phase 2 merges, so per-reducer buffers are bounded
+    at ~salt_buckets * max_members ids. ``n_members`` is always the
+    EXACT count — when it exceeds ``size(members)`` the list was capped
+    (the no-silent-caps signal; the default keeps the first 10^4 members
+    by sort order, plenty to act on a dup set)."""
     feats = extract_features(media, decode_fn)
-    return (
-        feats.groupBy("payload_sha256")
+    phase1 = (
+        feats.withColumn(
+            "_salt", F.pmod(F.xxhash64("id"), F.lit(salt_buckets))
+        )
+        .groupBy("payload_sha256", "_salt")
         .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.sort_array(F.collect_list("id")).alias("members"),
+            F.count(F.lit(1)).alias("pn"),
+            F.slice(
+                F.sort_array(F.collect_list("id")), 1, max_members
+            ).alias("pmembers"),
+        )
+    )
+    return (
+        phase1.groupBy("payload_sha256")
+        .agg(
+            F.sum("pn").alias("n_members"),
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("pmembers"))),
+                1,
+                max_members,
+            ).alias("members"),
         )
         .filter(F.col("n_members") >= 2)
+        .select("payload_sha256", "n_members", "members")
     )
 
 
@@ -478,18 +510,26 @@ def media_near_dups(
     threshold: float = 0.98,
     bands: int = 16,
     bits: int = 6,
+    max_bucket: int = 2000,
+    report: dict | None = None,
 ) -> DataFrame:
     """Perceptual media near-dup pairs: decoded feature vectors through
     the embedding-cosine tier (RHP-LSH candidates + exact cosine filter)
     — a slightly re-encoded image/audio file no longer matches by
     payload hash but its pooled-gray / RMS-envelope vector barely moves,
-    so it pairs at high cosine. Columns: id1, id2, sim."""
+    so it pairs at high cosine. Columns: id1, id2, sim.
+
+    Inherits the embedding tier's bounded-bucket skew defence: a corpus
+    of near-black frames whose pooled-gray features coincide caps at
+    ``max_bucket`` per (band, bucket) with drops accounted in
+    ``report['oversized']`` — never an O(m^2) single-task explosion."""
     from .dedup_extra import embedding_cosine_pairs
 
     feats = extract_features(media, decode_fn).select("id", "feature")
     return embedding_cosine_pairs(
         feats, dim=FEATURE_DIM, id_col="id", vec_col="feature",
         threshold=threshold, bands=bands, bits=bits,
+        max_bucket=max_bucket, report=report,
     )
 
 

@@ -298,6 +298,9 @@ def cosine_topk_lsh(
     bits: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = 2000,
+    report: dict | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Approximate top-k: only candidates sharing >=1 RHP bucket with the
     query are scored. Same output shape as the brute-force tier.
@@ -305,18 +308,36 @@ def cosine_topk_lsh(
     Scale shape: the bucket join and the candidate dedup exchange only
     (id, band, bucket) / (query_id, neighbor_id); vectors are re-joined
     once per surviving candidate — the query side broadcast, the corpus
-    side one id-keyed shuffle."""
+    side one id-keyed shuffle.
+
+    Skew defence (operators/buckets.bounded_probe_join): a degenerate
+    corpus bucket (dead/zero embeddings all signing identically) hit by
+    a query would emit O(|bucket|) candidates per probing query in one
+    task; corpus buckets over ``max_bucket`` among the query-hit keys
+    are dropped + accounted first — pass ``report`` (a dict) to receive
+    ``report['oversized']``, a (band, bucket, bn) DataFrame. A dropped
+    neighbor can still reach the query through any of its other
+    ``bands - 1`` buckets (same recall argument as the pair tiers)."""
+    from .buckets import bounded_probe_join
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ce")
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe")
     )
-    cb = rhp_buckets(c, "neighbor_id", "ce", dim, bands, bits)
+    # persisted EAGERLY: bounded_probe_join scans the corpus buckets twice
+    # (count + join); a lazy plan would run the RHP kernel both times
+    cb = rhp_buckets(c, "neighbor_id", "ce", dim, bands, bits).persist()
+    cb.count()
     qb = rhp_buckets(q, "query_id", "qe", dim, bands, bits)
+    hits, oversized = bounded_probe_join(
+        cb, qb, ["band", "bucket"], max_bucket
+    )
+    if report is not None:
+        report["oversized"] = oversized
     cand = (
-        qb.join(cb, ["band", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        hits.filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
     )
@@ -326,8 +347,15 @@ def cosine_topk_lsh(
         .withColumn("sim", F.expr(_COS.format(a="qe", b="ce")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
     )
+    if materialize:
+        # top-k output is queries x k rows — materialize it and release
+        # the corpus bucket cache (bounded_probe_join already
+        # checkpointed `oversized`, so the report stays cheap to count)
+        out = out.localCheckpoint()
+        cb.unpersist()
+    return out

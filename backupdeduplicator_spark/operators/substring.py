@@ -78,6 +78,8 @@ def substring_duplicate_pairs(
     max_fingerprint_freq: int = 500,
     report: dict | None = None,
     materialize: bool = True,
+    count_first: bool | None = None,
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """Pairs of docs sharing >= min_shared winnowing fingerprints
     (i.e. >= ~min_shared long verbatim runs / one long run crossing
@@ -85,12 +87,20 @@ def substring_duplicate_pairs(
 
     Fingerprints appearing in > max_fingerprint_freq docs (global
     boilerplate) are dropped before pairing via the shared bounded
-    kernel (operators/buckets.py) — counts first, so no membership array
-    is ever collected for a boilerplate fingerprint. Dropped
-    fingerprints are never silent: pass ``report`` (a dict) to receive
-    ``report['oversized']``, a (fp, bn) DataFrame of what the cap cost
-    (same no-silent-caps hook as the MinHash/SimHash tiers; materialized
-    before the fps cache is released, so counting it is cheap).
+    kernel (operators/buckets.py). The kernel's plan is auto-selected
+    by its skew probe by default: the cheap salted capped collect
+    (phase-1 buffers bounded at bucket_size/salt_buckets — partial
+    cap+1 arrays ARE collected per salt for a boilerplate fingerprint,
+    then dropped at merge) unless the probe estimates a bucket big
+    enough to overflow even the salted buffers, in which case the
+    count-first plan bounds every buffer hard at the cap before any
+    membership array exists. Force either with ``count_first`` — True
+    is the knob for a corpus known to be boilerplate-heavy (exposed on
+    the docdedup CLI as --count-first). Dropped fingerprints are never
+    silent: pass ``report`` (a dict) to receive ``report['oversized']``,
+    a (fp, bn) DataFrame of what the cap cost (same no-silent-caps hook
+    as the MinHash/SimHash tiers; materialized before the fps cache is
+    released, so counting it is cheap).
     """
     from .buckets import bounded_bucket_pairs
 
@@ -103,7 +113,8 @@ def substring_duplicate_pairs(
     # winnow UDF twice
     fps.count()
     pair_rows, oversized = bounded_bucket_pairs(
-        fps, ["fp"], "id", max_fingerprint_freq
+        fps, ["fp"], "id", max_fingerprint_freq,
+        count_first=count_first, salt_buckets=salt_buckets,
     )
     if report is not None:
         report["oversized"] = oversized

@@ -791,3 +791,29 @@ def test_png_jpeg_degenerate_sizes():
         # applies — this catches odd-dimension chroma-padding bugs that
         # desync the bitstream and corrupt decoded Y
         assert np.abs(got * 255.0 - y).max() < 30.0, ("420", h, w)
+
+
+def test_media_exact_dups_mega_payload_capped(spark):
+    """ADVICE r3: one boilerplate payload (tracking pixel) duplicated
+    5000x must not materialize 5000 ids in one aggregation buffer — the
+    member list caps at max_members (lowest ids, deterministic) while
+    n_members stays EXACT, and normal dup sets are untouched."""
+    import base64 as _b64
+
+    from pyspark.sql import functions as F
+
+    pixel = _b64.b64encode(b"\x00tracking-pixel").decode()
+    mega = spark.range(5_000).select(
+        F.col("id"), F.lit("image").alias("kind"), F.lit(pixel).alias("payload"))
+    normal_payload = _b64.b64encode(b"normal-bytes").decode()
+    normal = spark.createDataFrame(
+        [(100_001, "image", normal_payload), (100_002, "image", normal_payload)],
+        "id long, kind string, payload string",
+    )
+    rows = media_exact_dups(
+        mega.unionByName(normal), max_members=100
+    ).collect()
+    by_n = {r["n_members"]: r for r in rows}
+    assert set(by_n) == {5_000, 2}
+    assert by_n[5_000]["members"] == list(range(100))  # capped, lowest ids
+    assert by_n[2]["members"] == [100_001, 100_002]    # exact below cap

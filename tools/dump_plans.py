@@ -40,8 +40,15 @@ def main() -> None:
     files = files_df(spark, sf_dir)
 
     sections: list[tuple[str, str]] = []
+    # materialize=False + checkpoint_levels=False: the runtime shape
+    # localCheckpoints the file entries and each Merkle level (hash-once +
+    # lineage truncation), which collapses explain() to Scan ExistingRDD
+    # stubs — disable both so the full build/Merkle plan is reviewable.
+    # duplicate_sets below still uses the runtime (materialized) entries.
+    fe_plan = build_entries(files, materialize=False, checkpoint_levels=False)
+    sections.append(("build_entries (hash + Merkle union; "
+                     "full plan via materialize=False)", _explain(fe_plan)))
     fe = build_entries(files)
-    sections.append(("build_entries (hash + Merkle union)", _explain(fe)))
     sections.append(("duplicate_sets (salted two-phase agg + suppression)",
                      _explain(duplicate_sets(fe))))
     sigs = distinct_content_signatures(files).persist()  # as at runtime
@@ -65,14 +72,17 @@ def main() -> None:
     emb = spark.table("embeddings")
     dim = len(emb.select("embedding").first()[0])
     sections.append((
-        "ANN LSH top-k (numpy RHP buckets; id-only candidate exchanges)",
+        "ANN LSH top-k (numpy RHP buckets; bounded probe join)",
         _explain(cosine_topk_lsh(emb, emb.filter("vec_id < 5"), dim=dim,
-                                 k=10, bands=48, bits=3)),
+                                 k=10, bands=48, bits=3,
+                                 materialize=False)),
     ))
     sections.append((
-        "embedding cosine pairs (id-only dedup, vectors rejoined per pair)",
+        "embedding cosine pairs (bounded bucket kernel, vectors rejoined "
+        "per pair)",
         _explain(embedding_cosine_pairs(emb, dim=dim, threshold=0.35,
-                                        bands=48, bits=3)),
+                                        bands=48, bits=3,
+                                        materialize=False)),
     ))
     sections.append((
         "simhash pairs (pigeonhole blocks, capped buckets)",
