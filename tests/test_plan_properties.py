@@ -78,3 +78,55 @@ def test_exact_dup_groups_use_two_phase_aggregation(spark):
     df = entry_mod.queries()["a3_exact_dup_groups"](spark, SF_DIR)
     plan = _plan(df)
     assert "partial_" in plan, "no map-side partial aggregation in a3"
+
+
+def test_merkle_level_plan_shape(spark):
+    """Pin the build/Merkle plan (VERDICT r3 #3): generated through
+    materialize=False + checkpoint_levels=False so the real plan is
+    visible (the runtime shape checkpoints it away), it must show
+    (a) parquet scans at the leaves — not ExistingRDD stubs,
+    (b) map-side partial aggregation around every per-level Exchange
+        (ObjectHashAggregate partial+final pairs for collect_list),
+    (c) content NEVER in any Exchange partitioning key — the per-level
+        shuffles carry only (repo, parent-path, hash) rows,
+    (d) Python eval confined to the hash kernels (ArrowEvalPython), no
+        row-at-a-time BatchEvalPython."""
+    from backupdeduplicator_spark.operators.build import build_entries
+    from backupdeduplicator_spark.sources.tables import files_df
+
+    fe = build_entries(files_df(spark, SF_DIR), materialize=False,
+                       checkpoint_levels=False)
+    plan = _plan(fe)
+    assert "Scan parquet" in plan and "Scan ExistingRDD" not in plan
+    assert "ObjectHashAggregate" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
+    # (c): every Exchange is hashpartitioning on repo/path-derived keys;
+    # the content column must not appear in any partitioning expression
+    # (formatted mode: partitioning sits in "Arguments:" detail lines)
+    part_lines = [ln for ln in plan.splitlines()
+                  if "Arguments: hashpartitioning" in ln]
+    assert part_lines, "no hashpartitioning exchanges found in build plan"
+    for ln in part_lines:
+        assert "content" not in ln, ln
+
+
+def test_bounded_kernel_salted_plan_is_two_exchange(spark):
+    """The salted bucket kernel's claim (operators/buckets.py): one
+    logical pass, two exchanges — (key, salt) then (key) — with partial
+    aggregation and NO extra count scan of the bucket table."""
+    from backupdeduplicator_spark.operators.buckets import (
+        bounded_bucket_pairs)
+
+    buckets = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(F.col("lang").alias("k"), F.col("doc_id").alias("m"))
+    )
+    import re
+
+    pairs, _ = bounded_bucket_pairs(
+        buckets, ["k"], "m", max_bucket=10_000, count_first=False)
+    plan = _plan(pairs)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    # each exchange sits between a partial and a final ObjectHashAggregate
+    assert len(re.findall(r"\(\d+\) ObjectHashAggregate", plan)) == 4
