@@ -1,0 +1,26 @@
+"""Interleaved q1 (build stage) control at the driver bench config:
+repeat the identical build_entries stage N times in ONE JVM, at the
+given core count, sf0.1 mult 24 — spread across repeats is the
+substrate-variance estimate the r3 verdict item 4 asks for."""
+import json, os, sys, time
+sys.path.insert(0, "/root/repo")
+cpus = int(sys.argv[1]); reps = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+from backupdeduplicator_spark.session import get_spark
+from backupdeduplicator_spark.operators.build import build_entries
+from bench import bench_files, _tree_cpu_seconds
+spark = get_spark("q1-control", cores=cpus, shuffle_partitions=max(cpus*2,16),
+                  extra_conf={"spark.ui.showConsoleProgress": "false"})
+spark.sparkContext.setLogLevel("ERROR")
+files = bench_files(spark, "/root/testdata/sf0.1", 24).persist()
+n = files.count()
+times = []
+for i in range(reps):
+    t0 = time.monotonic()
+    e = build_entries(files).persist(); e.count()
+    times.append(round(time.monotonic() - t0, 2))
+    e.unpersist()
+u, s = _tree_cpu_seconds()
+print(json.dumps({"cpus": cpus, "rows": n, "q1_times": times,
+                  "cpu_user": round(u,1), "cpu_sys": round(s,1),
+                  "sys_share": round(s/(u+s), 2)}))
+spark.stop()
