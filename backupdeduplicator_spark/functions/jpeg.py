@@ -1,4 +1,5 @@
-"""Baseline JPEG (SOF0/SOF1) luminance decoder — pure stdlib + numpy.
+"""JPEG luminance decoder — baseline (SOF0/SOF1) AND progressive (SOF2),
+pure stdlib + numpy.
 
 The multimodal tier (operators/multimodal.py) needs grayscale pixels for
 its pooled-gray feature, so this decoder reconstructs the Y (luminance)
@@ -6,16 +7,25 @@ component only: every component's entropy-coded coefficients are decoded
 (the bitstream is serial — chroma cannot be skipped), but dequant + IDCT
 run just for Y. Supports arbitrary 1-2 sampling factors (4:4:4, 4:2:2,
 4:2:0, grayscale), multiple DQT/DHT segments, 16-bit quant tables, and
-restart intervals. Progressive (SOF2) and arithmetic coding raise
-NotImplementedError — the honest boundary of a stdlib decoder.
+restart intervals.
+
+Progressive decoding (spec G.2 / the jdphuff algorithm re-derived from
+ITU-T T.81): coefficients accumulate across multiple SOS scans into
+per-component block arrays — DC-first (interleaved, diff << Al),
+DC-refinement (one appended bit per block), AC-first (single-component
+band [Ss, Se] with EOB-run codes), and AC-refinement (correction bits on
+nonzero history + newly significant ±1<<Al insertions) — then dequant +
+IDCT run once at the end for Y. Arithmetic coding and hierarchical
+(SOF3+) frames raise NotImplementedError — the honest boundary.
 
 The per-symbol Huffman walk is an inherently-sequential Python loop (the
 same Arrow-batch fold pattern as functions/hashing.py); the IDCT is a
 vectorized numpy basis multiply per 8x8 block.
 
-Verified in tests/test_archive_multimodal.py against an in-test baseline
-ENCODER (forward DCT + the JPEG Annex K tables) at 4:4:4, 4:2:0, and
-grayscale, with round-trip pixel tolerance.
+Verified in tests/test_archive_multimodal.py against in-test ENCODERS
+(forward DCT + the JPEG Annex K tables; the progressive one emits a
+libjpeg-style scan script with successive approximation) at 4:4:4,
+4:2:0, and grayscale, with round-trip pixel tolerance.
 """
 
 from __future__ import annotations
@@ -149,6 +159,8 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     huff_dc: dict[int, _Huff] = {}
     huff_ac: dict[int, _Huff] = {}
     frame = None
+    progressive = False
+    coefs: dict[int, np.ndarray] = {}  # cid -> (bh, bw, 64) zigzag coeffs
     restart_interval = 0
     pos = 2
     while pos < len(payload):
@@ -156,6 +168,8 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
             raise ValueError("bad marker alignment")
         marker = payload[pos + 1]
         pos += 2
+        if marker == 0xD9 and progressive:  # EOI: all scans accumulated
+            return _reconstruct_y(frame, coefs, qt)
         if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
             continue  # standalone
         (seglen,) = struct.unpack_from(">H", payload, pos)
@@ -182,7 +196,7 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
                 symbols = seg[i + 17:i + 17 + n]
                 (huff_ac if tc else huff_dc)[th] = _Huff(counts, symbols)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progr.
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG")
@@ -192,8 +206,16 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
                               "tq": tq})
             frame = (h, w, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG not supported")
+            if marker == 0xC2:
+                progressive = True
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                for c in comps:
+                    coefs[c["id"]] = np.zeros(
+                        (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32
+                    )
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"JPEG SOF marker {marker:#x}")
@@ -204,11 +226,25 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
             scan_tables = {}
+            scan_comps = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_tables[cs] = (tt >> 4, tt & 0xF)
-            return _decode_scan(payload, pos, frame, scan_tables, qt,
-                                huff_dc, huff_ac, restart_interval)
+                scan_comps.append(cs)
+            if not progressive:
+                return _decode_scan(payload, pos, frame, scan_tables, qt,
+                                    huff_dc, huff_ac, restart_interval)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            pos = _decode_progressive_scan(
+                payload, pos, frame, scan_comps, scan_tables,
+                huff_dc, huff_ac, restart_interval, coefs,
+                ss, se, ahal >> 4, ahal & 0xF,
+            )
+    if progressive and frame is not None:
+        # truncated file (no EOI) — decode what accumulated, like real
+        # decoders render partial progressive data
+        return _reconstruct_y(frame, coefs, qt)
     raise ValueError("no SOS segment found")
 
 
@@ -274,3 +310,177 @@ def _dezigzag(flat: np.ndarray) -> np.ndarray:
     out = np.empty(64, dtype=np.float64)
     out[ZIGZAG] = flat
     return out.reshape(8, 8)
+
+
+def _comp_blocks(frame, c) -> tuple[int, int]:
+    """Non-interleaved block grid of one component: ceil of its true
+    (subsampled) pixel dims over 8 (spec A.2.2)."""
+    h, w, comps = frame
+    hmax = max(x["h"] for x in comps)
+    vmax = max(x["v"] for x in comps)
+    cw = -(-w * c["h"] // hmax)
+    ch = -(-h * c["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_progressive_scan(
+    payload, pos, frame, scan_comps, scan_tables, huff_dc, huff_ac,
+    restart_interval, coefs, ss, se, ah, al,
+) -> int:
+    """Accumulate ONE progressive scan into ``coefs`` (zigzag-order
+    int32 blocks per component); returns the payload offset of the next
+    marker. Algorithm re-derived from ITU-T T.81 G.2 (the four scan
+    kinds; EOB-run + correction-bit semantics as in G.1.2.2-G.1.2.3)."""
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    by_id = {c["id"]: c for c in comps}
+
+    # unit list: MCU-interleaved for multi-component (DC) scans, the
+    # component's own raster block grid for single-component scans
+    units: list[list[tuple[int, int, int]]] = []
+    if len(scan_comps) > 1:
+        if ss != 0:
+            raise ValueError("interleaved AC scan in progressive JPEG")
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            unit = []
+            for cid in scan_comps:
+                c = by_id[cid]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        unit.append((cid, my * c["v"] + by,
+                                     mx * c["h"] + bx))
+            units.append(unit)
+    else:
+        cid = scan_comps[0]
+        nbh, nbw = _comp_blocks(frame, by_id[cid])
+        for by in range(nbh):
+            for bx in range(nbw):
+                units.append([(cid, by, bx)])
+
+    reader = _BitReader(payload, pos)
+    pred = {cid: 0 for cid in scan_comps}
+    eobrun = 0
+    p1 = 1 << al
+
+    def _refine_nonzero(block, k) -> None:
+        # correction bit for a coefficient that is already nonzero
+        if reader.bit() and (int(block[k]) & p1) == 0:
+            block[k] += p1 if block[k] > 0 else -p1
+
+    for u, unit in enumerate(units):
+        if restart_interval and u and u % restart_interval == 0:
+            reader.restart_align()
+            pred = {cid: 0 for cid in scan_comps}
+            eobrun = 0
+        for cid, by, bx in unit:
+            block = coefs[cid][by, bx]
+            dc_t, ac_t = scan_tables[cid]
+            if ss == 0:  # DC scan
+                if ah == 0:  # first pass: diff-coded, scaled by Al
+                    s = reader.decode(huff_dc[dc_t])
+                    diff = _extend(reader.bits(s), s) if s else 0
+                    pred[cid] += diff
+                    block[0] = pred[cid] << al
+                else:  # refinement: one appended bit per block
+                    block[0] |= reader.bit() << al
+                continue
+            act = huff_ac[ac_t]
+            if ah == 0:  # AC first pass over band [ss, se]
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = reader.decode(act)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r != 15:  # EOBn: run of (1<<r)+bits(r) blocks
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.bits(r)
+                            break
+                        k += 16  # ZRL
+                    else:
+                        k += r
+                        if k > se:
+                            raise ValueError("AC index past band end")
+                        block[k] = _extend(reader.bits(s), s) << al
+                        k += 1
+            else:  # AC refinement
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = reader.decode(act)
+                        r, s = rs >> 4, rs & 0xF
+                        newval = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += reader.bits(r)
+                                break  # tail below refines k..se
+                            # r == 15: pass 16 zero-history positions
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "refinement amplitude must be 1")
+                            newval = p1 if reader.bit() else -p1
+                        while k <= se:
+                            if block[k] != 0:
+                                _refine_nonzero(block, k)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval:
+                            if k > se:
+                                raise ValueError("no slot for new coeff")
+                            block[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    # inside an EOB run: only correction bits for
+                    # already-nonzero coefficients to the band end
+                    while k <= se:
+                        if block[k] != 0:
+                            _refine_nonzero(block, k)
+                        k += 1
+                    eobrun -= 1
+
+    # advance past padding to the next real marker (skip stuffed FF00
+    # and any stray RST)
+    p = reader.pos
+    n = len(payload)
+    while p < n - 1:
+        if (payload[p] == 0xFF and payload[p + 1] != 0x00
+                and not (0xD0 <= payload[p + 1] <= 0xD7)):
+            break
+        p += 1
+    return p
+
+
+def _reconstruct_y(frame, coefs, qt) -> np.ndarray:
+    """Dequant + IDCT the accumulated luminance coefficients (vectorized
+    einsum over all blocks), crop to true Y dims, normalize to [0, 1]."""
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    y = comps[0]
+    arr = coefs[y["id"]]
+    q = qt[y["tq"]]
+    bh, bw, _ = arr.shape
+    flat = arr.reshape(-1, 64).astype(np.float64) * q
+    nat = np.empty_like(flat)
+    nat[:, ZIGZAG] = flat
+    blocks = np.einsum("ux,nuv,vy->nxy", _C, nat.reshape(-1, 8, 8), _C)
+    yplane = (
+        blocks.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+        .reshape(bh * 8, bw * 8)
+    ) + 128.0
+    ch = -(-h * y["v"] // vmax)
+    cw = -(-w * y["h"] // hmax)
+    return np.clip(yplane[:ch, :cw], 0, 255) / 255.0

@@ -7,12 +7,13 @@ is real and tested. Decoding has three modes:
     the standard library alone: WAV/PCM audio (``wave`` module), 24-bit
     uncompressed BMP, binary PPM (P6), 8-bit PNG (``zlib`` inflate +
     full None/Sub/Up/Average/Paeth unfilter — gray/RGB/palette/alpha),
-    baseline JPEG (functions/jpeg.py: Huffman + dequant + IDCT of
-    the luminance channel, 4:4:4/4:2:2/4:2:0/gray, restart intervals),
+    JPEG — baseline AND progressive SOF2 (functions/jpeg.py: Huffman +
+    dequant + IDCT of the luminance channel, 4:4:4/4:2:2/4:2:0/gray,
+    restart intervals, spectral selection + successive approximation),
     and GIF87a/89a (LZW, global/local palettes, interlace; first frame).
     Each yields a FEATURE_DIM feature vector: images are grayscaled and
     mean-pooled to 8x8 (the resize step), audio is a 64-segment RMS
-    envelope. Remaining formats (progressive JPEG/MP4/...)
+    envelope. Remaining formats (MP4/video, arithmetic-coded JPEG, ...)
     raise NotImplementedError at exactly the point a
     Pillow/ffmpeg call would go — those libraries are not in this
     container, and faking a codec would be worse than failing loudly.
@@ -403,8 +404,8 @@ def _real_decode(kind: str, payload: bytes) -> np.ndarray:
     raise NotImplementedError(
         f"real decode for kind={kind!r} (magic {payload[:4]!r}) requires "
         "Pillow/ffmpeg — not available in this environment; stdlib "
-        "decoders cover WAV, 24-bit BMP, P6 PPM, 8-bit PNG, baseline "
-        "JPEG, and GIF"
+        "decoders cover WAV, 24-bit BMP, P6 PPM, 8-bit PNG, JPEG "
+        "(baseline + progressive), and GIF"
     )
 
 

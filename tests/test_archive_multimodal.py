@@ -817,3 +817,331 @@ def test_media_exact_dups_mega_payload_capped(spark):
     assert set(by_n) == {5_000, 2}
     assert by_n[5_000]["members"] == list(range(100))  # capped, lowest ids
     assert by_n[2]["members"] == [100_001, 100_002]    # exact below cap
+
+
+def _jpeg_encode_progressive(rgb, subsample=False, gray=False):
+    """Progressive (SOF2) JPEG writer for tests, emitting a libjpeg-style
+    scan script with BOTH spectral selection and successive approximation:
+
+        1. DC all components, interleaved, Ah=0 Al=1
+        2. DC refinement,     interleaved, Ah=1 Al=0
+        3. Y  AC [1..5],   Ah=0 Al=1
+        4. Y  AC [6..63],  Ah=0 Al=1
+        5. Y  AC [1..63],  Ah=1 Al=0   (correction-bit refinement)
+        6+. chroma AC [1..63], Ah=0 Al=0 (single first pass each)
+
+    Entropy coding follows the public spec's G.1.2.2/G.1.2.3 encoder
+    flowcharts (EOB-run accumulation, buffered correction bits). Exists
+    to round-trip decode_jpeg's progressive path against known pixels.
+    """
+    import struct
+
+    import numpy as np
+
+    from backupdeduplicator_spark.functions.jpeg import ZIGZAG, _C
+
+    h, w = rgb.shape[:2]
+    r_ = rgb[..., 0].astype(np.float64)
+    g_ = rgb[..., 1].astype(np.float64)
+    b_ = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+    cb = 128.0 - 0.168736 * r_ - 0.331264 * g_ + 0.5 * b_
+    cr = 128.0 + 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_
+    qy = np.full(64, 4, dtype=np.int32)
+    qc = np.full(64, 8, dtype=np.int32)
+    if gray:
+        comps = [{"id": 1, "h": 1, "v": 1, "tq": 0, "plane": y}]
+    elif subsample:
+        def half(p):
+            hh, ww = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+            pp = np.pad(p, ((0, hh - h), (0, ww - w)), mode="edge")
+            return (pp[0::2, 0::2] + pp[0::2, 1::2]
+                    + pp[1::2, 0::2] + pp[1::2, 1::2]) / 4.0
+        comps = [{"id": 1, "h": 2, "v": 2, "tq": 0, "plane": y},
+                 {"id": 2, "h": 1, "v": 1, "tq": 1, "plane": half(cb)},
+                 {"id": 3, "h": 1, "v": 1, "tq": 1, "plane": half(cr)}]
+    else:
+        comps = [{"id": 1, "h": 1, "v": 1, "tq": 0, "plane": y},
+                 {"id": 2, "h": 1, "v": 1, "tq": 1, "plane": cb},
+                 {"id": 3, "h": 1, "v": 1, "tq": 1, "plane": cr}]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    qts = [qy, qc]
+
+    # quantized zigzag coefficient grid per component (MCU-padded)
+    for c in comps:
+        ph, pw = mcuy * c["v"] * 8, mcux * c["h"] * 8
+        p = np.pad(c["plane"],
+                   ((0, ph - c["plane"].shape[0]),
+                    (0, pw - c["plane"].shape[1])), mode="edge")
+        grid = np.empty((mcuy * c["v"], mcux * c["h"], 64), dtype=int)
+        for by in range(mcuy * c["v"]):
+            for bx in range(mcux * c["h"]):
+                f = _C @ (p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0) @ _C.T
+                grid[by, bx] = np.round(
+                    f.flatten()[ZIGZAG] / qts[c["tq"]]).astype(int)
+        c["coef"] = grid
+        cw_ = -(-w * c["h"] // hmax)
+        ch_ = -(-h * c["v"] // vmax)
+        c["nb"] = (-(-ch_ // 8), -(-cw_ // 8))
+
+    def cat(v):
+        return 0 if v == 0 else int(abs(v)).bit_length()
+
+    class ScanWriter:
+        """Symbol/bit sequence of one scan; Huffman table built from the
+        scan's own symbol set afterwards (one-length canonical)."""
+
+        def __init__(self):
+            self.seq = []       # ("sym", s) | ("bits", val, n)
+            self.syms = set()
+            self.eobrun = 0
+            self.be_bits = []   # correction bits pending with EOBRUN
+            self.br_bits = []   # correction bits of the current block
+
+        def sym(self, s):
+            self.syms.add(s)
+            self.seq.append(("sym", s))
+
+        def bits(self, val, n):
+            if n:
+                self.seq.append(("bits", val, n))
+
+        def signed(self, v, s):
+            self.bits(v if v > 0 else v + (1 << s) - 1, s)
+
+        def flush_eobrun(self):
+            if self.eobrun > 0:
+                nb = self.eobrun.bit_length() - 1
+                self.sym(nb << 4)
+                self.bits(self.eobrun - (1 << nb), nb)
+                for b in self.be_bits:
+                    self.bits(b, 1)
+                self.be_bits = []
+                self.eobrun = 0
+
+        def emit_br(self):
+            for b in self.br_bits:
+                self.bits(b, 1)
+            self.br_bits = []
+
+        def finish(self):
+            self.flush_eobrun()
+            syms = sorted(self.syms) or [0]
+            ln = max(2, (len(syms) + 1).bit_length())
+            counts = [0] * 16
+            counts[ln - 1] = len(syms)
+            codes = {s: (ln, i) for i, s in enumerate(syms)}
+            out, acc, n = bytearray(), 0, 0
+
+            def put(val, nbits):
+                nonlocal acc, n
+                for i in range(nbits - 1, -1, -1):
+                    acc = (acc << 1) | ((val >> i) & 1)
+                    n += 1
+                    if n == 8:
+                        out.append(acc)
+                        if acc == 0xFF:
+                            out.append(0x00)
+                        acc, n = 0, 0
+
+            for item in self.seq:
+                if item[0] == "sym":
+                    l_, code = codes[item[1]]
+                    put(code, l_)
+                else:
+                    put(item[1], item[2])
+            while n:
+                put(1, 1)
+            return bytes(counts), bytes(syms), bytes(out)
+
+    def chunk(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += chunk(0xDB, bytes([0]) + bytes(qy.tolist()))
+    out += chunk(0xDB, bytes([1]) + bytes(qc.tolist()))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += chunk(0xC2, sof)
+
+    def mcu_blocks():
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        yield c, my * c["v"] + by, mx * c["h"] + bx
+
+    def add_scan(body_comps, ss, se, ah, al, sw, table_class):
+        counts, syms, data = sw.finish()
+        tid = (0x10 if table_class == "ac" else 0x00)
+        out.extend(chunk(0xC4, bytes([tid]) + counts + syms))
+        sos = bytes([len(body_comps)])
+        for c in body_comps:
+            sos += bytes([c["id"], 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out.extend(chunk(0xDA, sos))
+        out.extend(data)
+
+    # scan 1: DC first, Al=1
+    sw = ScanWriter()
+    pred = {c["id"]: 0 for c in comps}
+    for c, by, bx in mcu_blocks():
+        v = int(c["coef"][by, bx, 0]) >> 1
+        diff = v - pred[c["id"]]
+        pred[c["id"]] = v
+        s = cat(diff)
+        sw.sym(s)
+        sw.signed(diff, s)
+    add_scan(comps, 0, 0, 0, 1, sw, "dc")
+
+    # scan 2: DC refinement, Al=0 (raw bits; dummy table)
+    sw = ScanWriter()
+    for c, by, bx in mcu_blocks():
+        sw.bits(int(c["coef"][by, bx, 0]) & 1, 1)
+    add_scan(comps, 0, 0, 1, 0, sw, "dc")
+
+    def ac_first(c, ss, se, al):
+        sw = ScanWriter()
+        nbh, nbw = c["nb"]
+        for by in range(nbh):
+            for bx in range(nbw):
+                blk = c["coef"][by, bx]
+                r = 0
+                for k in range(ss, se + 1):
+                    av = abs(int(blk[k])) >> al
+                    if av == 0:
+                        r += 1
+                        continue
+                    sw.flush_eobrun()
+                    while r > 15:
+                        sw.sym(0xF0)
+                        r -= 16
+                    s = av.bit_length()
+                    sw.sym((r << 4) | s)
+                    sw.signed(av if blk[k] > 0 else -av, s)
+                    r = 0
+                if r > 0:
+                    sw.eobrun += 1
+                    if sw.eobrun == 0x7FFF:
+                        sw.flush_eobrun()
+        add_scan([c], ss, se, 0, al, sw, "ac")
+
+    def ac_refine(c, ss, se, ah, al):
+        sw = ScanWriter()
+        nbh, nbw = c["nb"]
+        for by in range(nbh):
+            for bx in range(nbw):
+                blk = c["coef"][by, bx]
+                absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+                eob = 0  # 1-based relative index AFTER last newly-nonzero
+                for i, av in enumerate(absv):
+                    if av == 1:
+                        eob = i + 1
+                r = 0
+                for i, av in enumerate(absv):
+                    if av == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i < eob:
+                        sw.flush_eobrun()
+                        sw.sym(0xF0)
+                        r -= 16
+                        sw.emit_br()
+                    if av > 1:
+                        sw.br_bits.append(av & 1)
+                        continue
+                    sw.flush_eobrun()
+                    sw.sym((r << 4) | 1)
+                    sw.bits(0 if blk[ss + i] < 0 else 1, 1)
+                    sw.emit_br()
+                    r = 0
+                if r > 0 or sw.br_bits:
+                    sw.eobrun += 1
+                    sw.be_bits.extend(sw.br_bits)
+                    sw.br_bits = []
+                    if sw.eobrun == 0x7FFF:
+                        sw.flush_eobrun()
+        add_scan([c], ss, se, ah, al, sw, "ac")
+
+    yc = comps[0]
+    ac_first(yc, 1, 5, 1)
+    ac_first(yc, 6, 63, 1)
+    ac_refine(yc, 1, 63, 1, 0)
+    for c in comps[1:]:
+        ac_first(c, 1, 63, 0)
+
+    out += b"\xff\xd9"
+    return bytes(out), y
+
+
+def test_jpeg_progressive_roundtrip():
+    """decode_jpeg recovers the luminance plane from progressive (SOF2)
+    JPEGs — DC successive approximation + spectral-selection AC scans
+    with a correction-bit refinement pass — at 4:4:4, 4:2:0, and
+    grayscale, within the same flat-quant tolerance as baseline."""
+    import numpy as np
+
+    from backupdeduplicator_spark.functions.jpeg import decode_jpeg
+
+    rng = np.random.RandomState(11)
+    rgb = rng.randint(0, 256, size=(41, 53, 3)).astype(np.uint8)
+    # smooth half so EOB runs actually occur (flat blocks -> long runs)
+    rgb[:20] = 128
+    for kwargs in ({}, {"subsample": True}, {"gray": True}):
+        payload, y = _jpeg_encode_progressive(rgb, **kwargs)
+        got = decode_jpeg(payload)
+        assert got.shape == y.shape
+        err = np.abs(got * 255.0 - y)
+        assert err.max() <= 16.0, (kwargs, err.max())
+        assert err.mean() <= 4.0, (kwargs, err.mean())
+
+
+def test_jpeg_progressive_matches_baseline_decode():
+    """The same image encoded baseline and progressive (flat quant, same
+    tables) must decode to nearly identical luminance planes — the
+    coefficient domain is identical, only the scan order differs."""
+    import numpy as np
+
+    from backupdeduplicator_spark.functions.jpeg import decode_jpeg
+
+    rng = np.random.RandomState(13)
+    rgb = rng.randint(0, 256, size=(24, 31, 3)).astype(np.uint8)
+    base, _ = _jpeg_encode(rgb)
+    prog, _ = _jpeg_encode_progressive(rgb)
+    gb = decode_jpeg(base)
+    gp = decode_jpeg(prog)
+    assert gb.shape == gp.shape
+    assert np.abs(gb - gp).max() < 1e-9  # bit-identical coefficients
+
+
+def test_auto_decode_uses_real_progressive(spark):
+    """'auto' mode must no longer downgrade progressive JPEGs to the fake
+    vector: the pooled-gray feature of a progressive encoding must match
+    the baseline encoding of the same image (same coefficients), and
+    differ from the fake hash vector."""
+    import base64 as _b64
+
+    import numpy as np
+
+    from backupdeduplicator_spark.operators.multimodal import (
+        extract_features)
+
+    rng = np.random.RandomState(17)
+    rgb = rng.randint(0, 256, size=(32, 32, 3)).astype(np.uint8)
+    base, _ = _jpeg_encode(rgb)
+    prog, _ = _jpeg_encode_progressive(rgb)
+    df = spark.createDataFrame(
+        [(1, "image", _b64.b64encode(base).decode()),
+         (2, "image", _b64.b64encode(prog).decode())],
+        "id long, kind string, payload string",
+    )
+    feats = {r["id"]: np.array(r["feature"])
+             for r in extract_features(df, decode_fn="auto").collect()}
+    assert np.abs(feats[1] - feats[2]).max() < 1e-6
+    fake = {r["id"]: np.array(r["feature"])
+            for r in extract_features(df, decode_fn="fake").collect()}
+    assert np.abs(feats[2] - fake[2]).max() > 0.01
