@@ -10,6 +10,7 @@ engine's additions (neardup, pipeline).
     python -m backupdeduplicator_spark import   --file HASHTREE_JSONL --checkpoint DIR
     python -m backupdeduplicator_spark export   --checkpoint DIR --file HASHTREE_JSONL
     python -m backupdeduplicator_spark docdedup --input DOCS_PARQUET --output DIR --tier minhash
+    python -m backupdeduplicator_spark mediadedup --input MEDIA_PARQUET --output DIR --tier exact
 
 --input is a parquet directory of (repo, path, commit, lang, content)
 rows; --checkpoint is the snapshot-table root (plans/checkpoint.py);
@@ -319,6 +320,40 @@ def cmd_docdedup(args) -> int:
     return 0
 
 
+def cmd_mediadedup(args) -> int:
+    """Media dedup tiers over a (id, kind, payload[, meta]) parquet table
+    — exact (payload sha256, capped member lists) or near (decoded
+    feature vectors through the bounded embedding-cosine tier). Decode
+    mode: fake / real / auto (operators/multimodal.py)."""
+    from .operators.multimodal import media_exact_dups, media_near_dups
+
+    spark = _spark(args)
+    media = spark.read.parquet(args.input)
+    report: dict = {}
+    if args.tier == "exact":
+        out = media_exact_dups(media, decode_fn=args.decode)
+    else:
+        out = media_near_dups(media, decode_fn=args.decode,
+                              threshold=args.threshold, report=report)
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    if "oversized" in report:
+        dropped, rows = report["oversized"].agg(
+            F.count(F.lit(1)), F.sum("bn")
+        ).collect()[0]
+        if dropped:
+            print(f"mediadedup: WARNING {dropped} oversized feature "
+                  f"buckets dropped ({rows} member rows) — raise "
+                  f"max_bucket to trade runtime for recall")
+    if args.tier == "exact":
+        capped = out.filter(F.size("members") < F.col("n_members")).count()
+        if capped:
+            print(f"mediadedup: NOTE {capped} dup sets list only their "
+                  f"first 10000 members (n_members is exact)")
+    print(f"mediadedup[{args.tier}]: {n} rows -> {args.output}")
+    return 0
+
+
 def cmd_pipeline(args) -> int:
     from .plans.pipeline import run_pipeline
     from .sinks import write_dupsets_jsonl
@@ -410,6 +445,16 @@ def main(argv: list[str] | None = None) -> int:
                          "whose longest shared run is >= this many UTF-8 "
                          "bytes")
     dd.set_defaults(fn=cmd_docdedup)
+
+    md = sub.add_parser("mediadedup", parents=[common])
+    md.add_argument("--input", required=True,
+                    help="parquet table of (id, kind, payload) media rows")
+    md.add_argument("--output", required=True)
+    md.add_argument("--tier", default="exact", choices=["exact", "near"])
+    md.add_argument("--decode", default="auto",
+                    choices=["fake", "real", "auto"])
+    md.add_argument("--threshold", type=float, default=0.98)
+    md.set_defaults(fn=cmd_mediadedup)
 
     df_ = sub.add_parser("diff", parents=[common])
     df_.add_argument("--a", required=True,

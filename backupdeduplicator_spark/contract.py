@@ -735,6 +735,29 @@ def q_d1_exact_dup_docs(d: D) -> str:
     )
 
 
+def q_m1_media_exact_dups(d: D) -> str:
+    """Exact media dedup (multimodal tier, operators/multimodal.py):
+    the media table is synthesized from documents (payload = the UTF-8
+    text bytes base64-carried, kind='text'), every 11th doc mirrored
+    under a shifted id. media_exact_dups computes payload_sha256 inside
+    the mapInPandas decode kernel, so this drives the real Arrow batch
+    path; the oracle is the plain SQL hash-groupBy because the kernel's
+    sha256 over the decoded payload == sha256 over the text. NULL texts
+    coalesce to '' on both sides (the kernel decodes a NULL payload as
+    empty bytes)."""
+    return (
+        f"WITH corpus AS ("
+        f"SELECT doc_id, COALESCE(text, '') AS text FROM documents "
+        f"UNION ALL "
+        f"SELECT doc_id + 2000000, COALESCE(text, '') FROM documents "
+        f"WHERE doc_id % 11 = 0) "
+        f"SELECT {d.sha256('text')} AS payload_sha256, "
+        f"COUNT(*) AS n_members, "
+        f"{d.sorted_concat('CAST(doc_id AS STRING)', ',')} AS members "
+        f"FROM corpus GROUP BY {d.sha256('text')} HAVING COUNT(*) >= 2"
+    )
+
+
 SQL_QUERIES: dict[str, Callable[[D], str]] = {
     "file_hashes": q_file_hashes,
     "p1_collision_filter": q_p1_collision_filter,
@@ -767,6 +790,7 @@ SQL_QUERIES: dict[str, Callable[[D], str]] = {
     "x1_simhash_pairs": q_x1_simhash_pairs,
     "x2_substring_dup_pairs": q_x2_substring_dup_pairs,
     "near_dup_clusters": q_near_dup_clusters,
+    "m1_media_exact_dups": q_m1_media_exact_dups,
 }
 
 
@@ -1112,8 +1136,44 @@ def _spark_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_duplicate_pairs(corpus).orderBy("id1", "id2")
 
 
+def _spark_media_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal exact-dup tier over a media table synthesized from
+    documents: payload = base64(utf-8 text), so the mapInPandas decode
+    kernel's payload_sha256 equals sha256(text) and the salted capped
+    member collect is driver-checked end-to-end (cap never reached at
+    sf0.01 — membership is exact)."""
+    from .operators.multimodal import media_exact_dups
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    corpus = docs.unionByName(
+        docs.filter("doc_id % 11 = 0").select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
+    )
+    media = corpus.select(
+        F.col("doc_id").alias("id"),
+        F.lit("text").alias("kind"),
+        F.base64(F.encode("text", "UTF-8")).alias("payload"),
+    )
+    dups = media_exact_dups(media)
+    # oracle compares members as a lexically-sorted comma string
+    members = F.concat_ws(
+        ",", F.sort_array(F.transform("members", lambda x: x.cast("string")))
+    )
+    return dups.select(
+        "payload_sha256",
+        F.col("n_members").cast("long").alias("n_members"),
+        members.alias("members"),
+    )
+
+
 ENGINE_BACKED["x2_substring_dup_pairs"] = _spark_substring_pairs
 ENGINE_BACKED["near_dup_clusters"] = _spark_near_dup_clusters
+ENGINE_BACKED["m1_media_exact_dups"] = _spark_media_exact_dups
 
 # every query now has a DuckDB twin; the dict stays as the hook for
 # genuinely non-SQL-expressible future ops (custom stateful streaming)

@@ -211,11 +211,23 @@ def cosine_topk_ivf(
     seed: int = 7,
     train_sample: int = 20000,
     centroids: np.ndarray | None = None,
+    max_cell: int | None = None,
+    report: dict | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are bucketed into ``n_cells``
     Voronoi cells of a spherical-k-means coarse quantizer; each query
     scores only the vectors in its ``nprobe`` nearest cells. Same output
     shape as the brute-force tier.
+
+    ``max_cell`` (optional) applies the engine's bounded-bucket rule to
+    the probe join: a degenerate quantizer (all-identical corpus, dead
+    embeddings) can put the whole corpus in one Voronoi cell, making the
+    probe join O(corpus) per query in one task — with a cap, query-hit
+    cells larger than ``max_cell`` are dropped + accounted in
+    ``report['oversized']`` (a (cell, bn) DataFrame). Default None keeps
+    the exact IVF contract (every probed cell fully scored): unlike the
+    multi-band RHP tiers, a dropped IVF cell has no second chance to
+    recover a neighbor, so capping is opt-in for known-dirty corpora.
 
     Scale shape: the quantizer trains on a driver-side SAMPLE bounded by
     ``train_sample`` — a deterministic hash-bucket filter over the id
@@ -275,18 +287,41 @@ def cosine_topk_ivf(
     ).withColumn(
         "cell", F.explode(_ivf_cell_udf(cent, nprobe)(F.col("qe")))
     )
-    scored = (
-        F.broadcast(q)
-        .join(c, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", F.expr(_COS.format(a="qe", b="ce")))
-    )
+    if max_cell is not None:
+        from .buckets import bounded_probe_join
+
+        # persist: bounded_probe_join scans the corpus cells twice
+        # (count + join) — without the cache the cell UDF would run both
+        # times (and race under AQE's concurrent leaf submission)
+        c = c.persist()
+        c.count()
+        hits, oversized = bounded_probe_join(
+            c, F.broadcast(q), ["cell"], max_cell
+        )
+        if report is not None:
+            report["oversized"] = oversized
+        scored = hits.filter(
+            F.col("query_id") != F.col("neighbor_id")
+        ).withColumn("sim", F.expr(_COS.format(a="qe", b="ce")))
+    else:
+        scored = (
+            F.broadcast(q)
+            .join(c, "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("sim", F.expr(_COS.format(a="qe", b="ce")))
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
     )
+    if max_cell is not None:
+        # materialize the (queries x k) result and release the cell cache
+        # — same lifecycle as the other bounded tiers
+        out = out.localCheckpoint()
+        c.unpersist()
+    return out
 
 
 def cosine_topk_lsh(

@@ -211,3 +211,50 @@ def test_cli_diff_checkpoints(spark, input_dir, tmp_path, capsys):
     assert got.filter(
         (F.col("status") == "modified") & F.col("path").endswith("0.py")
     ).count() == n_changed_files
+
+
+def test_cli_mediadedup(spark, tmp_path, capsys):
+    """mediadedup CLI: exact tier groups identical payloads (capped
+    member lists, exact counts); near tier pairs re-encodings of the
+    same image via real decode through the bounded embedding tier."""
+    import base64
+    import sys
+
+    import pandas as pd
+
+    sys.path.insert(0, "/root/repo/tests")
+    from test_archive_multimodal import _jpeg_encode, _jpeg_encode_progressive
+
+    import numpy as np
+
+    from backupdeduplicator_spark.__main__ import main
+
+    rng = np.random.RandomState(29)
+    rgb = rng.randint(0, 256, size=(32, 32, 3)).astype(np.uint8)
+    base, _ = _jpeg_encode(rgb)
+    prog, _ = _jpeg_encode_progressive(rgb)
+    media = pd.DataFrame({
+        "id": [1, 2, 3, 4],
+        "kind": ["image"] * 4,
+        "payload": [base64.b64encode(p).decode()
+                    for p in (base, base, prog, b"unrelated-bytes")],
+    })
+    src = str(tmp_path / "media.parquet")
+    media.to_parquet(src)
+
+    out = str(tmp_path / "media_exact")
+    assert main(["mediadedup", "--input", src, "--output", out,
+                 "--tier", "exact", "--cores", "4"]) == 0
+    ex = spark.read.parquet(out).collect()
+    assert len(ex) == 1 and ex[0]["members"] == [1, 2]
+
+    out2 = str(tmp_path / "media_near")
+    # auto: real decoders for the JPEGs, fake-vector fallback for the
+    # unknown payload ('real' would raise on it — by design)
+    assert main(["mediadedup", "--input", src, "--output", out2,
+                 "--tier", "near", "--decode", "auto", "--cores", "4"]) == 0
+    pairs = {(r["id1"], r["id2"])
+             for r in spark.read.parquet(out2).collect()}
+    # baseline and progressive encodings of one image decode identically
+    assert {(1, 2), (1, 3), (2, 3)} <= pairs
+    assert not any(4 in p for p in pairs)

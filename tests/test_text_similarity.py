@@ -318,3 +318,28 @@ def test_verifiers_keep_missing_id_pairs(spark):
     pairs = spark.createDataFrame([(1, 999)], ["id1", "id2"])
     rows = verify_jaccard_pairs(docs, pairs).collect()
     assert len(rows) == 1 and rows[0]["jaccard"] == 0.0
+
+
+def test_ivf_degenerate_cell_capped(spark):
+    """cosine_topk_ivf with max_cell: a degenerate corpus (5k identical
+    vectors -> one Voronoi cell) is dropped + accounted instead of
+    scoring O(corpus) rows per probing query; default (no cap) keeps the
+    exact IVF contract."""
+    from pyspark.sql import functions as F
+
+    from backupdeduplicator_spark.operators.similarity import cosine_topk_ivf
+
+    dim = 8
+    dead = F.array(F.lit(1.0), *[F.lit(0.0)] * 7)
+    corpus = spark.range(5_000).select(
+        F.col("id").alias("vec_id"), dead.alias("embedding"))
+    queries = spark.createDataFrame(
+        [(7_000, [1.0] + [0.0] * 7)], "vec_id long, embedding array<double>")
+    report: dict = {}
+    out = cosine_topk_ivf(
+        corpus, queries, dim=dim, k=3, n_cells=4, nprobe=4,
+        max_cell=100, report=report,
+    ).collect()
+    assert out == []  # the only populated cell was dropped
+    over = report["oversized"].collect()
+    assert over and sum(r["bn"] for r in over) == 5_000
