@@ -331,12 +331,17 @@ def cmd_mediadedup(args) -> int:
     media = spark.read.parquet(args.input)
     report: dict = {}
     if args.tier == "exact":
-        out = media_exact_dups(media, decode_fn=args.decode)
+        out = media_exact_dups(media, decode_fn=args.decode,
+                               max_members=args.max_members)
     else:
         out = media_near_dups(media, decode_fn=args.decode,
-                              threshold=args.threshold, report=report)
+                              threshold=args.threshold, report=report,
+                              max_bucket=args.max_bucket)
     out.write.mode("overwrite").parquet(args.output)
-    n = spark.read.parquet(args.output).count()
+    # all post-write accounting reads the parquet back — the lazy `out`
+    # plan would re-run the whole decode kernel per action
+    written = spark.read.parquet(args.output)
+    n = written.count()
     if "oversized" in report:
         dropped, rows = report["oversized"].agg(
             F.count(F.lit(1)), F.sum("bn")
@@ -344,12 +349,13 @@ def cmd_mediadedup(args) -> int:
         if dropped:
             print(f"mediadedup: WARNING {dropped} oversized feature "
                   f"buckets dropped ({rows} member rows) — raise "
-                  f"max_bucket to trade runtime for recall")
+                  f"--max-bucket to trade runtime for recall")
     if args.tier == "exact":
-        capped = out.filter(F.size("members") < F.col("n_members")).count()
+        capped = written.filter(
+            F.size("members") < F.col("n_members")).count()
         if capped:
             print(f"mediadedup: NOTE {capped} dup sets list only their "
-                  f"first 10000 members (n_members is exact)")
+                  f"first {args.max_members} members (n_members is exact)")
     print(f"mediadedup[{args.tier}]: {n} rows -> {args.output}")
     return 0
 
@@ -454,6 +460,13 @@ def main(argv: list[str] | None = None) -> int:
     md.add_argument("--decode", default="auto",
                     choices=["fake", "real", "auto"])
     md.add_argument("--threshold", type=float, default=0.98)
+    md.add_argument("--max-bucket", type=int, default=2000,
+                    dest="max_bucket",
+                    help="near tier: feature-bucket cap (drops accounted)")
+    md.add_argument("--max-members", type=int, default=10000,
+                    dest="max_members",
+                    help="exact tier: member-list cap per dup set "
+                         "(n_members stays exact)")
     md.set_defaults(fn=cmd_mediadedup)
 
     df_ = sub.add_parser("diff", parents=[common])

@@ -160,90 +160,102 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, _Huff] = {}
     frame = None
     progressive = False
+    completed_scans = 0
     coefs: dict[int, np.ndarray] = {}  # cid -> (bh, bw, 64) zigzag coeffs
     restart_interval = 0
     pos = 2
-    while pos < len(payload):
-        if payload[pos] != 0xFF:
-            raise ValueError("bad marker alignment")
-        marker = payload[pos + 1]
-        pos += 2
-        if marker == 0xD9 and progressive:  # EOI: all scans accumulated
+    try:
+        while pos < len(payload):
+            if payload[pos] != 0xFF:
+                raise ValueError("bad marker alignment")
+            marker = payload[pos + 1]
+            pos += 2
+            if marker == 0xD9 and progressive:  # EOI: all scans accumulated
+                return _reconstruct_y(frame, coefs, qt)
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+                continue  # standalone
+            (seglen,) = struct.unpack_from(">H", payload, pos)
+            seg = payload[pos + 2:pos + seglen]
+            pos += seglen
+            if marker == 0xDB:  # DQT
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 0xF
+                    i += 1
+                    if pq:
+                        tbl = np.frombuffer(seg, ">u2", 64, i).astype(np.int32)
+                        i += 128
+                    else:
+                        tbl = np.frombuffer(seg, np.uint8, 64, i).astype(np.int32)
+                        i += 64
+                    qt[tq] = tbl
+            elif marker == 0xC4:  # DHT
+                i = 0
+                while i < len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 0xF
+                    counts = seg[i + 1:i + 17]
+                    n = sum(counts)
+                    symbols = seg[i + 17:i + 17 + n]
+                    (huff_ac if tc else huff_dc)[th] = _Huff(counts, symbols)
+                    i += 17 + n
+            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progr.
+                prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+                if prec != 8:
+                    raise NotImplementedError("only 8-bit JPEG")
+                comps = []
+                for c in range(nc):
+                    cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
+                    comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                                  "tq": tq})
+                frame = (h, w, comps)
+                if marker == 0xC2:
+                    progressive = True
+                    hmax = max(c["h"] for c in comps)
+                    vmax = max(c["v"] for c in comps)
+                    mcux = -(-w // (8 * hmax))
+                    mcuy = -(-h // (8 * vmax))
+                    for c in comps:
+                        coefs[c["id"]] = np.zeros(
+                            (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32
+                        )
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                            0xCD, 0xCE, 0xCF):
+                raise NotImplementedError(f"JPEG SOF marker {marker:#x}")
+            elif marker == 0xDD:  # DRI
+                (restart_interval,) = struct.unpack_from(">H", seg, 0)
+            elif marker == 0xDA:  # SOS — entropy data follows
+                if frame is None:
+                    raise ValueError("SOS before SOF")
+                ns = seg[0]
+                scan_tables = {}
+                scan_comps = []
+                for c in range(ns):
+                    cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                    scan_tables[cs] = (tt >> 4, tt & 0xF)
+                    scan_comps.append(cs)
+                if not progressive:
+                    return _decode_scan(payload, pos, frame, scan_tables, qt,
+                                        huff_dc, huff_ac, restart_interval)
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                pos = _decode_progressive_scan(
+                    payload, pos, frame, scan_comps, scan_tables,
+                    huff_dc, huff_ac, restart_interval, coefs,
+                    ss, se, ahal >> 4, ahal & 0xF,
+                )
+                completed_scans += 1
+    except (EOFError, IndexError, _RestartMarker, struct.error):
+        # a truncated PROGRESSIVE file (download cut mid-scan,
+        # mid-DHT, or between scans) still renders the scans that
+        # completed — the real-decoder behavior. A file whose FIRST
+        # scan is incomplete has no usable data and stays an error
+        # (decode_jpeg wraps these types into ValueError).
+        if progressive and completed_scans > 0:
             return _reconstruct_y(frame, coefs, qt)
-        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
-            continue  # standalone
-        (seglen,) = struct.unpack_from(">H", payload, pos)
-        seg = payload[pos + 2:pos + seglen]
-        pos += seglen
-        if marker == 0xDB:  # DQT
-            i = 0
-            while i < len(seg):
-                pq, tq = seg[i] >> 4, seg[i] & 0xF
-                i += 1
-                if pq:
-                    tbl = np.frombuffer(seg, ">u2", 64, i).astype(np.int32)
-                    i += 128
-                else:
-                    tbl = np.frombuffer(seg, np.uint8, 64, i).astype(np.int32)
-                    i += 64
-                qt[tq] = tbl
-        elif marker == 0xC4:  # DHT
-            i = 0
-            while i < len(seg):
-                tc, th = seg[i] >> 4, seg[i] & 0xF
-                counts = seg[i + 1:i + 17]
-                n = sum(counts)
-                symbols = seg[i + 17:i + 17 + n]
-                (huff_ac if tc else huff_dc)[th] = _Huff(counts, symbols)
-                i += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progr.
-            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
-            if prec != 8:
-                raise NotImplementedError("only 8-bit JPEG")
-            comps = []
-            for c in range(nc):
-                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
-                              "tq": tq})
-            frame = (h, w, comps)
-            if marker == 0xC2:
-                progressive = True
-                hmax = max(c["h"] for c in comps)
-                vmax = max(c["v"] for c in comps)
-                mcux = -(-w // (8 * hmax))
-                mcuy = -(-h // (8 * vmax))
-                for c in comps:
-                    coefs[c["id"]] = np.zeros(
-                        (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32
-                    )
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(f"JPEG SOF marker {marker:#x}")
-        elif marker == 0xDD:  # DRI
-            (restart_interval,) = struct.unpack_from(">H", seg, 0)
-        elif marker == 0xDA:  # SOS — entropy data follows
-            if frame is None:
-                raise ValueError("SOS before SOF")
-            ns = seg[0]
-            scan_tables = {}
-            scan_comps = []
-            for c in range(ns):
-                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan_tables[cs] = (tt >> 4, tt & 0xF)
-                scan_comps.append(cs)
-            if not progressive:
-                return _decode_scan(payload, pos, frame, scan_tables, qt,
-                                    huff_dc, huff_ac, restart_interval)
-            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
-            ahal = seg[3 + 2 * ns]
-            pos = _decode_progressive_scan(
-                payload, pos, frame, scan_comps, scan_tables,
-                huff_dc, huff_ac, restart_interval, coefs,
-                ss, se, ahal >> 4, ahal & 0xF,
-            )
-    if progressive and frame is not None:
-        # truncated file (no EOI) — decode what accumulated, like real
-        # decoders render partial progressive data
+        raise
+    if progressive and frame is not None and completed_scans > 0:
+        # truncated between scans (no EOI) — decode what accumulated,
+        # like real decoders render partial progressive data
         return _reconstruct_y(frame, coefs, qt)
     raise ValueError("no SOS segment found")
 
@@ -452,15 +464,17 @@ def _decode_progressive_scan(
                     eobrun -= 1
 
     # advance past padding to the next real marker (skip stuffed FF00
-    # and any stray RST)
+    # and any stray RST); no marker left = truncated between scans —
+    # return end-of-payload so the caller's accumulated-scan fallback
+    # runs instead of a bad-alignment error
     p = reader.pos
     n = len(payload)
     while p < n - 1:
         if (payload[p] == 0xFF and payload[p + 1] != 0x00
                 and not (0xD0 <= payload[p + 1] <= 0xD7)):
-            break
+            return p
         p += 1
-    return p
+    return n
 
 
 def _reconstruct_y(frame, coefs, qt) -> np.ndarray:

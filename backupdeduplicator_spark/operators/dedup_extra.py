@@ -67,13 +67,17 @@ def simhash_pairs(
             raise ValueError("max_hamming must be < 64")
     n_blocks = 64 // block_bits
     assert max_hamming <= n_blocks - 1, "raise block count for that radius"
-    # persisted EAGERLY: the bounded kernel's count and collect passes are
-    # concurrent leaf stages (AQE submits both at once) — a lazy cache
-    # would race and run the simhash text kernel twice
+    # persisted EAGERLY (materialize mode only): the bounded kernel's
+    # count and collect passes are concurrent leaf stages (AQE submits
+    # both at once) — a lazy cache would race and run the simhash text
+    # kernel twice. materialize=False keeps the plan uncached for
+    # inspection / caller-managed caching.
     sh = docs.select(
         F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
-    ).persist()
-    sh.count()
+    )
+    if materialize:
+        sh = sh.persist()
+        sh.count()
     blocks = sh.select(
         F.struct("id", "sh").alias("m"),
         F.posexplode(
@@ -185,6 +189,7 @@ def embedding_cosine_pairs(
     max_bucket: int = 2000,
     report: dict | None = None,
     materialize: bool = True,
+    count_first: bool | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: RHP-LSH candidate generation + exact
     cosine filter >= threshold.
@@ -205,13 +210,18 @@ def embedding_cosine_pairs(
     from .buckets import bounded_bucket_pairs
 
     vecs = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    # persisted EAGERLY: the kernel's probe/count and collect passes are
-    # separate consumers — a lazy cache would race under AQE's concurrent
-    # leaf-stage submission and run the RHP signature kernel twice
-    sig = rhp_buckets(vecs, "id", "v", dim, bands, bits).persist()
-    sig.count()
+    # persisted EAGERLY (materialize mode only): the kernel's probe/count
+    # and collect passes are separate consumers — a lazy cache would race
+    # under AQE's concurrent leaf-stage submission and run the RHP
+    # signature kernel twice. materialize=False skips the cache entirely
+    # (caller-managed mode: the kernel may recompute per consumer, and
+    # nothing is left persisted behind the caller's back).
+    sig = rhp_buckets(vecs, "id", "v", dim, bands, bits)
+    if materialize:
+        sig = sig.persist()
+        sig.count()
     pair_rows, oversized = bounded_bucket_pairs(
-        sig, ["band", "bucket"], "id", max_bucket
+        sig, ["band", "bucket"], "id", max_bucket, count_first=count_first
     )
     if report is not None:
         report["oversized"] = oversized

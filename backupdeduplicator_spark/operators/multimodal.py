@@ -469,14 +469,19 @@ def media_exact_dups(
     """Exact media dedup: group by payload sha256 (same rule as text).
 
     Salted capped two-phase collect (the operators/analyze.duplicate_sets
-    shape): a boilerplate payload duplicated 10^7 times (tracking pixel,
-    silence.wav) must never materialize 10^7 ids in one aggregation
-    buffer. Phase 1 groups by (sha, salt) and slices each partial at
-    ``max_members``; phase 2 merges, so per-reducer buffers are bounded
-    at ~salt_buckets * max_members ids. ``n_members`` is always the
-    EXACT count — when it exceeds ``size(members)`` the list was capped
-    (the no-silent-caps signal; the default keeps the first 10^4 members
-    by sort order, plenty to act on a dup set)."""
+    shape): phase 1 groups by (sha, salt) and slices each partial at
+    ``max_members``; phase 2 merges the <= salt_buckets * max_members
+    surviving partial entries per sha. Honest bound (same residual as
+    operators/buckets.py documents): a phase-1 partial still BUFFERS its
+    full (sha, salt) membership — bucket_size / salt_buckets ids — before
+    the sort+slice runs, so a 10^7-duplicate boilerplate payload
+    (tracking pixel, silence.wav) costs ~6 * 10^5 ids per phase-1
+    reducer at the default 16 salts: divided and spread, not hard-capped.
+    Raise ``salt_buckets`` for adversarial duplication factors.
+    ``n_members`` is always the EXACT count — when it exceeds
+    ``size(members)`` the list was capped (the no-silent-caps signal; the
+    kept members are the globally lowest ``max_members`` by sort order,
+    plenty to act on a dup set)."""
     feats = extract_features(media, decode_fn)
     phase1 = (
         feats.withColumn(

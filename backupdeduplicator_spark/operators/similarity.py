@@ -361,10 +361,15 @@ def cosine_topk_lsh(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe")
     )
-    # persisted EAGERLY: bounded_probe_join scans the corpus buckets twice
-    # (count + join); a lazy plan would run the RHP kernel both times
-    cb = rhp_buckets(c, "neighbor_id", "ce", dim, bands, bits).persist()
-    cb.count()
+    # persisted EAGERLY (materialize mode only): bounded_probe_join scans
+    # the corpus buckets twice (count + join); a lazy plan would run the
+    # RHP kernel both times. materialize=False leaves the plan uncached
+    # (plan inspection / caller-managed caching — nothing persisted
+    # behind the caller's back).
+    cb = rhp_buckets(c, "neighbor_id", "ce", dim, bands, bits)
+    if materialize:
+        cb = cb.persist()
+        cb.count()
     qb = rhp_buckets(q, "query_id", "qe", dim, bands, bits)
     hits, oversized = bounded_probe_join(
         cb, qb, ["band", "bucket"], max_bucket

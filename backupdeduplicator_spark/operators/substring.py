@@ -107,11 +107,14 @@ def substring_duplicate_pairs(
     fps = docs.select(
         F.col(id_col).alias("id"),
         F.explode(winnow_fingerprints(F.col(text_col))).alias("fp"),
-    ).distinct().persist()
-    # eager: the count pass and collect pass are concurrent leaf stages
-    # (AQE submits both at once) — a lazy cache would race and run the
-    # winnow UDF twice
-    fps.count()
+    ).distinct()
+    if materialize:
+        # eager: the count pass and collect pass are concurrent leaf
+        # stages (AQE submits both at once) — a lazy cache would race and
+        # run the winnow UDF twice. materialize=False keeps the plan
+        # uncached (inspection / caller-managed caching).
+        fps = fps.persist()
+        fps.count()
     pair_rows, oversized = bounded_bucket_pairs(
         fps, ["fp"], "id", max_fingerprint_freq,
         count_first=count_first, salt_buckets=salt_buckets,

@@ -1145,3 +1145,37 @@ def test_auto_decode_uses_real_progressive(spark):
     fake = {r["id"]: np.array(r["feature"])
             for r in extract_features(df, decode_fn="fake").collect()}
     assert np.abs(feats[2] - fake[2]).max() > 0.01
+
+
+def test_jpeg_progressive_truncation_semantics():
+    """Truncated progressive files: scans that completed still render
+    (EOI missing, or a later scan cut mid-entropy — the real-decoder
+    behavior); a file whose FIRST scan is already incomplete raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from backupdeduplicator_spark.functions.jpeg import decode_jpeg
+
+    rng = np.random.RandomState(19)
+    rgb = rng.randint(0, 256, size=(24, 24, 3)).astype(np.uint8)
+    payload, y = _jpeg_encode_progressive(rgb)
+
+    # missing EOI: every scan accumulated -> full-quality decode
+    got = decode_jpeg(payload[:-2])
+    assert got.shape == y.shape
+    assert np.abs(got * 255.0 - y).max() <= 16.0
+
+    sos = []
+    i = 0
+    while True:
+        i = payload.find(b"\xff\xda", i + 1)
+        if i < 0:
+            break
+        sos.append(i)
+    assert len(sos) >= 3
+    # cut mid second scan: scan 1 (DC) completed -> partial renders
+    part = decode_jpeg(payload[:sos[1] + 20])
+    assert part.shape == y.shape
+    # cut mid FIRST scan: nothing usable -> error
+    with _pytest.raises(ValueError):
+        decode_jpeg(payload[:sos[0] + 16])

@@ -54,8 +54,14 @@ def main() -> None:
     sigs = distinct_content_signatures(files).persist()  # as at runtime
     sections.append(("minhash signatures (exact-dup collapse first)",
                      _explain(sigs)))
+    # count_first pinned False in every kernel call below: the dumped
+    # plan must be the salted shape the prose (and
+    # test_plan_properties' two-exchange pin) describes, not whatever
+    # the data-dependent skew probe picks — and the probe's eager job
+    # has no place in a plan dump
     sections.append(("lsh candidate pairs (band equi-join + count prefilter)",
-                     _explain(lsh_candidate_pairs(sigs).pairs)))
+                     _explain(lsh_candidate_pairs(
+                         sigs, count_first=False).pairs)))
 
     from backupdeduplicator_spark.operators.substring import (
         substring_duplicate_pairs)
@@ -63,7 +69,7 @@ def main() -> None:
     docs = spark.table("documents")
     sections.append(("substring pairs (winnowing fingerprint join)",
                      _explain(substring_duplicate_pairs(
-                         docs, materialize=False))))
+                         docs, materialize=False, count_first=False))))
 
     from backupdeduplicator_spark.operators.dedup_extra import (
         embedding_cosine_pairs, simhash_pairs)
@@ -82,11 +88,13 @@ def main() -> None:
         "per pair)",
         _explain(embedding_cosine_pairs(emb, dim=dim, threshold=0.35,
                                         bands=48, bits=3,
-                                        materialize=False)),
+                                        materialize=False,
+                                        count_first=False)),
     ))
     sections.append((
         "simhash pairs (pigeonhole blocks, capped buckets)",
-        _explain(simhash_pairs(docs, max_hamming=8, materialize=False)),
+        _explain(simhash_pairs(docs, max_hamming=8, materialize=False,
+                               count_first=False)),
     ))
 
     out = ["# PLANS — formatted physical plans of the headline queries\n",
