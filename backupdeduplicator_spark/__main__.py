@@ -53,13 +53,28 @@ def cmd_build(args) -> int:
 
     spark = _spark(args)
     files = _read_input(spark, args.input)
+    if args.follow_symlinks:
+        from .operators.build import resolve_symlinks
+
+        files = resolve_symlinks(files)
     ck = CheckpointManager(spark, args.checkpoint)
     if args.hash == "sha256":
         # reuse the prior snapshot ONLY if it was built with the same
         # algorithm — a prior xxh64/sha1 build would poison the new table
-        # through the commit-match reuse path
+        # through the commit-match reuse path. A follow-symlinks build
+        # also skips reuse: a link row's own (repo, path, commit) says
+        # nothing about whether its TARGET's content changed, so the
+        # commit-match validity token doesn't hold through the
+        # indirection.
         prior = None
-        if _checkpoint_algo(ck) == "sha256":
+        if (
+            not args.follow_symlinks
+            and _checkpoint_algo(ck) == "sha256"
+            # ...and the prior itself must not be a follow-symlinks
+            # build (its link rows carry target-content hashes)
+            and not ck.manifest("file_hashes")["lineage"].get(
+                "follow_symlinks", False)
+        ):
             prior = ck.read("file_hashes")
         fh = incremental_file_hashes(files, prior)
     else:
@@ -68,8 +83,9 @@ def cmd_build(args) -> int:
             content_size("content").alias("size"),
             content_hash("content", args.hash).alias("hash"),
         )
-    ck.write(fh, "file_hashes", lineage={"stage": "file_hashes",
-                                         "hash": args.hash})
+    ck.write(fh, "file_hashes",
+             lineage={"stage": "file_hashes", "hash": args.hash,
+                      "follow_symlinks": args.follow_symlinks})
     ck.write(entries_from_file_hashes(ck.read("file_hashes"), algo=args.hash),
              "entries", lineage={"stage": "entries", "hash": args.hash})
     n = ck.manifest("entries")["rows"]
@@ -398,6 +414,12 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--hash", default="sha256",
                    choices=["sha512", "sha256", "sha1", "xxh64", "xxh32",
                             "xxh64spark", "null"])
+    b.add_argument("--follow-symlinks", action="store_true",
+                   dest="follow_symlinks",
+                   help="hash each symlink as its resolved TARGET "
+                        "(reference --follow_symlinks; table-side "
+                        "self-join resolution, dangling links become "
+                        "Other rows)")
     b.set_defaults(fn=cmd_build)
 
     a = sub.add_parser("analyze", parents=[common])

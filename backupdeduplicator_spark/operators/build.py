@@ -24,6 +24,7 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -33,6 +34,117 @@ from ..functions.paths import parent_path, path_depth
 
 ENTRY_COLUMNS = ["repo", "path", "file_type", "modified", "size", "hash",
                  "children", "depth"]
+
+
+def resolve_symlinks(files: DataFrame, max_hops: int = 8) -> DataFrame:
+    """Reference ``--follow_symlinks`` semantics re-expressed table-side
+    (/root/reference/src/stages/build/cmd/worker.rs:55-58: with the flag,
+    ``fs::metadata`` FOLLOWS the link, so a symlink entry is hashed as
+    its target's kind/content; a failed resolution becomes an error
+    row): each Symlink row's ``link_target`` is resolved lexically
+    against the link's parent directory (absolute targets are taken
+    repo-rooted — the table has no filesystem to canonicalize against)
+    and a self-join on (repo, resolved path) fetches the target row.
+
+    * link -> File: the row becomes a File carrying the TARGET's content
+      under the LINK's (repo, path) — downstream hashing then matches
+      the reference byte-for-byte.
+    * link -> link: followed up to ``max_hops`` (a driver loop of
+      ``max_hops`` cheap joins — the reference's kernel ELOOP bound,
+      scaled down; symlink rows are a sliver of any real corpus).
+    * dangling / target escapes the repo root / hop budget exhausted:
+      an Other row with NULL content — the reference's error-row shape
+      (worker.rs error path emits an entry with no hash).
+
+    No-op for tables without symlink columns. Keep the default
+    (non-following) build for link-content hashing semantics
+    (hash_path), exactly like the reference's flag."""
+    if "file_type" not in files.columns or "link_target" not in files.columns:
+        return files
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _resolve(path: pd.Series, target: pd.Series) -> pd.Series:
+        import posixpath
+
+        def one(p: object, t: object) -> str | None:
+            if t is None:
+                return None
+            t = str(t)
+            base = posixpath.dirname(str(p))
+            full = t.lstrip("/") if t.startswith("/") else posixpath.join(
+                base, t)
+            norm = posixpath.normpath(full)
+            if norm.startswith("..") or norm in (".", ""):
+                return None  # escapes the repo root — unresolvable
+            return norm
+
+        return pd.Series([one(p, t) for p, t in zip(path, target)],
+                         dtype=object)
+
+    cols = files.columns
+    ft = F.coalesce(F.col("file_type"), F.lit("File"))
+    plain = files.filter(ft != "Symlink")
+    # `_from` = where the CURRENT hop's link_target is anchored: the
+    # original link's own path on hop 1, then the intermediate symlink's
+    # path on each later hop (a chained target resolves relative to the
+    # link that declares it, not the original entry)
+    links = files.filter(ft == "Symlink").withColumn("_from", F.col("path"))
+    for _ in range(max_hops):
+        if links.rdd.isEmpty():
+            break
+        resolved = links.withColumn(
+            "_rt", _resolve(F.col("_from"), F.col("link_target"))
+        )
+        tgt = files.select(
+            "repo",
+            F.col("path").alias("_rt"),
+            F.coalesce(F.col("file_type"), F.lit("File")).alias("_tft"),
+            F.col("content").alias("_tcontent"),
+            F.col("link_target").alias("_tlink"),
+        )
+        joined = resolved.join(tgt, ["repo", "_rt"], "left")
+        # link -> File (or unresolved): settle now
+        settled = joined.filter(
+            (F.col("_tft").isNull()) | (F.col("_tft") != "Symlink")
+        )
+        out_rows = settled.select(
+            *[
+                F.when(F.col("_tft") == "File", F.col("_tcontent"))
+                .otherwise(F.lit(None).cast("string")).alias(c)
+                if c == "content"
+                else F.when(F.col("_tft") == "File", F.lit("File"))
+                .otherwise(F.lit("Other")).alias(c)
+                if c == "file_type"
+                else F.col(c)
+                for c in cols
+            ]
+        )
+        plain = plain.unionByName(out_rows)
+        # link -> link: re-enter with the target's own link_target,
+        # anchored at the TARGET's path, keeping the ORIGINAL
+        # (repo, path) identity
+        links = joined.filter(F.col("_tft") == "Symlink").select(
+            *[
+                F.col("_tlink").alias(c) if c == "link_target" else F.col(c)
+                for c in cols
+            ],
+            F.col("_rt").alias("_from"),
+        )
+    else:
+        # hop budget exhausted: remaining chains are loops/too-deep —
+        # the reference's ELOOP error row
+        leftovers = links.select(
+            *[
+                F.lit(None).cast("string").alias(c) if c == "content"
+                else F.lit("Other").alias(c) if c == "file_type"
+                else F.col(c)
+                for c in cols
+            ]
+        )
+        plain = plain.unionByName(leftovers)
+    return plain
 
 
 def hash_files(files: DataFrame, algo: str = "sha256") -> DataFrame:
@@ -189,7 +301,7 @@ def _dir_schema():
 
 def build_entries(
     files: DataFrame, materialize: bool = True, algo: str = "sha256",
-    checkpoint_levels: bool = True,
+    checkpoint_levels: bool = True, follow_symlinks: bool = False,
 ) -> DataFrame:
     """Full hash-tree table: file entries ∪ derived directory/root entries.
 
@@ -212,6 +324,8 @@ def build_entries(
     default_par = files.sparkSession.sparkContext.defaultParallelism
     if files.rdd.getNumPartitions() < default_par:
         files = files.repartition(default_par)
+    if follow_symlinks:
+        files = resolve_symlinks(files)
     fe = hash_files(files, algo)
     if materialize:
         fe = fe.localCheckpoint(eager=True)

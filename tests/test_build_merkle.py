@@ -46,3 +46,51 @@ def test_duplicated_repo_roots_share_hash(spark, small_fixture, small_files_df):
     by_repo = {r["repo"]: bytes(r["hash"]) for r in entries}
     for src, dst in small_fixture.duplicated_repos:
         assert by_repo[src] == by_repo[dst], (src, dst)
+
+
+def test_follow_symlinks_resolution(spark):
+    """Reference --follow_symlinks (worker.rs:55-58) table-side: a link
+    hashes as its TARGET's content (relative, absolute-as-repo-rooted,
+    and chained links); dangling/escaping/looping links become Other
+    rows (the reference's error-row shape). Default build keeps
+    link-path hashing (hash_path)."""
+    from pyspark.sql import functions as F
+
+    from backupdeduplicator_spark.operators.build import (build_entries,
+                                                          resolve_symlinks)
+
+    rows = [
+        ("r", "src/a.py", "c", "py", "print('hi')\n", "File", None),
+        ("r", "bin/ln_rel", "c", "py", None, "Symlink", "../src/a.py"),
+        ("r", "ln_abs", "c", "py", None, "Symlink", "/src/a.py"),
+        ("r", "ln_chain", "c", "py", None, "Symlink", "bin/ln_rel"),
+        ("r", "ln_dangling", "c", "py", None, "Symlink", "gone.py"),
+        ("r", "ln_escape", "c", "py", None, "Symlink", "../../etc/pw"),
+        ("r", "ln_loop_a", "c", "py", None, "Symlink", "ln_loop_b"),
+        ("r", "ln_loop_b", "c", "py", None, "Symlink", "ln_loop_a"),
+    ]
+    schema = ("repo string, path string, commit string, lang string, "
+              "content string, file_type string, link_target string")
+    files = spark.createDataFrame(rows, schema)
+
+    resolved = {r["path"]: r for r in resolve_symlinks(files).collect()}
+    assert len(resolved) == len(rows)
+    for p in ("bin/ln_rel", "ln_abs", "ln_chain"):
+        assert resolved[p]["file_type"] == "File", p
+        assert resolved[p]["content"] == "print('hi')\n", p
+    for p in ("ln_dangling", "ln_escape", "ln_loop_a", "ln_loop_b"):
+        assert resolved[p]["file_type"] == "Other", p
+        assert resolved[p]["content"] is None, p
+
+    entries = build_entries(files, follow_symlinks=True)
+    by_path = {r["path"]: r for r in
+               entries.filter(F.col("depth") >= 0).collect()
+               if r["file_type"] != "Directory"}
+    target_hash = by_path["src/a.py"]["hash"]
+    assert by_path["bin/ln_rel"]["hash"] == target_hash
+    assert by_path["ln_chain"]["hash"] == target_hash
+    assert by_path["ln_dangling"]["hash"] is None
+    # default build: unchanged semantics — link hashes its target STRING
+    plain = {r["path"]: r for r in build_entries(files).collect()}
+    assert plain["bin/ln_rel"]["file_type"] == "Symlink"
+    assert plain["bin/ln_rel"]["hash"] != target_hash
