@@ -1,0 +1,438 @@
+"""7z container reader — pure stdlib (lzma / bz2 / zlib), no py7zr.
+
+Parses the 7z format per the public 7zFormat.txt specification
+(signature header -> next-header property tree -> PackInfo / UnpackInfo
+/ SubStreamsInfo / FilesInfo) and decodes folder coder chains with the
+standard library's raw decompressors:
+
+    Copy (0x00), LZMA2 (0x21), LZMA1 (0x030101),
+    Deflate (0x040108), BZip2 (0x040202)
+
+Both plain (kHeader) and compressed (kEncodedHeader) headers are
+supported — the encoded header is itself a one-folder stream decoded
+with the same machinery. Multi-coder folders are handled as LINEAR
+chains (every coder 1-in/1-out, wired by bind pairs); branching coders
+(BCJ2's 4-input mixer) and encrypted archives (AES-256, id 0x06f107xx)
+raise NotImplementedError — the honest stdlib boundary, matching the
+multimodal decoders' policy. CRCs are verified when present.
+
+Used by operators/archive.py to explode `.7z` members like zip/tar;
+a parse failure degrades to an accounted Other row there, never a
+silent loss. The in-test ground truth is an independent WRITER
+(tests/test_archive_multimodal.py) emitting copy-, LZMA1-, LZMA2- and
+encoded-header archives from the same public spec.
+"""
+
+from __future__ import annotations
+
+import binascii
+import bz2
+import lzma
+import struct
+import zlib
+
+SIGNATURE = b"7z\xbc\xaf\x27\x1c"
+
+# property ids (7zFormat.txt)
+K_END = 0x00
+K_HEADER = 0x01
+K_MAIN_STREAMS = 0x04
+K_FILES_INFO = 0x05
+K_PACK_INFO = 0x06
+K_UNPACK_INFO = 0x07
+K_SUBSTREAMS_INFO = 0x08
+K_SIZE = 0x09
+K_CRC = 0x0A
+K_FOLDER = 0x0B
+K_CODERS_UNPACK_SIZE = 0x0C
+K_NUM_UNPACK_STREAM = 0x0D
+K_EMPTY_STREAM = 0x0E
+K_EMPTY_FILE = 0x0F
+K_NAME = 0x11
+K_MTIME = 0x14
+K_ATTRIBUTES = 0x15
+K_ENCODED_HEADER = 0x17
+K_DUMMY = 0x19
+
+
+class _R:
+    """Byte cursor with the 7z variable-length number encoding."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.b = data
+        self.i = pos
+
+    def byte(self) -> int:
+        v = self.b[self.i]
+        self.i += 1
+        return v
+
+    def bytes(self, n: int) -> bytes:
+        v = self.b[self.i:self.i + n]
+        if len(v) != n:
+            raise ValueError("7z: truncated")
+        self.i += n
+        return v
+
+    def u32(self) -> int:
+        return struct.unpack_from("<I", self.bytes(4))[0]
+
+    def u64(self) -> int:
+        return struct.unpack_from("<Q", self.bytes(8))[0]
+
+    def number(self) -> int:
+        first = self.byte()
+        mask = 0x80
+        value = 0
+        for n in range(8):
+            if not (first & mask):
+                value |= (first & (mask - 1)) << (8 * n)
+                return value
+            value |= self.byte() << (8 * n)
+            mask >>= 1
+        return value
+
+    def bits(self, n: int) -> list[bool]:
+        out: list[bool] = []
+        cur, avail = 0, 0
+        for _ in range(n):
+            if avail == 0:
+                cur, avail = self.byte(), 8
+            avail -= 1
+            out.append(bool((cur >> avail) & 1))
+        return out
+
+    def bool_vector(self, n: int) -> list[bool]:
+        """AllDefined byte, then a bit vector only when not all set."""
+        if self.byte():
+            return [True] * n
+        return self.bits(n)
+
+
+def _lzma2_dict_size(p: int) -> int:
+    if p > 40:
+        raise ValueError("7z: bad LZMA2 dictionary size prop")
+    if p == 40:
+        return 0xFFFFFFFF
+    return (2 | (p & 1)) << (p // 2 + 11)
+
+
+def _decode_coder(codec: bytes, props: bytes, data: bytes,
+                  out_size: int) -> bytes:
+    if codec == b"\x00":  # Copy
+        return data[:out_size]
+    if codec == b"\x21":  # LZMA2
+        filt: dict = {"id": lzma.FILTER_LZMA2}
+        d = lzma.LZMADecompressor(format=lzma.FORMAT_RAW, filters=[filt])
+        return d.decompress(data, out_size)
+    if codec == b"\x03\x01\x01":  # LZMA1
+        if len(props) < 5:
+            raise ValueError("7z: LZMA1 props too short")
+        d0 = props[0]
+        lc, rem = d0 % 9, d0 // 9
+        lp, pb = rem % 5, rem // 5
+        dict_size = struct.unpack_from("<I", props, 1)[0]
+        filt = {"id": lzma.FILTER_LZMA1, "lc": lc, "lp": lp, "pb": pb,
+                "dict_size": max(dict_size, 1 << 12)}
+        d = lzma.LZMADecompressor(format=lzma.FORMAT_RAW, filters=[filt])
+        return d.decompress(data, out_size)
+    if codec == b"\x04\x01\x08":  # Deflate
+        return zlib.decompress(data, -15)[:out_size]
+    if codec == b"\x04\x02\x02":  # BZip2
+        return bz2.decompress(data)[:out_size]
+    if codec[:2] == b"\x06\xf1":
+        raise NotImplementedError("7z: encrypted archive (AES)")
+    raise NotImplementedError(f"7z: codec {codec.hex()} not supported")
+
+
+class _Folder:
+    def __init__(self) -> None:
+        self.coders: list[tuple[bytes, bytes, int, int]] = []
+        self.bind_pairs: list[tuple[int, int]] = []
+        self.packed_indices: list[int] = []
+        self.unpack_sizes: list[int] = []
+        self.num_substreams = 1
+        self.substream_sizes: list[int] = []
+
+    @property
+    def total_in(self) -> int:
+        return sum(c[2] for c in self.coders)
+
+    @property
+    def total_out(self) -> int:
+        return sum(c[3] for c in self.coders)
+
+    def final_out_index(self) -> int:
+        bound = {o for _, o in self.bind_pairs}
+        for o in range(self.total_out):
+            if o not in bound:
+                return o
+        raise ValueError("7z: folder has no unbound output")
+
+    def output_size(self) -> int:
+        return self.unpack_sizes[self.final_out_index()]
+
+    def decode(self, packed: list[bytes]) -> bytes:
+        """Evaluate the coder chain. Only linear (1-in/1-out per coder)
+        graphs are supported — enough for every codec this module can
+        decode (BCJ2 is the lone multi-input coder in the wild)."""
+        if any(ci != 1 or co != 1 for _, _, ci, co in self.coders):
+            raise NotImplementedError("7z: multi-stream coder graph")
+        n = len(self.coders)
+        bound_in = {i: o for i, o in self.bind_pairs}
+        # in-stream k of coder k (1-in/1-out => global index == coder idx)
+        packed_in = self.packed_indices or [
+            k for k in range(n) if k not in bound_in
+        ]
+        inputs: dict[int, bytes] = {}
+        for slot, pk in zip(packed_in, packed):
+            inputs[slot] = pk
+        outputs: dict[int, bytes] = {}
+        remaining = set(range(n))
+        while remaining:
+            progressed = False
+            for k in sorted(remaining):
+                if k in inputs:
+                    data = inputs[k]
+                elif k in bound_in and bound_in[k] in outputs:
+                    data = outputs[bound_in[k]]
+                else:
+                    continue
+                codec, props, _, _ = self.coders[k]
+                outputs[k] = _decode_coder(
+                    codec, props, data, self.unpack_sizes[k])
+                remaining.discard(k)
+                progressed = True
+            if not progressed:
+                raise ValueError("7z: unresolvable coder graph")
+        return outputs[self.final_out_index()]
+
+
+def _parse_folder(r: _R) -> _Folder:
+    f = _Folder()
+    num_coders = r.number()
+    for _ in range(num_coders):
+        flags = r.byte()
+        codec = r.bytes(flags & 0x0F)
+        if flags & 0x10:
+            nin, nout = r.number(), r.number()
+        else:
+            nin = nout = 1
+        props = b""
+        if flags & 0x20:
+            props = r.bytes(r.number())
+        if flags & 0x80:
+            raise ValueError("7z: alternative coder methods unsupported")
+        f.coders.append((codec, props, nin, nout))
+    for _ in range(f.total_out - 1):
+        f.bind_pairs.append((r.number(), r.number()))
+    num_packed = f.total_in - len(f.bind_pairs)
+    if num_packed > 1:
+        f.packed_indices = [r.number() for _ in range(num_packed)]
+    return f
+
+
+def _parse_streams_info(r: _R) -> tuple[int, list[int], list[_Folder]]:
+    """-> (pack_pos, pack_sizes, folders) with substream info applied."""
+    pack_pos, pack_sizes = 0, []
+    folders: list[_Folder] = []
+    while True:
+        t = r.number()
+        if t == K_END:
+            break
+        if t == K_PACK_INFO:
+            pack_pos = r.number()
+            num_pack = r.number()
+            while True:
+                t2 = r.number()
+                if t2 == K_END:
+                    break
+                if t2 == K_SIZE:
+                    pack_sizes = [r.number() for _ in range(num_pack)]
+                elif t2 == K_CRC:
+                    defined = r.bool_vector(num_pack)
+                    for d in defined:
+                        if d:
+                            r.u32()
+                else:
+                    raise ValueError(f"7z: PackInfo prop {t2:#x}")
+        elif t == K_UNPACK_INFO:
+            if r.number() != K_FOLDER:
+                raise ValueError("7z: UnpackInfo missing kFolder")
+            num_folders = r.number()
+            if r.byte() != 0:
+                raise ValueError("7z: external folder data unsupported")
+            folders = [_parse_folder(r) for _ in range(num_folders)]
+            if r.number() != K_CODERS_UNPACK_SIZE:
+                raise ValueError("7z: missing kCodersUnpackSize")
+            for f in folders:
+                f.unpack_sizes = [r.number() for _ in range(f.total_out)]
+            while True:
+                t2 = r.number()
+                if t2 == K_END:
+                    break
+                if t2 == K_CRC:
+                    defined = r.bool_vector(num_folders)
+                    for d in defined:
+                        if d:
+                            r.u32()
+                else:
+                    raise ValueError(f"7z: UnpackInfo prop {t2:#x}")
+        elif t == K_SUBSTREAMS_INFO:
+            t2 = r.number()
+            if t2 == K_NUM_UNPACK_STREAM:
+                for f in folders:
+                    f.num_substreams = r.number()
+                t2 = r.number()
+            total_digests = 0
+            if t2 == K_SIZE:
+                for f in folders:
+                    sizes = [r.number() for _ in range(f.num_substreams - 1)]
+                    sizes.append(f.output_size() - sum(sizes))
+                    f.substream_sizes = sizes
+                t2 = r.number()
+            if t2 == K_CRC:
+                for f in folders:
+                    total_digests += f.num_substreams
+                defined = r.bool_vector(total_digests)
+                for d in defined:
+                    if d:
+                        r.u32()
+                t2 = r.number()
+            if t2 != K_END:
+                raise ValueError(f"7z: SubStreamsInfo prop {t2:#x}")
+        else:
+            raise ValueError(f"7z: StreamsInfo prop {t:#x}")
+    for f in folders:
+        if not f.substream_sizes:
+            f.substream_sizes = [f.output_size()]
+    return pack_pos, pack_sizes, folders
+
+
+def _decode_folders(payload: bytes, base: int, pack_pos: int,
+                    pack_sizes: list[int],
+                    folders: list[_Folder]) -> list[bytes]:
+    """Decode every folder's output; packed streams are consumed in
+    order, ``folder.total_in - len(bind_pairs)`` per folder."""
+    offset = base + pack_pos
+    cursor = 0
+    outs: list[bytes] = []
+    for f in folders:
+        n = f.total_in - len(f.bind_pairs)
+        packed = []
+        for _ in range(n):
+            size = pack_sizes[cursor]
+            packed.append(payload[offset:offset + size])
+            offset += size
+            cursor += 1
+        out = f.decode(packed)
+        if len(out) != f.output_size():
+            raise ValueError("7z: folder output size mismatch")
+        outs.append(out)
+    return outs
+
+
+def _parse_files_info(r: _R) -> tuple[list[str], list[bool], list[bool]]:
+    """-> (names, has_stream flags, is_empty_file flags)."""
+    num_files = r.number()
+    names: list[str] = []
+    empty_stream = [False] * num_files
+    empty_file_bits: list[bool] = []
+    while True:
+        t = r.number()
+        if t == K_END:
+            break
+        size = r.number()
+        end = r.i + size
+        if t == K_EMPTY_STREAM:
+            empty_stream = r.bits(num_files)
+        elif t == K_EMPTY_FILE:
+            empty_file_bits = r.bits(sum(empty_stream))
+        elif t == K_NAME:
+            if r.byte() != 0:
+                raise ValueError("7z: external names unsupported")
+            raw = r.bytes(end - r.i)
+            names = raw.decode("utf-16-le").split("\x00")[:-1]
+        r.i = end  # skip mtime/attributes/dummy payloads uniformly
+    has_stream = [not e for e in empty_stream]
+    # empty-stream entries are directories unless flagged kEmptyFile
+    is_empty_file = []
+    j = 0
+    for e in empty_stream:
+        if e:
+            is_empty_file.append(bool(empty_file_bits[j])
+                                 if j < len(empty_file_bits) else False)
+            j += 1
+        else:
+            is_empty_file.append(False)
+    return names, has_stream, is_empty_file
+
+
+def extract_7z(payload: bytes) -> list[tuple[str, bytes]]:
+    """-> [(member_name, member_bytes)] for every FILE member (dirs
+    skipped, empty files included). Raises ValueError on corrupt input,
+    NotImplementedError on unsupported codecs — callers that must not
+    fail (operators/archive.py) catch and degrade to an Other row."""
+    if payload[:6] != SIGNATURE:
+        raise ValueError("not a 7z payload")
+    r = _R(payload, 8)  # skip signature + 2-byte version
+    r.u32()  # start-header CRC (over the next 20 bytes)
+    nh_offset, nh_size = r.u64(), r.u64()
+    nh_crc = r.u32()
+    base = 32
+    header = payload[base + nh_offset: base + nh_offset + nh_size]
+    if len(header) != nh_size:
+        raise ValueError("7z: truncated next header")
+    if binascii.crc32(header) & 0xFFFFFFFF != nh_crc:
+        raise ValueError("7z: next-header CRC mismatch")
+    hr = _R(header)
+    t = hr.number()
+    if t == K_ENCODED_HEADER:
+        pack_pos, pack_sizes, folders = _parse_streams_info(hr)
+        decoded = _decode_folders(payload, base, pack_pos, pack_sizes,
+                                  folders)
+        hr = _R(b"".join(decoded))
+        t = hr.number()
+    if t != K_HEADER:
+        raise ValueError(f"7z: unexpected root property {t:#x}")
+
+    folders: list[_Folder] = []
+    pack_pos, pack_sizes = 0, []
+    names: list[str] = []
+    has_stream: list[bool] = []
+    is_empty_file: list[bool] = []
+    while True:
+        t = hr.number()
+        if t == K_END:
+            break
+        if t == K_MAIN_STREAMS:
+            pack_pos, pack_sizes, folders = _parse_streams_info(hr)
+        elif t == K_FILES_INFO:
+            names, has_stream, is_empty_file = _parse_files_info(hr)
+        else:
+            raise ValueError(f"7z: header prop {t:#x}")
+
+    outputs = _decode_folders(payload, base, pack_pos, pack_sizes, folders)
+    # flatten folder substreams in order -> one blob per stream-bearing
+    # file, assigned to names in archive order
+    streams: list[bytes] = []
+    for f, out in zip(folders, outputs):
+        off = 0
+        for s in f.substream_sizes:
+            streams.append(out[off:off + s])
+            off += s
+    result: list[tuple[str, bytes]] = []
+    k = 0
+    for idx, (name, hs) in enumerate(zip(names, has_stream)):
+        clean = name.replace("\\", "/")
+        if hs:
+            if k >= len(streams):
+                raise ValueError("7z: more stream files than substreams")
+            result.append((clean, streams[k]))
+            k += 1
+        elif idx < len(is_empty_file) and is_empty_file[idx]:
+            # empty FILE (kEmptyFile) — keep with empty content, like a
+            # 0-byte zip member; plain empty-stream entries are
+            # directories and are skipped (zip's is_dir rule)
+            result.append((clean, b""))
+    return result

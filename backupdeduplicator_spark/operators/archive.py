@@ -12,10 +12,11 @@ archives at any nesting depth (bounded by ``max_depth`` as a zip-bomb
 guard — hitting the bound yields an 'Other' row, never silent loss).
 
 Formats: zip, tar, tar.gz/tgz, tar.bz2/tbz2, tar.xz/txz (stdlib
-zipfile/tarfile — available everywhere). 7z needs py7zr (absent in this
-container) -> 'Other'. Archives that fail to parse yield an 'Other' row
-with NULL content, matching the reference's error rule
-(src/stages/build/cmd/worker.rs:126-132).
+zipfile/tarfile), and 7z (functions/sevenzip.py — a pure-stdlib
+container reader: Copy/LZMA1/LZMA2/Deflate/BZip2 coder chains, plain
+and encoded headers; AES/BCJ2 degrade). Archives that fail to parse
+yield an 'Other' row with NULL content, matching the reference's error
+rule (src/stages/build/cmd/worker.rs:126-132).
 """
 
 from __future__ import annotations
@@ -39,9 +40,10 @@ MEMBER_SCHEMA = StructType(
     ]
 )
 
-ARCHIVE_SUFFIXES = (
-    ".zip", ".tar", ".tar.gz", ".tgz", ".tar.bz2", ".tbz2", ".tar.xz", ".txz",
+TAR_SUFFIXES = (
+    ".tar", ".tar.gz", ".tgz", ".tar.bz2", ".tbz2", ".tar.xz", ".txz",
 )
+ARCHIVE_SUFFIXES = (".zip", ".7z", *TAR_SUFFIXES)
 MAX_NESTING = 8  # zip-bomb guard; the reference recurses unboundedly
 
 
@@ -66,7 +68,11 @@ def _extract_members(path: str, payload: bytes) -> list[tuple[str, bytes]] | Non
                     if info.is_dir():
                         continue
                     out.append((info.filename, zf.read(info)))
-        elif path.endswith(ARCHIVE_SUFFIXES[1:]):
+        elif path.endswith(".7z"):
+            from ..functions.sevenzip import extract_7z
+
+            out.extend(extract_7z(payload))
+        elif path.endswith(TAR_SUFFIXES):
             with tarfile.open(fileobj=io.BytesIO(payload), mode=_tar_mode(path)) as tf:
                 for m in tf.getmembers():
                     if not m.isfile():

@@ -24,6 +24,14 @@ def _zip_bytes(members: dict[str, str]) -> str:
     return base64.b64encode(buf.getvalue()).decode()
 
 
+def _zip_bytes_raw(members: dict[str, bytes]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, content in members.items():
+            zf.writestr(name, content)
+    return buf.getvalue()
+
+
 def _tar_bytes(members: dict[str, str]) -> str:
     buf = io.BytesIO()
     with tarfile.open(fileobj=buf, mode="w") as tf:
@@ -1179,3 +1187,170 @@ def test_jpeg_progressive_truncation_semantics():
     # cut mid FIRST scan: nothing usable -> error
     with _pytest.raises(ValueError):
         decode_jpeg(payload[:sos[0] + 16])
+
+
+def _write_7z(files, coder="copy", encoded_header=False):
+    """Minimal 7z WRITER for tests, emitted straight from the public
+    7zFormat.txt spec (independent of the reader): one folder, one
+    coder, members as substreams. ``files`` = [(name, bytes | None)]
+    where None marks a directory entry. coder: copy | lzma1 | lzma2.
+    encoded_header wraps the property tree in kEncodedHeader (the shape
+    real 7z tools emit by default)."""
+    import binascii
+    import lzma
+    import struct
+
+    def wnum(v):
+        if v < 0x80:
+            return bytes([v])
+        return b"\xff" + struct.pack("<Q", v)
+
+    def wbits(bits):
+        out = bytearray()
+        cur, n = 0, 0
+        for b in bits:
+            cur = (cur << 1) | (1 if b else 0)
+            n += 1
+            if n == 8:
+                out.append(cur)
+                cur, n = 0, 0
+        if n:
+            out.append(cur << (8 - n))
+        return bytes(out)
+
+    reg = [(nm, c) for nm, c in files if c is not None]
+    blob = b"".join(c for _, c in reg)
+    if coder == "copy":
+        packed, codec, props = blob, b"\x00", b""
+    elif coder == "lzma2":
+        comp = lzma.LZMACompressor(
+            format=lzma.FORMAT_RAW,
+            filters=[{"id": lzma.FILTER_LZMA2, "preset": 6}])
+        packed = comp.compress(blob) + comp.flush()
+        codec, props = b"\x21", bytes([0x18])
+    elif coder == "lzma1":
+        comp = lzma.LZMACompressor(
+            format=lzma.FORMAT_RAW,
+            filters=[{"id": lzma.FILTER_LZMA1, "preset": 6}])
+        packed = comp.compress(blob) + comp.flush()
+        codec = b"\x03\x01\x01"
+        props = bytes([93]) + struct.pack("<I", 1 << 23)
+    else:
+        raise ValueError(coder)
+
+    def streams_info(pack_pos, pack_size, unpack_size, n_sub, sub_sizes,
+                     codec_, props_):
+        s = bytearray()
+        s += wnum(0x06) + wnum(pack_pos) + wnum(1)       # kPackInfo
+        s += wnum(0x09) + wnum(pack_size) + wnum(0x00)   # kSize, kEnd
+        s += wnum(0x07)                                  # kUnpackInfo
+        s += wnum(0x0B) + wnum(1) + b"\x00"              # kFolder, ext=0
+        flags = len(codec_) | (0x20 if props_ else 0)
+        s += wnum(1) + bytes([flags]) + codec_           # 1 coder
+        if props_:
+            s += wnum(len(props_)) + props_
+        s += wnum(0x0C) + wnum(unpack_size) + wnum(0x00)  # sizes, kEnd
+        if n_sub is not None:
+            s += wnum(0x08)                              # kSubStreamsInfo
+            s += wnum(0x0D) + wnum(n_sub)
+            s += wnum(0x09)
+            for z in sub_sizes[:-1]:
+                s += wnum(z)
+            s += wnum(0x00)                              # kEnd SubStreams
+        s += wnum(0x00)                                  # kEnd StreamsInfo
+        return bytes(s)
+
+    hdr = bytearray()
+    hdr += wnum(0x01)                                    # kHeader
+    hdr += wnum(0x04)                                    # kMainStreamsInfo
+    hdr += streams_info(0, len(packed), len(blob), len(reg),
+                        [len(c) for _, c in reg], codec, props)
+    hdr += wnum(0x05) + wnum(len(files))                 # kFilesInfo
+    if len(reg) != len(files):                           # dirs present
+        bits = wbits([c is None for _, c in files])
+        hdr += wnum(0x0E) + wnum(len(bits)) + bits       # kEmptyStream
+    names = b"".join((nm.replace("/", "\\") + "\x00").encode("utf-16-le")
+                     for nm, _ in files)
+    hdr += wnum(0x11) + wnum(len(names) + 1) + b"\x00" + names  # kName
+    hdr += wnum(0x00) + wnum(0x00)                       # kEnd, kEnd
+    hdr = bytes(hdr)
+
+    body = packed
+    if encoded_header:
+        comp = lzma.LZMACompressor(
+            format=lzma.FORMAT_RAW,
+            filters=[{"id": lzma.FILTER_LZMA2, "preset": 6}])
+        chdr = comp.compress(hdr) + comp.flush()
+        nh = bytearray()
+        nh += wnum(0x17)                                 # kEncodedHeader
+        nh += streams_info(len(packed), len(chdr), len(hdr), None, [],
+                           b"\x21", bytes([0x18]))
+        body = packed + chdr
+        hdr = bytes(nh)
+
+    nh_off, nh_size = len(body), len(hdr)
+    nh_crc = binascii.crc32(hdr) & 0xFFFFFFFF
+    tail = struct.pack("<QQI", nh_off, nh_size, nh_crc)
+    start_crc = binascii.crc32(tail) & 0xFFFFFFFF
+    return (b"7z\xbc\xaf\x27\x1c" + b"\x00\x04"
+            + struct.pack("<I", start_crc) + tail + body + hdr)
+
+
+def test_7z_reader_all_coders():
+    """extract_7z round-trips the in-test writer across every supported
+    coder, with directories skipped and empty files kept, plain and
+    encoded headers."""
+    from backupdeduplicator_spark.functions.sevenzip import extract_7z
+
+    files = [
+        ("src/a.py", b"print('a')\n" * 20),
+        ("src/sub", None),                  # directory entry
+        ("src/sub/b.txt", b"the second member body"),
+        ("empty.txt", b""),
+    ]
+    want = [("src/a.py", files[0][1]), ("src/sub/b.txt", files[2][1]),
+            ("empty.txt", b"")]
+    for coder in ("copy", "lzma1", "lzma2"):
+        for enc in (False, True):
+            payload = _write_7z(files, coder=coder, encoded_header=enc)
+            got = extract_7z(payload)
+            assert got == want, (coder, enc)
+
+
+def test_7z_corrupt_and_unsupported():
+    import pytest as _pytest
+
+    from backupdeduplicator_spark.functions.sevenzip import extract_7z
+
+    with _pytest.raises(ValueError):
+        extract_7z(b"not a seven zip")
+    good = _write_7z([("x.txt", b"data")])
+    with _pytest.raises(ValueError):  # CRC mismatch
+        extract_7z(good[:-1] + bytes([good[-1] ^ 0xFF]))
+
+
+def test_7z_explodes_through_archive_operator(spark):
+    """.7z members explode like zip/tar — including a 7z nested inside a
+    zip — and a corrupt 7z degrades to an accounted Other row."""
+    inner = _write_7z([("lib/util.py", b"def f(): return 42\n")],
+                      coder="lzma2", encoded_header=True)
+    outer_zip = _zip_bytes_raw({"readme.md": b"hi", "vendor.7z": inner})
+    rows = [
+        ("r", "pkg/vendor.7z", "c", "7z",
+         base64.b64encode(inner).decode()),
+        ("r", "pkg/bundle.zip", "c", "zip",
+         base64.b64encode(outer_zip).decode()),
+        ("r", "pkg/broken.7z", "c", "7z",
+         base64.b64encode(b"7z\xbc\xaf\x27\x1cgarbage").decode()),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, content string",
+    )
+    out = {tuple(r["path_stack"]): (r["member_type"], r["content"])
+           for r in explode_archives(df).collect()}
+    assert out[("pkg/vendor.7z", "lib/util.py")] == (
+        "File", "def f(): return 42\n")
+    assert out[("pkg/bundle.zip", "vendor.7z", "lib/util.py")] == (
+        "File", "def f(): return 42\n")
+    assert out[("pkg/broken.7z",)][0] == "Other"
