@@ -123,6 +123,11 @@ def _decode_coder(codec: bytes, props: bytes, data: bytes,
         return data[:out_size]
     if codec == b"\x21":  # LZMA2
         filt: dict = {"id": lzma.FILTER_LZMA2}
+        if props:
+            # the one-byte property IS the dictionary size — without it
+            # archives packed with a big dictionary (-mx9 = 64 MiB) hit
+            # match distances beyond the decoder default and fail
+            filt["dict_size"] = _lzma2_dict_size(props[0])
         d = lzma.LZMADecompressor(format=lzma.FORMAT_RAW, filters=[filt])
         return d.decompress(data, out_size)
     if codec == b"\x03\x01\x01":  # LZMA1
@@ -152,7 +157,8 @@ class _Folder:
         self.packed_indices: list[int] = []
         self.unpack_sizes: list[int] = []
         self.num_substreams = 1
-        self.substream_sizes: list[int] = []
+        self.has_crc = False  # folder-level digest defined in UnpackInfo
+        self.substream_sizes: list[int] | None = None
 
     @property
     def total_in(self) -> int:
@@ -273,7 +279,8 @@ def _parse_streams_info(r: _R) -> tuple[int, list[int], list[_Folder]]:
                     break
                 if t2 == K_CRC:
                     defined = r.bool_vector(num_folders)
-                    for d in defined:
+                    for f, d in zip(folders, defined):
+                        f.has_crc = d
                         if d:
                             r.u32()
                 else:
@@ -284,16 +291,24 @@ def _parse_streams_info(r: _R) -> tuple[int, list[int], list[_Folder]]:
                 for f in folders:
                     f.num_substreams = r.number()
                 t2 = r.number()
-            total_digests = 0
             if t2 == K_SIZE:
                 for f in folders:
+                    if f.num_substreams == 0:
+                        f.substream_sizes = []
+                        continue
                     sizes = [r.number() for _ in range(f.num_substreams - 1)]
                     sizes.append(f.output_size() - sum(sizes))
                     f.substream_sizes = sizes
                 t2 = r.number()
             if t2 == K_CRC:
-                for f in folders:
-                    total_digests += f.num_substreams
+                # digests are stored ONLY for streams whose CRC is still
+                # unknown: a 1-substream folder with a folder-level CRC
+                # (UnpackInfo kCRC) is excluded (7zFormat.txt)
+                total_digests = sum(
+                    0 if (f.num_substreams == 1 and f.has_crc)
+                    else f.num_substreams
+                    for f in folders
+                )
                 defined = r.bool_vector(total_digests)
                 for d in defined:
                     if d:
@@ -304,8 +319,12 @@ def _parse_streams_info(r: _R) -> tuple[int, list[int], list[_Folder]]:
         else:
             raise ValueError(f"7z: StreamsInfo prop {t:#x}")
     for f in folders:
-        if not f.substream_sizes:
-            f.substream_sizes = [f.output_size()]
+        if f.substream_sizes is None:
+            # no kSize record: one substream per folder unless the
+            # kNumUnpackStream vector explicitly said zero
+            f.substream_sizes = (
+                [f.output_size()] if f.num_substreams >= 1 else []
+            )
     return pack_pos, pack_sizes, folders
 
 

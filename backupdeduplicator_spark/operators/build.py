@@ -76,7 +76,9 @@ def resolve_symlinks(files: DataFrame, max_hops: int = 8) -> DataFrame:
             full = t.lstrip("/") if t.startswith("/") else posixpath.join(
                 base, t)
             norm = posixpath.normpath(full)
-            if norm.startswith("..") or norm in (".", ""):
+            # only a real parent traversal escapes — a first segment
+            # merely NAMED '..data' is a legitimate path
+            if norm == ".." or norm.startswith("../") or norm in (".", ""):
                 return None  # escapes the repo root — unresolvable
             return norm
 
@@ -92,6 +94,13 @@ def resolve_symlinks(files: DataFrame, max_hops: int = 8) -> DataFrame:
     # link that declares it, not the original entry)
     links = files.filter(ft == "Symlink").withColumn("_from", F.col("path"))
     for _ in range(max_hops):
+        # materialize each hop's surviving links: the emptiness check,
+        # the settle branch, and the next hop's join are three consumers
+        # of this frame — without truncation every hop would re-execute
+        # all prior hops' joins + the resolve UDF (O(hops^2)), and the
+        # final consumer once more. Symlink rows are a sliver of any
+        # corpus, so the checkpoint is tiny.
+        links = links.localCheckpoint()
         if links.rdd.isEmpty():
             break
         resolved = links.withColumn(

@@ -1189,7 +1189,9 @@ def test_jpeg_progressive_truncation_semantics():
         decode_jpeg(payload[:sos[0] + 16])
 
 
-def _write_7z(files, coder="copy", encoded_header=False):
+def _write_7z(files, coder="copy", encoded_header=False,
+              lzma2_dict_prop=0x18, folder_crc=False,
+              substream_crcs=False):
     """Minimal 7z WRITER for tests, emitted straight from the public
     7zFormat.txt spec (independent of the reader): one folder, one
     coder, members as substreams. ``files`` = [(name, bytes | None)]
@@ -1223,11 +1225,13 @@ def _write_7z(files, coder="copy", encoded_header=False):
     if coder == "copy":
         packed, codec, props = blob, b"\x00", b""
     elif coder == "lzma2":
+        p = lzma2_dict_prop
+        dict_size = 0xFFFFFFFF if p == 40 else (2 | (p & 1)) << (p // 2 + 11)
         comp = lzma.LZMACompressor(
             format=lzma.FORMAT_RAW,
-            filters=[{"id": lzma.FILTER_LZMA2, "preset": 6}])
+            filters=[{"id": lzma.FILTER_LZMA2, "dict_size": dict_size}])
         packed = comp.compress(blob) + comp.flush()
-        codec, props = b"\x21", bytes([0x18])
+        codec, props = b"\x21", bytes([p])
     elif coder == "lzma1":
         comp = lzma.LZMACompressor(
             format=lzma.FORMAT_RAW,
@@ -1249,13 +1253,31 @@ def _write_7z(files, coder="copy", encoded_header=False):
         s += wnum(1) + bytes([flags]) + codec_           # 1 coder
         if props_:
             s += wnum(len(props_)) + props_
-        s += wnum(0x0C) + wnum(unpack_size) + wnum(0x00)  # sizes, kEnd
+        s += wnum(0x0C) + wnum(unpack_size)              # kCodersUnpackSize
+        if folder_crc:
+            s += wnum(0x0A) + b"\x01"                    # kCRC allDefined
+            s += struct.pack("<I", binascii.crc32(blob) & 0xFFFFFFFF)
+        s += wnum(0x00)                                  # kEnd UnpackInfo
         if n_sub is not None:
             s += wnum(0x08)                              # kSubStreamsInfo
             s += wnum(0x0D) + wnum(n_sub)
             s += wnum(0x09)
             for z in sub_sizes[:-1]:
                 s += wnum(z)
+            if substream_crcs:
+                # spec: digests only for streams with UNKNOWN crc — a
+                # 1-substream folder whose folder CRC is defined above
+                # stores ZERO digests here
+                n_digests = 0 if (n_sub == 1 and folder_crc) else n_sub
+                s += wnum(0x0A) + b"\x01"
+                off = 0
+                for _ in range(n_digests):
+                    z = sub_sizes[off]
+                    s += struct.pack(
+                        "<I", binascii.crc32(blob[sum(sub_sizes[:off]):
+                                                  sum(sub_sizes[:off]) + z])
+                        & 0xFFFFFFFF)
+                    off += 1
             s += wnum(0x00)                              # kEnd SubStreams
         s += wnum(0x00)                                  # kEnd StreamsInfo
         return bytes(s)
@@ -1354,3 +1376,59 @@ def test_7z_explodes_through_archive_operator(spark):
     assert out[("pkg/bundle.zip", "vendor.7z", "lib/util.py")] == (
         "File", "def f(): return 42\n")
     assert out[("pkg/broken.7z",)][0] == "Other"
+
+
+def test_7z_lzma2_large_dictionary():
+    """Review fix: the LZMA2 dict-size property byte must reach the
+    decompressor — an archive packed with a 32 MiB dictionary holds
+    match distances beyond Python's raw-filter default and fails to
+    decode without it."""
+    import numpy as np
+
+    from backupdeduplicator_spark.functions.sevenzip import extract_7z
+
+    rng = np.random.RandomState(31)
+    block = rng.bytes(2 << 20)              # 2 MiB incompressible
+    data = block + b"\x00" * (20 << 20) + block  # far match at ~22 MiB
+    payload = _write_7z([("big.bin", data)], coder="lzma2",
+                        lzma2_dict_prop=28)  # 32 MiB dict
+    [(name, out)] = extract_7z(payload)
+    assert name == "big.bin" and out == data
+
+
+def test_7z_crc_records():
+    """Folder-level and substream CRC records parse per spec — in
+    particular a 1-substream folder with a folder CRC stores ZERO
+    substream digests (the exclusion rule)."""
+    from backupdeduplicator_spark.functions.sevenzip import extract_7z
+
+    multi = [("a.txt", b"alpha-contents"), ("b.txt", b"beta!")]
+    payload = _write_7z(multi, coder="copy", folder_crc=True,
+                        substream_crcs=True)
+    assert extract_7z(payload) == multi
+
+    single = [("only.txt", b"solo body")]
+    payload2 = _write_7z(single, coder="copy", folder_crc=True,
+                         substream_crcs=True)
+    assert extract_7z(payload2) == single
+
+
+def test_7z_zero_substream_folder_parses():
+    """A kNumUnpackStream vector entry of 0 contributes NO streams —
+    the review caught a phantom-blob bug that shifted every later
+    member's content. Direct streams-info parse check."""
+    from backupdeduplicator_spark.functions.sevenzip import (
+        _R, _parse_streams_info)
+
+    # one folder (copy coder, unpack size 5), kNumUnpackStream = [0]
+    raw = bytes([
+        0x06, 0x00, 0x01, 0x09, 0x05, 0x00,        # PackInfo size [5]
+        0x07, 0x0B, 0x01, 0x00,                    # UnpackInfo 1 folder
+        0x01, 0x01, 0x00,                          # 1 coder: copy
+        0x0C, 0x05, 0x00,                          # unpack sizes, kEnd
+        0x08, 0x0D, 0x00, 0x00,                    # substreams: [0], kEnd
+        0x00,                                      # kEnd StreamsInfo
+    ])
+    _, _, folders = _parse_streams_info(_R(raw))
+    assert folders[0].num_substreams == 0
+    assert folders[0].substream_sizes == []
