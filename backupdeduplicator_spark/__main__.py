@@ -338,10 +338,12 @@ def cmd_docdedup(args) -> int:
 
 def cmd_mediadedup(args) -> int:
     """Media dedup tiers over a (id, kind, payload[, meta]) parquet table
-    — exact (payload sha256, capped member lists) or near (decoded
-    feature vectors through the bounded embedding-cosine tier). Decode
-    mode: fake / real / auto (operators/multimodal.py)."""
-    from .operators.multimodal import media_exact_dups, media_near_dups
+    — exact (payload sha256, capped member lists), near (decoded feature
+    vectors through the bounded embedding-cosine tier), or frames
+    (video frame-content dedup at --every-ms sampling). Decode mode:
+    fake / real / auto (operators/multimodal.py)."""
+    from .operators.multimodal import (media_exact_dups, media_near_dups,
+                                       video_frame_exact_dups)
 
     spark = _spark(args)
     media = spark.read.parquet(args.input)
@@ -349,6 +351,10 @@ def cmd_mediadedup(args) -> int:
     if args.tier == "exact":
         out = media_exact_dups(media, decode_fn=args.decode,
                                max_members=args.max_members)
+    elif args.tier == "frames":
+        out = video_frame_exact_dups(media, every_ms=args.every_ms,
+                                     decode_fn=args.decode,
+                                     max_members=args.max_members)
     else:
         out = media_near_dups(media, decode_fn=args.decode,
                               threshold=args.threshold, report=report,
@@ -366,7 +372,7 @@ def cmd_mediadedup(args) -> int:
             print(f"mediadedup: WARNING {dropped} oversized feature "
                   f"buckets dropped ({rows} member rows) — raise "
                   f"--max-bucket to trade runtime for recall")
-    if args.tier == "exact":
+    if args.tier in ("exact", "frames"):
         capped = written.filter(
             F.size("members") < F.col("n_members")).count()
         if capped:
@@ -478,10 +484,14 @@ def main(argv: list[str] | None = None) -> int:
     md.add_argument("--input", required=True,
                     help="parquet table of (id, kind, payload) media rows")
     md.add_argument("--output", required=True)
-    md.add_argument("--tier", default="exact", choices=["exact", "near"])
+    md.add_argument("--tier", default="exact",
+                    choices=["exact", "near", "frames"])
     md.add_argument("--decode", default="auto",
                     choices=["fake", "real", "auto"])
     md.add_argument("--threshold", type=float, default=0.98)
+    md.add_argument("--every-ms", type=int, default=1000, dest="every_ms",
+                    help="frames tier: sampling interval for video frame "
+                         "timestamps (frame_sample_plan)")
     md.add_argument("--max-bucket", type=int, default=2000,
                     dest="max_bucket",
                     help="near tier: feature-bucket cap (drops accounted)")

@@ -1,0 +1,329 @@
+"""Pure-stdlib video container decoders: AVI/RIFF and YUV4MPEG2.
+
+Completes the multimodal tier's video boundary (the reference has no
+video path — this belongs to the LLM-training-data extensions, like the
+image/audio decoders in operators/multimodal.py). Two containers are
+decodable with the standard library + the repo's own JPEG decoder:
+
+  * **AVI** (RIFF 'AVI '): header walk (``avih``/``strh``/``strf``),
+    first ``vids`` stream, frame chunks ``##dc``/``##db`` inside the
+    ``movi`` LIST (including nested ``rec `` groups). Codecs:
+      - ``MJPG`` — every frame is a standalone JPEG; decoded by
+        ``functions/jpeg.decode_jpeg`` (baseline + progressive). AVI1
+        frames with omitted Huffman tables raise ValueError (the
+        ``auto`` tier degrades them, never a task failure).
+      - ``DIB `` / BI_RGB — uncompressed 24-bit bottom-up BGR rows,
+        4-byte padded (the BMP pixel layout without the file header).
+  * **YUV4MPEG2** (``.y4m``): text header (W/H/F/C tags), raw planar
+    frames after each ``FRAME`` line; the Y plane IS the grayscale.
+    Chroma formats 420*/422/444/mono affect only the frame stride.
+
+Every frame decodes to an (h, w) float64 grayscale array in [0, 1],
+the same contract as the image decoders, so the pooled-feature /
+near-dup tiers work unchanged on sampled frames.
+
+Anything else (MP4/Matroska/H.264...) raises NotImplementedError at
+exactly the point an ffmpeg call would go — those codecs are not
+implementable from the stdlib and faking them would be worse than
+failing loudly.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class VideoInfo:
+    """Probe result: container geometry plus per-frame chunk locations
+    (offset, size into the payload) so frame access is random, not a
+    re-parse per frame."""
+
+    container: str            # 'avi' | 'y4m'
+    codec: str                # 'MJPG' | 'DIB' | 'raw'
+    width: int
+    height: int
+    fps: float
+    n_frames: int
+    frames: tuple            # ((offset, size), ...) into the payload
+
+    @property
+    def duration_ms(self) -> int:
+        if self.fps <= 0:
+            return 0
+        return int(round(self.n_frames * 1000.0 / self.fps))
+
+    def frame_index_at(self, ms: int) -> int:
+        """Container frame index for a sample timestamp, clamped."""
+        if self.n_frames == 0:
+            raise ValueError("video has no frames")
+        return min(int(ms * self.fps / 1000.0), self.n_frames - 1)
+
+
+def _riff_subchunks(buf: bytes, pos: int, end: int):
+    """Yield (fourcc, data_start, data_size) over a RIFF chunk run.
+    Chunks are word-aligned: odd sizes carry one pad byte."""
+    while pos + 8 <= end:
+        cid = buf[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        start = pos + 8
+        if start + size > len(buf):
+            raise ValueError("AVI chunk overruns payload")
+        yield cid, start, size
+        pos = start + size + (size & 1)
+
+
+def _probe_avi(payload: bytes) -> VideoInfo:
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    end = min(8 + riff_size, len(payload))
+
+    width = height = 0
+    fps = 0.0
+    codec = ""
+    vids_stream = -1     # index of the first video stream
+    stream_no = 0
+    frames: list[tuple[int, int]] = []
+
+    def walk_hdrl(pos: int, limit: int) -> None:
+        nonlocal width, height, fps, codec, vids_stream, stream_no
+        for cid, start, size in _riff_subchunks(payload, pos, limit):
+            if cid != b"LIST" or payload[start:start + 4] != b"strl":
+                continue
+            is_vids, strh_fps, strf_codec = False, 0.0, ""
+            sw = sh = 0
+            for scid, sstart, ssize in _riff_subchunks(
+                    payload, start + 4, start + size):
+                if scid == b"strh" and ssize >= 32:
+                    fcc_type = payload[sstart:sstart + 4]
+                    scale, rate = struct.unpack_from(
+                        "<II", payload, sstart + 20)
+                    is_vids = fcc_type == b"vids"
+                    if scale:
+                        strh_fps = rate / scale
+                elif scid == b"strf" and ssize >= 40:
+                    # BITMAPINFOHEADER (video streams only; audio strf
+                    # is WAVEFORMATEX and is skipped by the vids gate)
+                    _bisz, bw, bh = struct.unpack_from(
+                        "<Iii", payload, sstart)
+                    bcomp = payload[sstart + 16:sstart + 20]
+                    sw, sh = abs(bw), abs(bh)
+                    strf_codec = (
+                        "DIB" if bcomp in (b"\x00\x00\x00\x00", b"DIB ")
+                        else bcomp.decode("ascii", "replace").strip()
+                    )
+            if is_vids and vids_stream < 0:
+                vids_stream = stream_no
+                fps, codec, width, height = strh_fps, strf_codec, sw, sh
+            stream_no += 1
+
+    def walk_movi(pos: int, limit: int) -> None:
+        want = b"%02d" % vids_stream
+        for cid, start, size in _riff_subchunks(payload, pos, limit):
+            if cid == b"LIST" and payload[start:start + 4] == b"rec ":
+                walk_movi(start + 4, start + size)
+            elif cid[:2] == want and cid[2:4] in (b"dc", b"db"):
+                frames.append((start, size))
+
+    movi_spans: list[tuple[int, int]] = []
+    for cid, start, size in _riff_subchunks(payload, 12, end):
+        if cid != b"LIST":
+            continue
+        ltype = payload[start:start + 4]
+        if ltype == b"hdrl":
+            walk_hdrl(start + 4, start + size)
+        elif ltype == b"movi":
+            movi_spans.append((start + 4, start + size))
+    if vids_stream < 0:
+        raise ValueError("AVI has no video stream")
+    for pos, limit in movi_spans:   # movi after hdrl: stream no is known
+        walk_movi(pos, limit)
+    if not frames:
+        raise ValueError("AVI has no video frames")
+    if fps <= 0:
+        fps = 25.0
+    return VideoInfo("avi", codec, width, height, fps,
+                     len(frames), tuple(frames))
+
+
+def _probe_y4m(payload: bytes) -> VideoInfo:
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.find(b"\x0a")
+    if nl < 0:
+        raise ValueError("YUV4MPEG2 header unterminated")
+    width = height = 0
+    fps = 0.0
+    chroma = "420"
+    for tok in payload[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t[0] == "W":
+            width = int(t[1:])
+        elif t[0] == "H":
+            height = int(t[1:])
+        elif t[0] == "F":
+            num, den = t[1:].split(":")
+            fps = int(num) / int(den)
+        elif t[0] == "C":
+            chroma = t[1:]
+    if width <= 0 or height <= 0:
+        raise ValueError("YUV4MPEG2 missing W/H")
+    if chroma.startswith("420"):
+        csize = 2 * ((width + 1) // 2) * ((height + 1) // 2)
+    elif chroma.startswith("422"):
+        csize = 2 * ((width + 1) // 2) * height
+    elif chroma.startswith("444"):
+        csize = 2 * width * height
+    elif chroma.startswith("mono"):
+        csize = 0
+    else:
+        raise NotImplementedError(f"YUV4MPEG2 chroma C{chroma}")
+    fsize = width * height + csize
+
+    frames: list[tuple[int, int]] = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("YUV4MPEG2 frame header missing")
+        fnl = payload.find(b"\x0a", pos)
+        if fnl < 0 or fnl + 1 + fsize > len(payload):
+            raise ValueError("YUV4MPEG2 frame truncated")
+        frames.append((fnl + 1, fsize))
+        pos = fnl + 1 + fsize
+    if not frames:
+        raise ValueError("YUV4MPEG2 has no frames")
+    return VideoInfo("y4m", "raw", width, height, fps or 25.0,
+                     len(frames), tuple(frames))
+
+
+def probe_video(payload: bytes) -> VideoInfo:
+    """Parse an AVI or YUV4MPEG2 container; raises ValueError for other
+    magics and NotImplementedError for recognized-but-codec-unsupported
+    content (surfaced at frame decode, not probe)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return _probe_avi(payload)
+    if payload.startswith(b"YUV4MPEG2"):
+        return _probe_y4m(payload)
+    raise ValueError(
+        f"not a decodable video container (magic {payload[:4]!r}); "
+        "stdlib decoders cover AVI (MJPG/DIB) and YUV4MPEG2"
+    )
+
+
+def _decode_avi_frame(info: VideoInfo, chunk: bytes) -> np.ndarray:
+    if info.codec == "MJPG":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(chunk)
+    if info.codec == "DIB":
+        w, h = info.width, info.height
+        stride = (w * 3 + 3) & ~3
+        if len(chunk) < stride * h:
+            raise ValueError("AVI DIB frame truncated")
+        rows = np.frombuffer(chunk, np.uint8, stride * h) \
+            .reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        # bottom-up BGR, like the in-file BMP pixel array
+        return rows[::-1].astype(np.float64).mean(axis=2) / 255.0
+    raise NotImplementedError(
+        f"AVI codec {info.codec!r} requires ffmpeg — not available; "
+        "stdlib decode covers MJPG and uncompressed DIB"
+    )
+
+
+def _decode_y4m_frame(info: VideoInfo, chunk: bytes) -> np.ndarray:
+    n = info.width * info.height
+    y = np.frombuffer(chunk, np.uint8, n).reshape(info.height, info.width)
+    return y.astype(np.float64) / 255.0
+
+
+def iter_video_frames(
+    payload: bytes,
+    indices: list[int] | None = None,
+    info: VideoInfo | None = None,
+) -> Iterator[tuple[int, np.ndarray]]:
+    """Yield (frame_index, grayscale array) for the requested frame
+    indices (all frames when None). Frame chunks are independently
+    decodable in both containers, so this is random access over the
+    probe's offset table — sampling 3 frames of a 2-hour file decodes
+    3 frames, not 7200."""
+    if info is None:
+        info = probe_video(payload)
+    idxs = range(info.n_frames) if indices is None else indices
+    for i in idxs:
+        if not 0 <= i < info.n_frames:
+            raise IndexError(f"frame {i} out of range 0..{info.n_frames - 1}")
+        off, size = info.frames[i]
+        chunk = payload[off:off + size]
+        if info.container == "avi":
+            yield i, _decode_avi_frame(info, chunk)
+        else:
+            yield i, _decode_y4m_frame(info, chunk)
+
+
+def decode_video_first_frame(payload: bytes) -> np.ndarray:
+    """First frame -> (h, w) grayscale in [0, 1] — the representative
+    raster for the feature tier, mirroring decode_gif's first-frame
+    rule for animations."""
+    for _, gray in iter_video_frames(payload, indices=[0]):
+        return gray
+    raise ValueError("video has no frames")  # pragma: no cover
+
+
+# --------------------------------------------------------------- writers
+# (in-repo encoder used by tests and fixtures; minimal but spec-valid)
+
+def encode_y4m(frames: list[np.ndarray], fps: int = 25) -> bytes:
+    """Grayscale frames (uint8 (h, w)) -> YUV4MPEG2 Cmono bytes."""
+    h, w = frames[0].shape
+    out = io.BytesIO()
+    out.write(b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 Cmono\x0a" % (w, h, fps))
+    for fr in frames:
+        if fr.shape != (h, w):
+            raise ValueError("all frames must share one geometry")
+        out.write(b"FRAME\x0a")
+        out.write(np.ascontiguousarray(fr, dtype=np.uint8).tobytes())
+    return out.getvalue()
+
+
+def encode_avi(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    fps: int = 25,
+    codec: bytes = b"MJPG",
+) -> bytes:
+    """Pre-encoded frame chunks -> a minimal spec-valid AVI container
+    (RIFF hdrl[avih + strl[strh,strf]] + movi). codec=MJPG expects each
+    chunk to be a full JPEG; codec=DIB expects bottom-up padded BGR."""
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        return cid + struct.pack("<I", len(data)) + data + \
+            (b"\x00" if len(data) & 1 else b"")
+
+    def lst(ltype: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", ltype + data)
+
+    usec = int(round(1_000_000 / fps))
+    maxbuf = max((len(f) for f in frames), default=0)
+    avih = struct.pack(
+        "<14I", usec, maxbuf * fps, 0, 0x10, len(frames), 0, 1, maxbuf,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H", b"vids", codec, 0, 0, 0, 0, 1, fps, 0,
+        len(frames), maxbuf, 0xFFFFFFFF, 0, 0, 0, width, height,
+    )
+    bcomp = b"\x00\x00\x00\x00" if codec == b"DIB " else codec
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, bcomp,
+        ((width * 3 + 3) & ~3) * height, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)

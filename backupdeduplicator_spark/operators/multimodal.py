@@ -10,10 +10,14 @@ is real and tested. Decoding has three modes:
     JPEG — baseline AND progressive SOF2 (functions/jpeg.py: Huffman +
     dequant + IDCT of the luminance channel, 4:4:4/4:2:2/4:2:0/gray,
     restart intervals, spectral selection + successive approximation),
-    and GIF87a/89a (LZW, global/local palettes, interlace; first frame).
+    GIF87a/89a (LZW, global/local palettes, interlace; first frame),
+    and VIDEO containers (functions/video.py): AVI with MJPEG frames
+    (each frame through the repo's own JPEG decoder) or uncompressed
+    DIB frames, and raw YUV4MPEG2 — first frame for the per-file
+    feature, random-access frame sampling via extract_frame_features.
     Each yields a FEATURE_DIM feature vector: images are grayscaled and
     mean-pooled to 8x8 (the resize step), audio is a 64-segment RMS
-    envelope. Remaining formats (MP4/video, arithmetic-coded JPEG, ...)
+    envelope. Remaining formats (MP4/H.264, arithmetic-coded JPEG, ...)
     raise NotImplementedError at exactly the point a
     Pillow/ffmpeg call would go — those libraries are not in this
     container, and faking a codec would be worse than failing loudly.
@@ -401,11 +405,17 @@ def _real_decode(kind: str, payload: bytes) -> np.ndarray:
         return _pool_gray(decode_jpeg(payload)).ravel().astype(np.float32)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _pool_gray(decode_gif(payload)).ravel().astype(np.float32)
+    if (payload[:4] == b"RIFF" and payload[8:12] == b"AVI ") or \
+            payload.startswith(b"YUV4MPEG2"):
+        from ..functions.video import decode_video_first_frame
+
+        return _pool_gray(
+            decode_video_first_frame(payload)).ravel().astype(np.float32)
     raise NotImplementedError(
         f"real decode for kind={kind!r} (magic {payload[:4]!r}) requires "
         "Pillow/ffmpeg — not available in this environment; stdlib "
         "decoders cover WAV, 24-bit BMP, P6 PPM, 8-bit PNG, JPEG "
-        "(baseline + progressive), and GIF"
+        "(baseline + progressive), GIF, AVI (MJPG/DIB), and YUV4MPEG2"
     )
 
 
@@ -540,11 +550,182 @@ def media_near_dups(
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame-sampling plumbing: one row per planned frame timestamp
-    (sequence over duration) — the decode itself is the stubbed stage."""
+    """Video frame-sampling plan: one row per planned frame timestamp
+    (sequence over meta duration). extract_frame_features is the decode
+    stage that realizes this plan against the actual container."""
     return media.filter(F.col("kind") == "video").select(
         "id",
         F.explode(
             F.sequence(F.lit(0), F.col("meta.duration_ms"), F.lit(every_ms))
         ).alias("frame_ms"),
+    )
+
+
+FRAME_FEATURES_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("frame_ms", LongType()),
+        StructField("frame_index", LongType()),
+        StructField("feature", ArrayType(FloatType())),
+        StructField("frame_sha256", StringType()),
+    ]
+)
+
+
+def extract_frame_features(
+    media: DataFrame, every_ms: int = 1000, decode_fn: str = "fake"
+) -> DataFrame:
+    """Realize frame_sample_plan: decode the sampled frames of every
+    video row into FEATURE_DIM pooled-gray vectors via mapInPandas.
+
+    Timestamps follow the plan exactly — sequence(0, meta.duration_ms,
+    every_ms) — so the output rows are 1:1 with frame_sample_plan's.
+    Rows with no meta/duration fall back to the container's own
+    duration in real mode (and a single stamp 0 in fake mode).
+    In 'real' mode each stamp maps to a container frame index
+    (min(floor(ms * fps / 1000), n_frames - 1)); indices are decoded
+    ONCE per distinct frame and reused across stamps (sampling 3 frames
+    of a long file decodes 3 frames — functions/video.py random access,
+    no sequential scan). ``frame_sha256`` hashes the 8-bit quantized
+    gray raster, so identical frame CONTENT matches across containers
+    (the same gray frame in .y4m and AVI/DIB hashes equal) — the exact
+    frame-level dedup key. 'fake' keeps frame_index = -1 and derives
+    the vector/hash from (payload, frame_ms); 'auto' degrades decode
+    failures per-row to the fake shape instead of failing the task."""
+    if decode_fn not in ("fake", "real", "auto"):
+        raise ValueError(f"unknown decode_fn {decode_fn!r}")
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import base64
+        import struct as _struct
+        import wave
+
+        from ..functions.video import iter_video_frames, probe_video
+
+        def fake_rows(raw: bytes, stamps: list[int]) -> list[tuple]:
+            out = []
+            for ms in stamps:
+                tag = raw + b"|frame|" + str(ms).encode()
+                out.append(
+                    (ms, -1, _fake_decode(tag).tolist(),
+                     hashlib.sha256(tag).hexdigest())
+                )
+            return out
+
+        def real_rows(raw: bytes, stamps: list[int] | None) -> list[tuple]:
+            info = probe_video(raw)
+            if stamps is None:  # no meta duration: the container's own
+                stamps = list(range(0, info.duration_ms + 1, every_ms))
+            idx_of = {ms: info.frame_index_at(ms) for ms in stamps}
+            feats: dict[int, tuple[list, str]] = {}
+            for i, gray in iter_video_frames(
+                    raw, indices=sorted(set(idx_of.values())), info=info):
+                q = np.clip(gray * 255.0 + 0.5, 0, 255).astype(np.uint8)
+                feats[i] = (
+                    _pool_gray(gray).ravel().astype(np.float32).tolist(),
+                    hashlib.sha256(q.tobytes()).hexdigest(),
+                )
+            return [(ms, idx_of[ms]) + feats[idx_of[ms]] for ms in stamps]
+
+        for pdf in it:
+            ids, mss, idxs, vecs, shas = [], [], [], [], []
+            for rid, kind, dur, payload_b64 in zip(
+                    pdf["id"], pdf["kind"], pdf["duration_ms"],
+                    pdf["payload"]):
+                if kind != "video":
+                    continue
+                raw = base64.b64decode(payload_b64 or "")
+                # stamps=None -> real decode paces by the container's own
+                # duration (tables without meta still frame-dedup)
+                stamps = None if pd.isna(dur) \
+                    else list(range(0, int(dur) + 1, every_ms))
+                if decode_fn == "fake":
+                    rows = fake_rows(raw, stamps or [0])
+                elif decode_fn == "real":
+                    rows = real_rows(raw, stamps)
+                else:
+                    try:
+                        rows = real_rows(raw, stamps)
+                    except (NotImplementedError, ValueError, EOFError,
+                            IndexError, _struct.error, wave.Error):
+                        rows = fake_rows(raw, stamps or [0])
+                for ms, fi, vec, sha in rows:
+                    ids.append(rid)
+                    mss.append(ms)
+                    idxs.append(fi)
+                    vecs.append(vec)
+                    shas.append(sha)
+            # explicit dtypes: a partition with no video rows yields an
+            # empty frame whose int columns must still be int64 for Arrow
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "frame_ms": pd.Series(mss, dtype="int64"),
+                    "frame_index": pd.Series(idxs, dtype="int64"),
+                    "feature": pd.Series(vecs, dtype="object"),
+                    "frame_sha256": pd.Series(shas, dtype="object"),
+                }
+            )
+
+    dur_col = (
+        F.col("meta.duration_ms") if "meta" in media.columns
+        else F.lit(None).cast("long")
+    )
+    cols = media.select(
+        "id", "kind", dur_col.alias("duration_ms"), "payload",
+    )
+    return cols.mapInPandas(_batches, schema=FRAME_FEATURES_SCHEMA)
+
+
+def video_frame_exact_dups(
+    media: DataFrame,
+    every_ms: int = 1000,
+    decode_fn: str = "real",
+    max_members: int = 10000,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Frame-level exact dedup: which videos share identical frame
+    CONTENT (the 8-bit gray raster hash from extract_frame_features —
+    container-independent, so a .y4m and an AVI of the same footage
+    match). One member per (video, frame content): repeated sightings
+    of a frame inside one video collapse to the earliest sampled stamp
+    before grouping, so a static intro screen doesn't inflate a video
+    into thousands of members. Same salted capped two-phase collect as
+    media_exact_dups; ``n_members`` (number of videos carrying the
+    frame) stays exact when the member list caps.
+
+    Columns: frame_sha256, n_members, members array<struct<id:long,
+    frame_ms:long>>."""
+    frames = extract_frame_features(media, every_ms, decode_fn)
+    per_video = frames.groupBy("frame_sha256", "id").agg(
+        F.min("frame_ms").alias("frame_ms")
+    )
+    phase1 = (
+        per_video.withColumn(
+            "_salt", F.pmod(F.xxhash64("id"), F.lit(salt_buckets))
+        )
+        .groupBy("frame_sha256", "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct("id", "frame_ms"))
+                ),
+                1,
+                max_members,
+            ).alias("pmembers"),
+        )
+    )
+    return (
+        phase1.groupBy("frame_sha256")
+        .agg(
+            F.sum("pn").alias("n_members"),
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("pmembers"))),
+                1,
+                max_members,
+            ).alias("members"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .select("frame_sha256", "n_members", "members")
     )

@@ -1432,3 +1432,241 @@ def test_7z_zero_substream_folder_parses():
     _, _, folders = _parse_streams_info(_R(raw))
     assert folders[0].num_substreams == 0
     assert folders[0].substream_sizes == []
+
+
+# ------------------------------------------------------------- video
+
+def _gray_frames(levels, h=12, w=16):
+    import numpy as np
+
+    return [np.full((h, w), lv, np.uint8) for lv in levels]
+
+
+def _avi_dib(frames_gray, fps=2):
+    """Grayscale frames -> AVI with uncompressed bottom-up BGR frames."""
+    import numpy as np
+
+    from backupdeduplicator_spark.functions.video import encode_avi
+
+    h, w = frames_gray[0].shape
+    stride = (w * 3 + 3) & ~3
+
+    def dib(g):
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, : w * 3] = np.repeat(g[..., None], 3, axis=2).reshape(h, -1)
+        return rows[::-1].tobytes()
+
+    return encode_avi([dib(g) for g in frames_gray], w, h, fps=fps,
+                      codec=b"DIB ")
+
+
+def _avi_mjpg(frames_gray, fps=2):
+    import numpy as np
+
+    from backupdeduplicator_spark.functions.video import encode_avi
+
+    h, w = frames_gray[0].shape
+    jpegs = [
+        _jpeg_encode(np.repeat(g[..., None], 3, axis=2))[0]
+        for g in frames_gray
+    ]
+    return encode_avi(jpegs, w, h, fps=fps, codec=b"MJPG")
+
+
+def test_video_containers_round_trip():
+    """probe + frame decode recover geometry, fps, and pixel content for
+    YUV4MPEG2, AVI/DIB (exact), and AVI/MJPEG (quantization tolerance)."""
+    import numpy as np
+
+    from backupdeduplicator_spark.functions.video import (
+        decode_video_first_frame, encode_y4m, iter_video_frames,
+        probe_video)
+
+    levels = [0, 60, 120, 180, 240]
+    frames = _gray_frames(levels)
+    # gradient in frame 0 catches vertical flips (DIB rows are bottom-up)
+    frames[0] = np.tile(
+        np.linspace(0, 200, 12, dtype=np.uint8)[:, None], (1, 16))
+
+    y4m = encode_y4m(frames, fps=2)
+    info = probe_video(y4m)
+    assert (info.container, info.codec) == ("y4m", "raw")
+    assert (info.width, info.height, info.fps) == (16, 12, 2.0)
+    assert info.n_frames == 5 and info.duration_ms == 2500
+    for i, g in iter_video_frames(y4m):
+        assert np.array_equal((g * 255).astype(np.uint8), frames[i])
+
+    dib = _avi_dib(frames, fps=2)
+    d = probe_video(dib)
+    assert (d.container, d.codec, d.n_frames) == ("avi", "DIB", 5)
+    for i, g in iter_video_frames(dib, indices=[0, 4]):
+        assert np.array_equal((g * 255 + 0.5).astype(np.uint8), frames[i])
+
+    mjpg = _avi_mjpg(frames, fps=2)
+    m = probe_video(mjpg)
+    assert (m.codec, m.fps, m.n_frames) == ("MJPG", 2.0, 5)
+    for i, g in iter_video_frames(mjpg, indices=[1, 3]):
+        assert abs(float(g.mean()) * 255 - levels[i]) < 3
+
+    # timestamp -> index mapping clamps at the last frame
+    assert [info.frame_index_at(ms) for ms in (0, 499, 500, 2400, 9999)] \
+        == [0, 0, 1, 4, 4]
+    assert decode_video_first_frame(y4m).shape == (12, 16)
+
+
+def test_video_probe_rejects_and_codec_boundary():
+    import pytest
+
+    from backupdeduplicator_spark.functions.video import (
+        encode_avi, iter_video_frames, probe_video)
+
+    with pytest.raises(ValueError):
+        probe_video(b"\x00\x00\x00\x18ftypmp42 not decodable")
+    with pytest.raises(ValueError):  # truncated y4m frame payload
+        probe_video(b"YUV4MPEG2 W4 H4 F2:1 Cmono\nFRAME\n\x00\x00")
+    # recognized container, unsupported codec: loud NotImplementedError
+    # at frame decode (the ffmpeg boundary), probe itself succeeds
+    h264 = encode_avi([b"\x00\x01\x02"], 4, 4, fps=1, codec=b"H264")
+    assert probe_video(h264).codec == "H264"
+    with pytest.raises(NotImplementedError):
+        list(iter_video_frames(h264))
+
+
+def test_video_first_frame_feature(spark):
+    """extract_features decode_fn='real' pools frame 0 of a video payload
+    exactly like the image tier pools a still."""
+    import numpy as np
+
+    from backupdeduplicator_spark.operators.multimodal import _pool_gray
+
+    frames = _gray_frames([50, 200], h=16, w=16)
+    y4m_b64 = base64.b64encode(encode_y4m_frames(frames)).decode()
+    media = spark.createDataFrame(
+        [(1, "video", (16, 16, None, 500), y4m_b64)],
+        "id long, kind string, meta struct<width:long,height:long,"
+        "sample_rate:long,duration_ms:long>, payload string",
+    )
+    row = extract_features(media, decode_fn="real").collect()[0]
+    want = _pool_gray(frames[0] / 255.0).ravel()
+    assert np.allclose(row["feature"], want, atol=1e-6)
+
+
+def encode_y4m_frames(frames, fps=2):
+    from backupdeduplicator_spark.functions.video import encode_y4m
+
+    return encode_y4m(frames, fps=fps)
+
+
+def test_extract_frame_features(spark):
+    """Frame sampling realizes frame_sample_plan 1:1; indices map through
+    container fps; frame content hashes match ACROSS containers; fake and
+    auto modes keep the pipeline shape."""
+    import numpy as np
+
+    from backupdeduplicator_spark.operators.multimodal import (
+        extract_frame_features)
+
+    levels = [10, 70, 130, 190, 250]
+    frames = _gray_frames(levels)
+    y4m = base64.b64encode(encode_y4m_frames(frames, fps=2)).decode()
+    dib = base64.b64encode(_avi_dib(frames, fps=2)).decode()
+    junk = base64.b64encode(b"\x00\x00\x00\x18ftypmp42????").decode()
+    schema = ("id long, kind string, meta struct<width:long,height:long,"
+              "sample_rate:long,duration_ms:long>, payload string")
+    media = spark.createDataFrame(
+        [
+            (1, "video", (16, 12, None, 2000), y4m),
+            (2, "video", (16, 12, None, 2000), dib),
+            (3, "image", (16, 12, None, None), y4m),  # non-video: skipped
+            (4, "video", (None, None, None, 2000), junk),
+        ],
+        schema,
+    )
+
+    real = extract_frame_features(
+        media.filter("id <= 2"), every_ms=500, decode_fn="real").collect()
+    plan = frame_sample_plan(
+        media.filter("id <= 2"), every_ms=500).collect()
+    assert {(r["id"], r["frame_ms"]) for r in real} \
+        == {(r["id"], r["frame_ms"]) for r in plan}
+    by = {(r["id"], r["frame_ms"]): r for r in real}
+    # stamps 0..2000 step 500 at 2 fps -> indices 0,1,2,3,4 (clamped tail)
+    assert [by[(1, ms)]["frame_index"] for ms in range(0, 2001, 500)] \
+        == [0, 1, 2, 3, 4]
+    # identical gray content in different containers: same frame hash,
+    # same pooled feature
+    for ms in range(0, 2001, 500):
+        assert by[(1, ms)]["frame_sha256"] == by[(2, ms)]["frame_sha256"]
+        assert np.allclose(by[(1, ms)]["feature"], by[(2, ms)]["feature"])
+    # feature tracks the constant gray level of the sampled frame
+    for k, ms in enumerate(range(0, 2001, 500)):
+        got = float(np.mean(by[(1, ms)]["feature"])) * 255
+        assert abs(got - levels[k]) < 1.0
+
+    # fake mode: plan shape preserved, index unknown, deterministic
+    fake = extract_frame_features(media, every_ms=500,
+                                  decode_fn="fake").collect()
+    assert len(fake) == 3 * 5  # ids 1, 2, 4 x 5 stamps
+    assert all(r["frame_index"] == -1 for r in fake)
+
+    # auto: undecodable mp4-magic video degrades to fake rows, decodable
+    # ones stay real — no task failure
+    auto = extract_frame_features(media, every_ms=500,
+                                  decode_fn="auto").collect()
+    a = {(r["id"], r["frame_ms"]): r for r in auto}
+    assert a[(4, 0)]["frame_index"] == -1
+    assert a[(1, 1000)]["frame_index"] == 2
+    assert a[(1, 1000)]["frame_sha256"] == by[(1, 1000)]["frame_sha256"]
+
+
+def test_video_frame_exact_dups(spark, tmp_path):
+    """Frame-level dedup groups videos by shared frame CONTENT across
+    containers; repeats inside one video collapse to the earliest stamp;
+    the CLI frames tier round-trips the same result."""
+    from backupdeduplicator_spark.__main__ import main
+    from backupdeduplicator_spark.operators.multimodal import (
+        video_frame_exact_dups)
+
+    shared = _gray_frames([40, 90], h=12, w=16)
+    only_a = _gray_frames([140], h=12, w=16)[0]
+    only_b = _gray_frames([210], h=12, w=16)[0]
+    # video 1 (y4m): shared0, shared1, shared0 again (repeat), unique A
+    v1 = encode_y4m_frames([shared[0], shared[1], shared[0], only_a],
+                           fps=2)
+    # video 2 (AVI/DIB): unique B, shared1, shared0 — container differs
+    v2 = _avi_dib([only_b, shared[1], shared[0]], fps=2)
+    media = spark.createDataFrame(
+        [(1, "video", (16, 12, None, 1500), base64.b64encode(v1).decode()),
+         (2, "video", (16, 12, None, 1000), base64.b64encode(v2).decode())],
+        "id long, kind string, meta struct<width:long,height:long,"
+        "sample_rate:long,duration_ms:long>, payload string",
+    )
+    got = video_frame_exact_dups(media, every_ms=500,
+                                 decode_fn="real").collect()
+    assert len(got) == 2  # the two shared frames; uniques filtered out
+    sets = sorted(
+        [sorted((m["id"], m["frame_ms"]) for m in r["members"])
+         for r in got]
+    )
+    # shared0: v1 earliest stamp 0 (repeat at 1000 collapsed), v2 at 1000
+    # shared1: v1 at 500, v2 at 500
+    assert sets == [[(1, 0), (2, 1000)], [(1, 500), (2, 500)]]
+    assert all(r["n_members"] == 2 for r in got)
+
+    # CLI frames tier (table without meta: container-paced stamps)
+    import pandas as pd
+
+    src = str(tmp_path / "vids.parquet")
+    pd.DataFrame({
+        "id": [1, 2],
+        "kind": ["video", "video"],
+        "payload": [base64.b64encode(v1).decode(),
+                    base64.b64encode(v2).decode()],
+    }).to_parquet(src)
+    out = str(tmp_path / "vids_frames")
+    assert main(["mediadedup", "--input", src, "--output", out,
+                 "--tier", "frames", "--decode", "real",
+                 "--every-ms", "500", "--cores", "4"]) == 0
+    cli = spark.read.parquet(out).collect()
+    assert {r["frame_sha256"] for r in cli} \
+        == {r["frame_sha256"] for r in got}
