@@ -51,6 +51,8 @@ class VideoInfo:
     fps: float
     n_frames: int
     frames: tuple            # ((offset, size), ...) into the payload
+    bpp: int = 24            # DIB only: bits per pixel (24 or 32)
+    topdown: bool = False    # DIB only: negative biHeight = top-down rows
 
     @property
     def duration_ms(self) -> int:
@@ -67,13 +69,15 @@ class VideoInfo:
 
 def _riff_subchunks(buf: bytes, pos: int, end: int):
     """Yield (fourcc, data_start, data_size) over a RIFF chunk run.
-    Chunks are word-aligned: odd sizes carry one pad byte."""
+    Chunks are word-aligned: odd sizes carry one pad byte. A declared
+    size is bounded by the ENCLOSING chunk's end, not the payload end —
+    a frame chunk may not bleed into sibling data."""
     while pos + 8 <= end:
         cid = buf[pos:pos + 4]
         (size,) = struct.unpack_from("<I", buf, pos + 4)
         start = pos + 8
-        if start + size > len(buf):
-            raise ValueError("AVI chunk overruns payload")
+        if start + size > end:
+            raise ValueError("AVI chunk overruns its container")
         yield cid, start, size
         pos = start + size + (size & 1)
 
@@ -87,17 +91,21 @@ def _probe_avi(payload: bytes) -> VideoInfo:
     width = height = 0
     fps = 0.0
     codec = ""
+    bpp = 24
+    topdown = False
     vids_stream = -1     # index of the first video stream
     stream_no = 0
     frames: list[tuple[int, int]] = []
 
     def walk_hdrl(pos: int, limit: int) -> None:
-        nonlocal width, height, fps, codec, vids_stream, stream_no
+        nonlocal width, height, fps, codec, bpp, topdown, vids_stream, \
+            stream_no
         for cid, start, size in _riff_subchunks(payload, pos, limit):
             if cid != b"LIST" or payload[start:start + 4] != b"strl":
                 continue
             is_vids, strh_fps, strf_codec = False, 0.0, ""
             sw = sh = 0
+            sbpp, stopdown = 24, False
             for scid, sstart, ssize in _riff_subchunks(
                     payload, start + 4, start + size):
                 if scid == b"strh" and ssize >= 32:
@@ -112,8 +120,10 @@ def _probe_avi(payload: bytes) -> VideoInfo:
                     # is WAVEFORMATEX and is skipped by the vids gate)
                     _bisz, bw, bh = struct.unpack_from(
                         "<Iii", payload, sstart)
+                    sbpp = struct.unpack_from("<H", payload, sstart + 14)[0]
                     bcomp = payload[sstart + 16:sstart + 20]
                     sw, sh = abs(bw), abs(bh)
+                    stopdown = bh < 0  # negative biHeight = top-down
                     strf_codec = (
                         "DIB" if bcomp in (b"\x00\x00\x00\x00", b"DIB ")
                         else bcomp.decode("ascii", "replace").strip()
@@ -121,6 +131,7 @@ def _probe_avi(payload: bytes) -> VideoInfo:
             if is_vids and vids_stream < 0:
                 vids_stream = stream_no
                 fps, codec, width, height = strh_fps, strf_codec, sw, sh
+                bpp, topdown = sbpp, stopdown
             stream_no += 1
 
     def walk_movi(pos: int, limit: int) -> None:
@@ -129,7 +140,14 @@ def _probe_avi(payload: bytes) -> VideoInfo:
             if cid == b"LIST" and payload[start:start + 4] == b"rec ":
                 walk_movi(start + 4, start + size)
             elif cid[:2] == want and cid[2:4] in (b"dc", b"db"):
-                frames.append((start, size))
+                if size == 0:
+                    # zero-size chunk = dropped frame, conventionally
+                    # "repeat the previous frame" (VfW capture output);
+                    # a leading drop with nothing to repeat is skipped
+                    if frames:
+                        frames.append(frames[-1])
+                else:
+                    frames.append((start, size))
 
     movi_spans: list[tuple[int, int]] = []
     for cid, start, size in _riff_subchunks(payload, 12, end):
@@ -140,16 +158,27 @@ def _probe_avi(payload: bytes) -> VideoInfo:
             walk_hdrl(start + 4, start + size)
         elif ltype == b"movi":
             movi_spans.append((start + 4, start + size))
+    # OpenDML: files > ~1 GiB continue in RIFF 'AVIX' extension segments
+    # appended after the first RIFF — each holds another movi LIST
+    pos = 8 + riff_size + (riff_size & 1)
+    while pos + 12 <= len(payload) and payload[pos:pos + 4] == b"RIFF" \
+            and payload[pos + 8:pos + 12] == b"AVIX":
+        (seg_size,) = struct.unpack_from("<I", payload, pos + 4)
+        seg_end = min(pos + 8 + seg_size, len(payload))
+        for cid, start, size in _riff_subchunks(payload, pos + 12, seg_end):
+            if cid == b"LIST" and payload[start:start + 4] == b"movi":
+                movi_spans.append((start + 4, start + size))
+        pos += 8 + seg_size + (seg_size & 1)
     if vids_stream < 0:
         raise ValueError("AVI has no video stream")
-    for pos, limit in movi_spans:   # movi after hdrl: stream no is known
-        walk_movi(pos, limit)
+    for span_pos, limit in movi_spans:  # movi after hdrl: stream known
+        walk_movi(span_pos, limit)
     if not frames:
         raise ValueError("AVI has no video frames")
     if fps <= 0:
         fps = 25.0
     return VideoInfo("avi", codec, width, height, fps,
-                     len(frames), tuple(frames))
+                     len(frames), tuple(frames), bpp=bpp, topdown=topdown)
 
 
 def _probe_y4m(payload: bytes) -> VideoInfo:
@@ -223,13 +252,20 @@ def _decode_avi_frame(info: VideoInfo, chunk: bytes) -> np.ndarray:
         return decode_jpeg(chunk)
     if info.codec == "DIB":
         w, h = info.width, info.height
-        stride = (w * 3 + 3) & ~3
+        if info.bpp not in (24, 32):
+            raise NotImplementedError(
+                f"AVI DIB bpp={info.bpp}: only 24/32-bit BI_RGB decodes"
+            )
+        nch = info.bpp // 8
+        stride = (w * nch + 3) & ~3  # 32bpp rows are already 4-aligned
         if len(chunk) < stride * h:
             raise ValueError("AVI DIB frame truncated")
         rows = np.frombuffer(chunk, np.uint8, stride * h) \
-            .reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
-        # bottom-up BGR, like the in-file BMP pixel array
-        return rows[::-1].astype(np.float64).mean(axis=2) / 255.0
+            .reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+        # BGR(A), the BMP pixel layout; alpha (byte 3) is ignored.
+        # Positive biHeight = bottom-up rows; negative = top-down.
+        gray = rows[:, :, :3].astype(np.float64).mean(axis=2) / 255.0
+        return gray if info.topdown else gray[::-1]
     raise NotImplementedError(
         f"AVI codec {info.codec!r} requires ffmpeg — not available; "
         "stdlib decode covers MJPG and uncompressed DIB"

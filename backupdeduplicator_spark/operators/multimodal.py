@@ -36,6 +36,7 @@ from __future__ import annotations
 import hashlib
 import io
 import struct
+import wave
 import zlib
 from collections.abc import Iterator
 
@@ -66,6 +67,13 @@ MEDIA_SCHEMA = StructType(
 )
 
 FEATURE_DIM = 64
+
+# Corrupt/truncated payloads raise these from the stdlib parsers; the
+# 'auto' decode modes degrade them to the fake shape instead of failing
+# the task. Explicit tuple, not bare Exception, so genuine code defects
+# in the decoders still surface. Shared by both mapInPandas kernels.
+DEGRADABLE_ERRORS = (NotImplementedError, ValueError, EOFError,
+                     IndexError, struct.error, wave.Error)
 
 FEATURES_SCHEMA = StructType(
     [
@@ -442,19 +450,9 @@ def extract_features(media: DataFrame, decode_fn: str = "fake") -> DataFrame:
                 elif decode_fn == "real":
                     vec = _real_decode(kind, raw)
                 else:
-                    # corrupt/truncated payloads raise struct.error,
-                    # wave.Error, EOFError, IndexError from the stdlib
-                    # parsers — 'auto' degrades those to the fake vector
-                    # instead of failing the task. The tuple is explicit
-                    # (not bare Exception) so genuine code defects in
-                    # _real_decode still surface.
-                    import struct
-                    import wave
-
                     try:
                         vec = _real_decode(kind, raw)
-                    except (NotImplementedError, ValueError, EOFError,
-                            IndexError, struct.error, wave.Error):
+                    except DEGRADABLE_ERRORS:
                         vec = _fake_decode(raw)
                 feats.append(vec.tolist())
                 shas.append(hashlib.sha256(raw).hexdigest())
@@ -551,12 +549,19 @@ def media_near_dups(
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one row per planned frame timestamp
-    (sequence over meta duration). extract_frame_features is the decode
-    stage that realizes this plan against the actual container."""
+    (sequence over meta duration, negative durations clamped to 0).
+    extract_frame_features is the decode stage that realizes this plan
+    against the actual container."""
+    if every_ms < 1:
+        raise ValueError(f"every_ms must be >= 1, got {every_ms}")
     return media.filter(F.col("kind") == "video").select(
         "id",
         F.explode(
-            F.sequence(F.lit(0), F.col("meta.duration_ms"), F.lit(every_ms))
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("meta.duration_ms"), F.lit(0)),
+                F.lit(every_ms),
+            )
         ).alias("frame_ms"),
     )
 
@@ -594,11 +599,11 @@ def extract_frame_features(
     failures per-row to the fake shape instead of failing the task."""
     if decode_fn not in ("fake", "real", "auto"):
         raise ValueError(f"unknown decode_fn {decode_fn!r}")
+    if every_ms < 1:
+        raise ValueError(f"every_ms must be >= 1, got {every_ms}")
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import base64
-        import struct as _struct
-        import wave
 
         from ..functions.video import iter_video_frames, probe_video
 
@@ -636,9 +641,11 @@ def extract_frame_features(
                     continue
                 raw = base64.b64decode(payload_b64 or "")
                 # stamps=None -> real decode paces by the container's own
-                # duration (tables without meta still frame-dedup)
+                # duration (tables without meta still frame-dedup);
+                # negative/garbage durations clamp to the single stamp 0
+                # in every mode (frame_sample_plan clamps identically)
                 stamps = None if pd.isna(dur) \
-                    else list(range(0, int(dur) + 1, every_ms))
+                    else list(range(0, max(int(dur), 0) + 1, every_ms))
                 if decode_fn == "fake":
                     rows = fake_rows(raw, stamps or [0])
                 elif decode_fn == "real":
@@ -646,8 +653,7 @@ def extract_frame_features(
                 else:
                     try:
                         rows = real_rows(raw, stamps)
-                    except (NotImplementedError, ValueError, EOFError,
-                            IndexError, _struct.error, wave.Error):
+                    except DEGRADABLE_ERRORS:
                         rows = fake_rows(raw, stamps or [0])
                 for ms, fi, vec, sha in rows:
                     ids.append(rid)

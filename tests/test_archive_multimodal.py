@@ -1670,3 +1670,130 @@ def test_video_frame_exact_dups(spark, tmp_path):
     cli = spark.read.parquet(out).collect()
     assert {r["frame_sha256"] for r in cli} \
         == {r["frame_sha256"] for r in got}
+
+
+def test_video_dib_variants_and_dropped_frames():
+    """Review-pass regressions: 32bpp BGRA decodes (alpha ignored),
+    16bpp raises loudly, negative biHeight (top-down) matches the
+    bottom-up raster, zero-size dc chunks repeat the previous frame,
+    and OpenDML AVIX extension segments contribute their frames."""
+    import struct as st
+
+    import numpy as np
+    import pytest
+
+    from backupdeduplicator_spark.functions.video import (
+        encode_avi, iter_video_frames, probe_video)
+
+    frames = _gray_frames([30, 180], h=6, w=5)
+
+    def bgra(g):
+        h, w = g.shape
+        px = np.zeros((h, w, 4), np.uint8)
+        px[..., :3] = g[..., None]
+        px[..., 3] = 255  # alpha must be ignored
+        return px[::-1].tobytes()  # 32bpp rows are naturally 4-aligned
+
+    avi32 = bytearray(encode_avi([bgra(f) for f in frames], 5, 6,
+                                 fps=2, codec=b"DIB "))
+    # patch biBitCount (strf data + 14) from 24 to 32
+    strf = bytes(avi32).index(b"strf") + 8
+    avi32[strf + 14:strf + 16] = st.pack("<H", 32)
+    info = probe_video(bytes(avi32))
+    assert (info.codec, info.bpp, info.topdown) == ("DIB", 32, False)
+    for i, g in iter_video_frames(bytes(avi32)):
+        assert np.array_equal((g * 255 + 0.5).astype(np.uint8), frames[i])
+
+    # 16bpp: recognized but unsupported -> loud, not garbage
+    avi16 = bytearray(bytes(avi32))
+    avi16[strf + 14:strf + 16] = st.pack("<H", 16)
+    with pytest.raises(NotImplementedError):
+        list(iter_video_frames(bytes(avi16)))
+
+    # top-down: gradient content, negative biHeight, rows NOT flipped
+    grad = np.tile(np.linspace(10, 240, 6, dtype=np.uint8)[:, None], (1, 5))
+    def dib_rows(g, flip):
+        h, w = g.shape
+        stride = (w * 3 + 3) & ~3
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, :w * 3] = np.repeat(g[..., None], 3, axis=2).reshape(h, -1)
+        return (rows[::-1] if flip else rows).tobytes()
+    td = bytearray(encode_avi([dib_rows(grad, flip=False)], 5, 6,
+                              fps=2, codec=b"DIB "))
+    tstrf = bytes(td).index(b"strf") + 8
+    td[tstrf + 8:tstrf + 12] = st.pack("<i", -6)  # biHeight = -6
+    tinfo = probe_video(bytes(td))
+    assert tinfo.topdown
+    (_, got), = iter_video_frames(bytes(td))
+    assert np.array_equal((got * 255 + 0.5).astype(np.uint8), grad)
+
+    # dropped frame: insert a zero-size 00dc chunk between the two
+    # frames; decode yields frame 0's content again at index 1
+    def chunk(cid, data):
+        return cid + st.pack("<I", len(data)) + data \
+            + (b"\x00" if len(data) & 1 else b"")
+    base = encode_avi([dib_rows(f, flip=True) for f in frames], 5, 6,
+                      fps=2, codec=b"DIB ")
+    movi_at = base.index(b"movi")
+    first_end = movi_at + 4 + 8 + ((5 * 3 + 3) & ~3) * 6
+    patched = bytearray(
+        base[:first_end] + chunk(b"00dc", b"") + base[first_end:])
+    # fix RIFF and movi LIST sizes (+8 bytes inserted)
+    patched[4:8] = st.pack("<I", st.unpack_from("<I", patched, 4)[0] + 8)
+    lsz_at = movi_at - 4
+    patched[lsz_at:lsz_at + 4] = st.pack(
+        "<I", st.unpack_from("<I", patched, lsz_at)[0] + 8)
+    dinfo = probe_video(bytes(patched))
+    assert dinfo.n_frames == 3
+    decoded = dict(iter_video_frames(bytes(patched)))
+    assert np.array_equal(decoded[0], decoded[1])  # repeat of previous
+    assert not np.array_equal(decoded[1], decoded[2])
+
+    # OpenDML AVIX: a second RIFF segment holding one more frame
+    seg1 = encode_avi([dib_rows(frames[0], flip=True)], 5, 6,
+                      fps=2, codec=b"DIB ")
+    movi2 = chunk(b"LIST", b"movi"
+                  + chunk(b"00dc", dib_rows(frames[1], flip=True)))
+    odml = seg1 + chunk(b"RIFF", b"AVIX" + movi2)
+    oinfo = probe_video(odml)
+    assert oinfo.n_frames == 2
+    odec = dict(iter_video_frames(odml))
+    assert np.array_equal(
+        (odec[1] * 255 + 0.5).astype(np.uint8), frames[1])
+
+    # chunk declaring a size past its enclosing LIST: loud error
+    bad = bytearray(seg1)
+    bmovi = bytes(bad).index(b"movi")
+    bad[bmovi + 8:bmovi + 12] = st.pack("<I", 1 << 24)  # 00dc size
+    with pytest.raises(ValueError):
+        probe_video(bytes(bad))
+
+
+def test_frame_sampling_validation(spark):
+    """every_ms must be positive; negative meta durations clamp to one
+    stamp at 0 consistently across plan, real, and fake modes."""
+    import base64 as b64
+
+    import pytest
+
+    from backupdeduplicator_spark.operators.multimodal import (
+        extract_frame_features)
+
+    frames = _gray_frames([20, 220], h=6, w=5)
+    pay = b64.b64encode(encode_y4m_frames(frames, fps=2)).decode()
+    media = spark.createDataFrame(
+        [(1, "video", (5, 6, None, -7), pay)],
+        "id long, kind string, meta struct<width:long,height:long,"
+        "sample_rate:long,duration_ms:long>, payload string",
+    )
+    with pytest.raises(ValueError):
+        extract_frame_features(media, every_ms=0)
+    with pytest.raises(ValueError):
+        frame_sample_plan(media, every_ms=-5)
+
+    plan = frame_sample_plan(media, every_ms=500).collect()
+    assert [(r["id"], r["frame_ms"]) for r in plan] == [(1, 0)]
+    for mode in ("real", "fake", "auto"):
+        rows = extract_frame_features(
+            media, every_ms=500, decode_fn=mode).collect()
+        assert [(r["id"], r["frame_ms"]) for r in rows] == [(1, 0)], mode
