@@ -758,6 +758,40 @@ def q_m1_media_exact_dups(d: D) -> str:
     )
 
 
+def q_v1_video_frame_dups(d: D) -> str:
+    """Video frame-content dedup (functions/video.py +
+    operators/multimodal.video_frame_exact_dups): the engine side
+    synthesizes a real YUV4MPEG2 container per document — 3 mono 8x8
+    frames whose 64 raster bytes are the ASCII hex of
+    sha256(text || ':' || k) — samples it at every_ms=500 through the
+    REAL container decode (probe -> frame table -> random access ->
+    quantized gray raster -> frame_sha256), and groups videos by shared
+    frame content. The oracle never sees a container: it recomputes each
+    frame hash as sha256(sha256(text||':'||k)) directly, so a value
+    match proves the whole container encode/decode path is lossless.
+    Mirrored docs (every 11th) and NULL-coalesced empty texts provide
+    the dup groups; members are 'doc_id@frame_ms' strings, frame_ms =
+    500 * k (frames are distinct within one video, so the operator's
+    min-stamp collapse is the identity here)."""
+    fsha = d.sha256(d.sha256("text || ':' || k"))
+    member = d.sorted_concat("doc_id || '@' || frame_ms", ",")
+    return (
+        f"WITH corpus AS ("
+        f"SELECT doc_id, COALESCE(text, '') AS text FROM documents "
+        f"UNION ALL "
+        f"SELECT doc_id + 2000000, COALESCE(text, '') FROM documents "
+        f"WHERE doc_id % 11 = 0), "
+        f"frames AS ("
+        f"SELECT doc_id, k, "
+        f"{fsha} AS frame_sha256, "
+        f"k * 500 AS frame_ms "
+        f"FROM corpus, (VALUES (0), (1), (2)) AS ks(k)) "
+        f"SELECT frame_sha256, COUNT(*) AS n_members, "
+        f"{member} AS members "
+        f"FROM frames GROUP BY frame_sha256 HAVING COUNT(*) >= 2"
+    )
+
+
 SQL_QUERIES: dict[str, Callable[[D], str]] = {
     "file_hashes": q_file_hashes,
     "p1_collision_filter": q_p1_collision_filter,
@@ -791,6 +825,7 @@ SQL_QUERIES: dict[str, Callable[[D], str]] = {
     "x2_substring_dup_pairs": q_x2_substring_dup_pairs,
     "near_dup_clusters": q_near_dup_clusters,
     "m1_media_exact_dups": q_m1_media_exact_dups,
+    "v1_video_frame_dups": q_v1_video_frame_dups,
 }
 
 
@@ -1171,9 +1206,90 @@ def _spark_media_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spark_video_frame_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-dedup tier driven end-to-end through a REAL container:
+    per doc, a YUV4MPEG2 file (3 mono 8x8 frames at 2 fps; frame k's 64
+    raster bytes = ASCII hex of sha256(text:k)) built in an Arrow batch,
+    then video_frame_exact_dups samples it at every_ms=500 with
+    decode_fn='real' — probe, frame offset table, random-access decode,
+    gray re-quantization, frame hashing all on the line. meta duration
+    1000 ms -> stamps 0/500/1000 -> container frames 0/1/2."""
+    from .operators.multimodal import video_frame_exact_dups
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    corpus = docs.unionByName(
+        docs.filter("doc_id % 11 = 0").select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
+    )
+
+    def _payloads(it):
+        import base64
+        import hashlib as hl
+
+        import numpy as np
+        import pandas as pd
+
+        from .functions.video import encode_y4m
+
+        for pdf in it:
+            out = []
+            for t in pdf["text"]:
+                frames = [
+                    np.frombuffer(
+                        hl.sha256(f"{t or ''}:{k}".encode())
+                        .hexdigest().encode("ascii"),
+                        np.uint8,
+                    ).reshape(8, 8)
+                    for k in range(3)
+                ]
+                out.append(
+                    base64.b64encode(encode_y4m(frames, fps=2)).decode())
+            yield pd.DataFrame(
+                {"id": pdf["doc_id"], "payload": out}
+            )
+
+    media = corpus.mapInPandas(
+        _payloads, schema="id long, payload string"
+    ).select(
+        "id",
+        F.lit("video").alias("kind"),
+        F.struct(
+            F.lit(8).cast("long").alias("width"),
+            F.lit(8).cast("long").alias("height"),
+            F.lit(None).cast("long").alias("sample_rate"),
+            F.lit(1000).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+        "payload",
+    )
+    dups = video_frame_exact_dups(media, every_ms=500, decode_fn="real")
+    members = F.concat_ws(
+        ",",
+        F.sort_array(
+            F.transform(
+                "members",
+                lambda m: F.concat(
+                    m["id"].cast("string"), F.lit("@"),
+                    m["frame_ms"].cast("string"),
+                ),
+            )
+        ),
+    )
+    return dups.select(
+        "frame_sha256",
+        F.col("n_members").cast("long").alias("n_members"),
+        members.alias("members"),
+    )
+
+
 ENGINE_BACKED["x2_substring_dup_pairs"] = _spark_substring_pairs
 ENGINE_BACKED["near_dup_clusters"] = _spark_near_dup_clusters
 ENGINE_BACKED["m1_media_exact_dups"] = _spark_media_exact_dups
+ENGINE_BACKED["v1_video_frame_dups"] = _spark_video_frame_dups
 
 # every query now has a DuckDB twin; the dict stays as the hook for
 # genuinely non-SQL-expressible future ops (custom stateful streaming)
