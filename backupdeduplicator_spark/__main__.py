@@ -170,9 +170,12 @@ def cmd_clean(args) -> int:
     current = _read_input(spark, args.input)
     cleaned = clean_entries(ck.read("entries"), current)
     if args.root:
+        from .functions.paths import normalize_rel_path
         from .operators.clean import subtree_filter
 
-        cleaned = subtree_filter(cleaned, args.root)
+        # the reference lexically normalizes user-supplied paths at CLI
+        # parse time (main.rs:154-156) — 'a/b/../c' selects subtree 'a/c'
+        cleaned = subtree_filter(cleaned, normalize_rel_path(args.root))
     ck.write(cleaned, "entries", lineage={"stage": "clean"})
     print(f"clean: {ck.manifest('entries')['rows']} entries survive")
     return 0

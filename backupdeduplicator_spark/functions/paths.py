@@ -37,3 +37,60 @@ def path_depth(col: str | Column) -> Column:
 def base_name(col: str | Column) -> Column:
     """Last path segment."""
     return F.substring_index(_c(col), "/", -1)
+
+
+def _fold_segments(segs: Column) -> Column:
+    """Fold path segments through the reference's component loop
+    (utils.rs:46-53): '' (duplicate separator) and '.' are skipped,
+    '..' pops (a no-op at the root, like ``PathBuf::pop`` on empty),
+    anything else is pushed. Pure ``aggregate`` expression — JVM-side,
+    no UDF."""
+    return F.aggregate(
+        segs,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: (
+            F.when((x == "") | (x == "."), acc)
+            .when(
+                x == "..",
+                F.when(F.size(acc) == 0, acc).otherwise(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1)
+                ),
+            )
+            .otherwise(F.concat(acc, F.array(x)))
+        ),
+    )
+
+
+def to_lexical_absolute(col: str | Column, base: str | Column = "/") -> Column:
+    """F7: lexical path normalization without touching a filesystem —
+    the reference's ``LexicalAbsolute::to_lexical_absolute``
+    (/root/reference/src/utils.rs:39-54): absolute paths normalize in
+    place; relative paths are first anchored at ``base`` (the
+    reference anchors at ``current_dir()``; a table engine has no cwd,
+    so the caller supplies the anchor — default the root ``'/'``).
+    ``.`` components drop, ``..`` pops (popping past the root is a
+    no-op, as for ``PathBuf::pop``), duplicate and trailing separators
+    collapse. ``'/a/b/../c'`` -> ``'/a/c'`` (the reference's doctest).
+    """
+    p = _c(col)
+    b = F.lit(base) if isinstance(base, str) else _c(base)
+    full = F.when(p.startswith("/"), p).otherwise(F.concat(b, F.lit("/"), p))
+    return F.concat(F.lit("/"), F.array_join(_fold_segments(F.split(full, "/")), "/"))
+
+
+def normalize_rel_path(path: str) -> str:
+    """Driver-side twin of :func:`to_lexical_absolute` for repo-relative
+    CLI arguments (the reference normalizes user-supplied paths at
+    parse time, main.rs:154-156): same component fold, returned
+    WITHOUT the leading '/' so it compares against the engine's
+    repo-relative ``path`` column ('' = repo root, FIXTURES.md §1)."""
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg in ("", "."):
+            continue
+        if seg == "..":
+            if out:
+                out.pop()
+            continue
+        out.append(seg)
+    return "/".join(out)

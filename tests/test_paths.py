@@ -1,0 +1,77 @@
+"""F7 lexical path normalization — reference ``to_lexical_absolute``
+(/root/reference/src/utils.rs:39-54) re-expressed as a pure column fold
+(functions/paths.py), plus the driver-side CLI twin. ``posixpath.normpath``
+serves as an independent oracle for absolute inputs (POSIX clamps ``..``
+at the root exactly like ``PathBuf::pop`` on empty)."""
+
+from __future__ import annotations
+
+import posixpath
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from backupdeduplicator_spark.functions.paths import (
+    normalize_rel_path,
+    to_lexical_absolute,
+)
+
+# reference-semantics pins: (input path, base, expected)
+CASES = [
+    ("/a/b/../c", "/", "/a/c"),          # the reference's own doctest
+    ("/a/./b//c/", "/", "/a/b/c"),       # CurDir skipped, separators collapse
+    ("/../../x", "/", "/x"),             # pop past root is a no-op
+    ("/", "/", "/"),
+    ("a/../../b", "/w/d", "/w/b"),       # relative: anchored at base
+    (".", "/w", "/w"),
+    ("", "/w", "/w"),
+    ("x/..data/../y", "/", "/x/y"),      # '..data' is a plain (poppable) segment
+    ("..data/z", "/", "/..data/z"),
+]
+
+
+def test_to_lexical_absolute_reference_cases(spark):
+    rows = [(i, p, b) for i, (p, b, _) in enumerate(CASES)]
+    df = spark.createDataFrame(rows, ["i", "p", "b"])
+    got = {
+        r["i"]: r["out"]
+        for r in df.select(
+            "i", to_lexical_absolute("p", F.col("b")).alias("out")
+        ).collect()
+    }
+    for i, (p, b, want) in enumerate(CASES):
+        assert got[i] == want, (p, b, got[i], want)
+
+
+def test_normalize_rel_path_cli_twin():
+    # repo-relative form: engine path columns have no leading '/'
+    assert normalize_rel_path("a/b/../c") == "a/c"
+    assert normalize_rel_path("./a//b/") == "a/b"
+    assert normalize_rel_path("../..") == ""
+    assert normalize_rel_path("..data/x") == "..data/x"
+    for p, b, want in CASES:
+        if p.startswith("/"):
+            assert "/" + normalize_rel_path(p) == want
+
+
+_seg = st.sampled_from(["a", "bb", "c1", ".", "..", "", "..d"])
+
+
+@given(st.lists(_seg, min_size=0, max_size=8))
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_to_lexical_absolute_matches_posix_normpath(spark, segs):
+    p = "/" + "/".join(segs)
+    if p.startswith("//"):
+        # POSIX normpath preserves a double leading slash; Rust PathBuf
+        # (and the engine) treat it as the root — drop these from the
+        # normpath comparison, the root-pop behavior is pinned in CASES
+        p = "/" + p.lstrip("/")
+    want = posixpath.normpath(p)
+    got = (
+        spark.range(1)
+        .select(to_lexical_absolute(F.lit(p)).alias("out"))
+        .collect()[0]["out"]
+    )
+    assert got == want, (p, got, want)
