@@ -304,12 +304,16 @@ def cmd_docdedup(args) -> int:
                 docs, out, id_col=args.id_col, text_col=args.text_col,
                 min_lcs=args.min_lcs,
             )
-    else:  # jaccard
-        from .operators.dedup_extra import ngram_jaccard_pairs
+    else:  # jaccard — EXACT pairs via the prefix-filtered scale path
+        # (identical output to the naive shingle self-join, pinned by
+        # tests + the t7 driver oracle; boilerplate prefix buckets are
+        # capped + surfaced below instead of exploding one task)
+        from .operators.dedup_extra import jaccard_join
 
-        out = ngram_jaccard_pairs(docs, id_col=args.id_col,
-                                  text_col=args.text_col,
-                                  threshold=args.threshold)
+        out = jaccard_join(docs, id_col=args.id_col,
+                           text_col=args.text_col,
+                           threshold=args.threshold, report=report,
+                           count_first=args.count_first)
     if args.verify_jaccard:
         if args.tier in ("simhash", "substring"):
             # exact pairwise verification of the approximate tier's output

@@ -270,6 +270,20 @@ def q_set1_repo_except(d: D) -> str:
 def q_t4_ngram_jaccard(d: D) -> str:
     """Exact k=5 char-shingle Jaccard pairs >= 0.2 over documents — the
     relational ground-truth formulation (engine twin: dedup_extra)."""
+    return _q_ngram_jaccard(d, 0.2)
+
+
+def q_t7_jaccard_join(d: D) -> str:
+    """Same EXACT-Jaccard ground truth at threshold 0.35, but the engine
+    twin is the PREFIX-FILTERED scale path (dedup_extra.jaccard_join:
+    df-ordered prefixes + bounded buckets + length filter + per-pair
+    array_intersect verify) — the driver hash-compare proves the
+    AllPairs/PPJoin candidate pruning is lossless against the naive
+    shingle self-join semantics."""
+    return _q_ngram_jaccard(d, 0.35)
+
+
+def _q_ngram_jaccard(d: D, threshold: float) -> str:
     if d.dialect == "spark":
         shingles = (
             "CASE WHEN length(text) < 5 THEN "
@@ -299,7 +313,7 @@ def q_t4_ngram_jaccard(d: D) -> str:
         f"ROUND(i * CAST(1.0 AS DOUBLE) / (c1.n + c2.n - i), 6) AS jaccard "
         f"FROM inter JOIN counts c1 ON inter.id1 = c1.id "
         f"JOIN counts c2 ON inter.id2 = c2.id "
-        f"WHERE i * CAST(1.0 AS DOUBLE) / (c1.n + c2.n - i) >= 0.2"
+        f"WHERE i * CAST(1.0 AS DOUBLE) / (c1.n + c2.n - i) >= {threshold}"
     )
 
 
@@ -814,6 +828,7 @@ SQL_QUERIES: dict[str, Callable[[D], str]] = {
     "o1_top_largest_files": q_o1_top_largest_files,
     "set1_repo_except": q_set1_repo_except,
     "t4_ngram_jaccard": q_t4_ngram_jaccard,
+    "t7_jaccard_join": q_t7_jaccard_join,
     "d1_exact_dup_docs": q_d1_exact_dup_docs,
     "c1_snapshot_diff": q_c1_snapshot_diff,
     "w2_windowed_dedup_stats": q_w2_windowed_dedup_stats,
@@ -898,6 +913,21 @@ def _spark_t4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return ngram_jaccard_pairs(spark.table("documents"), threshold=0.2)
+
+
+def _spark_t7_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine twin for t7: the PREFIX-FILTERED exact-Jaccard scale path
+    (dedup_extra.jaccard_join), checked against the same naive DuckDB
+    formulation as t4 — pruning must be lossless. count_first pinned
+    False so the driver plan is deterministic (no data-dependent probe
+    flip); sf0.01 prefix buckets sit far under the cap."""
+    from .operators.dedup_extra import jaccard_join
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return jaccard_join(
+        spark.table("documents"), threshold=0.35, count_first=False
+    )
 
 
 def _spark_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1138,6 +1168,7 @@ ENGINE_BACKED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "file_hashes": _spark_file_hashes,
     "bd_dup_sets": _spark_bd_dup_sets,
     "t4_ngram_jaccard": _spark_t4_ngram_jaccard,
+    "t7_jaccard_join": _spark_t7_jaccard_join,
     "t3_lang_quality_fingerprint": _spark_lang_id,
     "t5_bpe_tokens": _spark_bpe_tokens,
     "t6_quality_features": _spark_quality_features,

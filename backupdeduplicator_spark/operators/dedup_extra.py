@@ -123,6 +123,20 @@ def simhash_pairs(
     return out
 
 
+def shingle_array_expr(text_col: str, k: int) -> str:
+    """SQL expression for the distinct char-k-gram array of ``text_col``
+    (JVM-side, whole-stage-codegen friendly): texts shorter than k but
+    non-empty yield one shingle = the whole text, mirroring
+    functions/shingles.py::shingle_hashes and oracle.char_shingles."""
+    return (
+        f"array_distinct(CASE WHEN length({text_col}) < {k} THEN "
+        f"CASE WHEN length({text_col}) = 0 THEN array() "
+        f"ELSE array({text_col}) END "
+        f"ELSE transform(sequence(1, length({text_col}) - {k} + 1), "
+        f"i -> substring({text_col}, i, {k})) END)"
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -135,22 +149,13 @@ def ngram_jaccard_pairs(
     count intersections, derive union via per-doc shingle counts.
 
     This is the ground-truth oracle for the MinHash tier (quadratic in
-    shared-shingle pairs — use at validation scale, not 100 TB).
+    shared-shingle pairs — use at validation scale; the scale path with
+    the SAME exact output is :func:`jaccard_join`).
     """
     shingles = (
         docs.select(
             F.col(id_col).alias("id"),
-            F.explode(
-                F.array_distinct(
-                    F.expr(
-                        f"CASE WHEN length({text_col}) < {k} THEN "
-                        f"CASE WHEN length({text_col}) = 0 THEN array() "
-                        f"ELSE array({text_col}) END "
-                        f"ELSE transform(sequence(1, length({text_col}) - {k} + 1), "
-                        f"i -> substring({text_col}, i, {k})) END"
-                    )
-                )
-            ).alias("sh"),
+            F.explode(F.expr(shingle_array_expr(text_col, k))).alias("sh"),
         )
     )
     counts = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
@@ -176,6 +181,126 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def jaccard_join(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.7,
+    max_bucket: int = 2000,
+    salt_buckets: int = 16,
+    count_first: bool | None = None,
+    report: dict | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """EXACT char-k-gram Jaccard pairs >= threshold via prefix filtering —
+    the scale path for :func:`ngram_jaccard_pairs`, same output.
+
+    The naive formulation self-joins EVERY shared shingle; one stopword-
+    like 5-gram (``'def f'`` over a source-code corpus) makes that join
+    quadratic in corpus size. Prefix filtering (Chaudhuri et al.'s
+    SSJoin primitive; Bayardo et al., WWW'07 AllPairs; Xiao et al.,
+    PPJoin) shrinks the join to the RARE end of each document's shingle
+    set, losslessly:
+
+    * order all shingles globally by (document frequency, shingle) —
+      no global rank is materialized, the (df, s) tuple itself is the
+      order, so the only new shuffle is the df-count join;
+    * each document joins on only its first ``n - ceil(t*n) + 1``
+      shingles in that order (its *prefix*). Any pair with
+      ``J >= t`` shares ``>= ceil(t*max(n1,n2))`` shingles, and a set
+      avoiding the other's prefix can share at most
+      ``ceil(t*n) - 1 < ceil(t*n)`` of them — so true pairs always
+      collide on a prefix shingle (both prefixes, as both are probe-
+      length); frequent boilerplate shingles land in nobody's prefix
+      and never generate candidates;
+    * candidates pass the length filter ``min(n1,n2) >= t*max(n1,n2)``
+      (J <= n_min/n_max), then verify EXACTLY via one
+      ``array_intersect`` per surviving pair — arrays are re-joined per
+      candidate (doc-sized, like the MinHash tier's signature rejoin),
+      never carried through the prefix shuffle.
+
+    Prefix buckets route through the shared bounded kernel
+    (operators/buckets.py): a degenerate key (corpus of near-identical
+    docs whose RAREST shingle is still shared by millions) is dropped +
+    accounted via ``report['oversized']`` instead of exploding one task
+    — the engine-wide no-unbounded-bucket rule. On benign corpora no
+    bucket reaches ``max_bucket`` and the output equals the naive
+    formulation exactly (pinned by tests and the t7 driver oracle).
+    """
+    from .buckets import bounded_bucket_pairs
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from pyspark.sql.window import Window
+
+    eps = 1e-9  # float guard: never SHRINK a prefix/filter via FP error
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.expr(shingle_array_expr(text_col, k)).alias("shs"),
+    ).withColumn("n", F.size("shs"))
+    if materialize:
+        # reused by the df count, the prefix, and both verify rejoin
+        # sides; eager count = the AQE leaf-race barrier (persisted
+        # frames consumed by concurrent leaf stages compute twice)
+        base = base.persist()
+        base.count()
+    sh = base.select("id", "n", F.explode("shs").alias("s"))
+    df_tab = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    required = F.ceil(F.lit(threshold) * F.col("n") - F.lit(eps)).cast("int")
+    prefix = (
+        sh.join(df_tab, "s")
+        .withColumn(
+            "r",
+            F.row_number().over(Window.partitionBy("id").orderBy("df", "s")),
+        )
+        .filter(F.col("r") <= F.col("n") - required + F.lit(1))
+        .select("s", F.struct(F.col("id"), F.col("n")).alias("m"))
+    )
+    pairs_raw, oversized = bounded_bucket_pairs(
+        prefix, ["s"], "m", max_bucket,
+        salt_buckets=salt_buckets, count_first=count_first,
+    )
+    if report is not None:
+        report["oversized"] = oversized
+    cand = (
+        pairs_raw.select(
+            F.col("m1.id").alias("id1"), F.col("m1.n").alias("n1"),
+            F.col("m2.id").alias("id2"), F.col("m2.n").alias("n2"),
+        )
+        .filter(
+            F.least("n1", "n2").cast("double")
+            >= F.lit(threshold) * F.greatest("n1", "n2") - F.lit(eps)
+        )
+        .select("id1", "id2")
+        .distinct()
+    )
+    a = base.select(F.col("id").alias("id1"), F.col("shs").alias("sh1"))
+    b = base.select(F.col("id").alias("id2"), F.col("shs").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    out = (
+        cand.join(a, "id1")
+        .join(b, "id2")
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.size("sh1") + F.size("sh2") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+    )
+    if materialize:
+        # same lifecycle as simhash_pairs: truncate to the (small) pair
+        # set, materialize the accounting while the base cache is alive,
+        # then release the cache
+        out = out.localCheckpoint()
+        if report is not None:
+            report["oversized"] = report["oversized"].localCheckpoint()
+        base.unpersist()
+    return out
 
 
 def embedding_cosine_pairs(

@@ -11,8 +11,8 @@ from backupdeduplicator_spark.functions.text import (
     bpe_ish_token_count, doc_fingerprint, lang_id, quality_features,
     quality_score, simhash64, token_count)
 from backupdeduplicator_spark.operators.dedup_extra import (
-    embedding_cosine_pairs, ngram_jaccard_pairs, pairs_to_clusters,
-    simhash_pairs)
+    embedding_cosine_pairs, jaccard_join, ngram_jaccard_pairs,
+    pairs_to_clusters, simhash_pairs)
 from backupdeduplicator_spark.operators.similarity import (
     cosine_topk_bruteforce, cosine_topk_lsh)
 
@@ -112,6 +112,57 @@ def test_ngram_jaccard_matches_oracle(spark, docs):
     assert set(got) == set(expected)
     for k, v in expected.items():
         assert abs(got[k] - v) < 1e-4, k
+
+
+def _pair_map(df):
+    return {(r["id1"], r["id2"]): r["jaccard"] for r in df.collect()}
+
+
+@pytest.mark.parametrize("threshold", [0.2, 0.5, 0.8])
+def test_jaccard_join_equals_naive(spark, docs, threshold):
+    # prefix filtering is lossless: the scale path must reproduce the
+    # naive shingle self-join EXACTLY (pairs and values)
+    sample = docs.limit(120).cache()
+    naive = _pair_map(ngram_jaccard_pairs(sample, threshold=threshold))
+    fast = _pair_map(jaccard_join(sample, threshold=threshold))
+    assert fast == naive
+    if threshold == 0.2:
+        assert naive  # non-vacuous at the loose threshold
+
+
+def test_jaccard_join_count_first_equality(spark, docs):
+    sample = docs.limit(60).cache()
+    naive = _pair_map(ngram_jaccard_pairs(sample, threshold=0.3))
+    fast = _pair_map(jaccard_join(sample, threshold=0.3, count_first=True))
+    assert fast == naive
+
+
+def test_jaccard_join_degenerate_bucket_capped_and_accounted(spark):
+    # 60 identical docs: every prefix shingle's bucket holds all 60
+    # members. With max_bucket=10 the kernel must DROP + account every
+    # bucket (bounded memory, no silent loss); with a sane cap the full
+    # clique comes back at jaccard 1.0.
+    rows = [(i, "boilerplate header licence text common to all files")
+            for i in range(60)]
+    docs60 = spark.createDataFrame(rows, ["doc_id", "text"])
+    report: dict = {}
+    capped = jaccard_join(docs60, threshold=0.8, max_bucket=10,
+                          report=report, count_first=True)
+    assert capped.count() == 0
+    over = report["oversized"].collect()
+    assert over and all(r["bn"] == 60 for r in over)
+    full = jaccard_join(docs60, threshold=0.8, max_bucket=100)
+    got = _pair_map(full)
+    assert len(got) == 60 * 59 // 2
+    assert set(got.values()) == {1.0}
+
+
+def test_jaccard_join_short_and_empty_docs(spark):
+    rows = [(1, ""), (2, "ab"), (3, "ab"), (4, "abcdefgh"), (5, "abcdefgh")]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    naive = _pair_map(ngram_jaccard_pairs(d, threshold=0.5))
+    fast = _pair_map(jaccard_join(d, threshold=0.5))
+    assert fast == naive == {(2, 3): 1.0, (4, 5): 1.0}
 
 
 def test_bruteforce_topk_sane(spark, emb):
