@@ -174,8 +174,14 @@ def cmd_clean(args) -> int:
         from .operators.clean import subtree_filter
 
         # the reference lexically normalizes user-supplied paths at CLI
-        # parse time (main.rs:154-156) — 'a/b/../c' selects subtree 'a/c'
-        cleaned = subtree_filter(cleaned, normalize_rel_path(args.root))
+        # parse time (main.rs:154-156) — 'a/b/../c' selects subtree 'a/c';
+        # a root escaping the repo ('../x') is an error, not a remap
+        try:
+            root = normalize_rel_path(args.root, strict=True)
+        except ValueError as e:
+            print(f"clean: invalid --root: {e}")
+            return 2
+        cleaned = subtree_filter(cleaned, root)
     ck.write(cleaned, "entries", lineage={"stage": "clean"})
     print(f"clean: {ck.manifest('entries')['rows']} entries survive")
     return 0

@@ -78,19 +78,32 @@ def to_lexical_absolute(col: str | Column, base: str | Column = "/") -> Column:
     return F.concat(F.lit("/"), F.array_join(_fold_segments(F.split(full, "/")), "/"))
 
 
-def normalize_rel_path(path: str) -> str:
+def normalize_rel_path(path: str, strict: bool = False) -> str:
     """Driver-side twin of :func:`to_lexical_absolute` for repo-relative
     CLI arguments (the reference normalizes user-supplied paths at
     parse time, main.rs:154-156): same component fold, returned
     WITHOUT the leading '/' so it compares against the engine's
-    repo-relative ``path`` column ('' = repo root, FIXTURES.md §1)."""
+    repo-relative ``path`` column ('' = repo root, FIXTURES.md §1).
+
+    ``strict=True`` raises ValueError when the path pops PAST the repo
+    root ('../x'): the reference resolves such a path against cwd and
+    then requires it to exist, so it can never alias back into the
+    tree — silently clamping would remap an outside path onto an
+    unrelated in-repo subtree."""
     out: list[str] = []
+    escaped = False
     for seg in path.split("/"):
         if seg in ("", "."):
             continue
         if seg == "..":
             if out:
                 out.pop()
+            else:
+                escaped = True
             continue
         out.append(seg)
+    if strict and escaped:
+        raise ValueError(
+            f"path {path!r} escapes the repo root (leading '..')"
+        )
     return "/".join(out)

@@ -259,6 +259,14 @@ def jaccard_join(
         .filter(F.col("r") <= F.col("n") - required + F.lit(1))
         .select("s", F.struct(F.col("id"), F.col("n")).alias("m"))
     )
+    if materialize:
+        # the kernel scans its bucket table 2-3x (skew probe, salted
+        # phase — or counts + anti-join on the count-first plan); without
+        # this cache each scan re-runs the df join + per-doc window sort,
+        # the scale path's heaviest stage (buckets.py tells callers to
+        # persist exactly this)
+        prefix = prefix.persist()
+        prefix.count()
     pairs_raw, oversized = bounded_bucket_pairs(
         prefix, ["s"], "m", max_bucket,
         salt_buckets=salt_buckets, count_first=count_first,
@@ -294,11 +302,12 @@ def jaccard_join(
     )
     if materialize:
         # same lifecycle as simhash_pairs: truncate to the (small) pair
-        # set, materialize the accounting while the base cache is alive,
-        # then release the cache
+        # set, materialize the accounting while the caches are alive,
+        # then release them
         out = out.localCheckpoint()
         if report is not None:
             report["oversized"] = report["oversized"].localCheckpoint()
+        prefix.unpersist()
         base.unpersist()
     return out
 

@@ -50,6 +50,16 @@ def test_normalize_rel_path_cli_twin():
     assert normalize_rel_path("./a//b/") == "a/b"
     assert normalize_rel_path("../..") == ""
     assert normalize_rel_path("..data/x") == "..data/x"
+    # strict mode: escaping the repo root is an error (the CLI refuses
+    # to remap an outside --root onto an in-repo subtree), but '..'
+    # that stays inside the tree is fine
+    import pytest
+
+    with pytest.raises(ValueError):
+        normalize_rel_path("../other", strict=True)
+    with pytest.raises(ValueError):
+        normalize_rel_path("a/../../b", strict=True)
+    assert normalize_rel_path("a/b/../c", strict=True) == "a/c"
     for p, b, want in CASES:
         if p.startswith("/"):
             assert "/" + normalize_rel_path(p) == want
