@@ -130,3 +130,22 @@ def test_bounded_kernel_salted_plan_is_two_exchange(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
     # each exchange sits between a partial and a final ObjectHashAggregate
     assert len(re.findall(r"\(\d+\) ObjectHashAggregate", plan)) == 4
+
+
+def test_jaccard_join_plan_shape(spark):
+    """The prefix-filtered Jaccard scale path (PLANS.md 'jaccard join'):
+    fully JVM-side (no ArrowEvalPython anywhere), no CartesianProduct,
+    one Window (the per-doc df-order prefix rank) fed by an id-hash
+    Exchange, and the bounded kernel's salted shape underneath."""
+    from backupdeduplicator_spark.operators.dedup_extra import jaccard_join
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(jaccard_join(docs, threshold=0.7, materialize=False,
+                              count_first=False))
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan, "prefix path must stay JVM-side"
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    # the salted kernel is present (its phase-1 grouping key)
+    assert "_salt" in plan

@@ -97,6 +97,15 @@ def main() -> None:
                                count_first=False)),
     ))
 
+    from backupdeduplicator_spark.operators.dedup_extra import jaccard_join
+
+    sections.append((
+        "jaccard join (prefix-filtered exact Jaccard: df-ordered "
+        "prefixes, bounded buckets, array_intersect verify)",
+        _explain(jaccard_join(docs, threshold=0.7, materialize=False,
+                              count_first=False)),
+    ))
+
     out = ["# PLANS — formatted physical plans of the headline queries\n",
            f"Generated from `{sf_dir}`. Reviewed for: parquet pushdown, "
            "no content/vector/children payloads in any Exchange "
