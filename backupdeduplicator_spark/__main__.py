@@ -310,6 +310,15 @@ def cmd_docdedup(args) -> int:
                 docs, out, id_col=args.id_col, text_col=args.text_col,
                 min_lcs=args.min_lcs,
             )
+    elif args.tier == "exactspans":
+        # ExactSubstr duplicated byte-range output (Lee et al. 2022):
+        # (id, span_start, span_end) maximal runs whose every min_span-
+        # gram occurs >= 2 times in the corpus
+        from .operators.substring import exact_substring_spans
+
+        out = exact_substring_spans(docs, id_col=args.id_col,
+                                    text_col=args.text_col,
+                                    min_len=args.min_span)
     else:  # jaccard — EXACT pairs via the prefix-filtered scale path
         # (identical output to the naive shingle self-join, pinned by
         # tests + the t7 driver oracle; boilerplate prefix buckets are
@@ -331,7 +340,8 @@ def cmd_docdedup(args) -> int:
         else:
             print(f"docdedup: WARNING --verify-jaccard applies to the "
                   f"simhash/substring pair tiers only; ignored for "
-                  f"--tier {args.tier} (exact/jaccard are already exact; "
+                  f"--tier {args.tier} (exact/jaccard/exactspans are "
+                  f"already exact; "
                   f"audit minhash clusters with cluster_quality_report)")
     out.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
@@ -471,7 +481,10 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--output", required=True)
     dd.add_argument("--tier", default="minhash",
                     choices=["exact", "minhash", "simhash", "substring",
-                             "jaccard"])
+                             "jaccard", "exactspans"])
+    dd.add_argument("--min-span", type=int, default=50, dest="min_span",
+                    help="exactspans tier: minimum duplicated run length "
+                         "in characters (Lee et al. 2022 default 50)")
     dd.add_argument("--id-col", default="doc_id", dest="id_col")
     dd.add_argument("--text-col", default="text", dest="text_col")
     dd.add_argument("--threshold", type=float, default=0.55)

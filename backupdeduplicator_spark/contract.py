@@ -283,6 +283,44 @@ def q_t7_jaccard_join(d: D) -> str:
     return _q_ngram_jaccard(d, 0.35)
 
 
+def q_x6_exact_substring_spans(d: D) -> str:
+    """ExactSubstr duplicated spans (Lee et al. 2022) at L=32 over
+    documents: maximal 1-based char ranges whose every 32-gram occurs
+    >= 2 times in the corpus. The oracle recomputes TRUE grams
+    (string equality); the engine twin groups positions by 128-bit
+    prefix-doubling signatures — the driver hash-compare is therefore
+    also a corpus-scale probe of the signature scheme's exactness."""
+    L = 32
+    if d.dialect == "spark":
+        pos = (
+            f"SELECT doc_id, explode(CASE WHEN length(text) < {L} THEN array() "
+            f"ELSE sequence(1, length(text) - {L} + 1) END) AS p, text "
+            f"FROM documents"
+        )
+        gram = f"substring(text, p, {L})"
+    else:
+        pos = (
+            f"SELECT doc_id, unnest(CASE WHEN length(text) < {L} THEN "
+            f"CAST([] AS BIGINT[]) ELSE range(1, length(text) - {L} + 2) END) "
+            f"AS p, text FROM documents"
+        )
+        gram = f"substr(text, CAST(p AS INTEGER), {L})"
+    return (
+        f"WITH pos AS ({pos}), "
+        f"grams AS (SELECT doc_id, p, {gram} AS g FROM pos), "
+        f"dupg AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2), "
+        f"dup AS (SELECT doc_id, p FROM grams WHERE g IN (SELECT g FROM dupg)), "
+        f"isl AS (SELECT doc_id, p, CASE WHEN p - lag(p) OVER "
+        f"(PARTITION BY doc_id ORDER BY p) <= {L} THEN 0 ELSE 1 END AS brk "
+        f"FROM dup), "
+        f"isl2 AS (SELECT doc_id, p, SUM(brk) OVER (PARTITION BY doc_id "
+        f"ORDER BY p ROWS UNBOUNDED PRECEDING) AS island FROM isl) "
+        f"SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start, "
+        f"CAST(MAX(p) + {L} - 1 AS BIGINT) AS span_end "
+        f"FROM isl2 GROUP BY doc_id, island"
+    )
+
+
 def _q_ngram_jaccard(d: D, threshold: float) -> str:
     if d.dialect == "spark":
         shingles = (
@@ -838,6 +876,7 @@ SQL_QUERIES: dict[str, Callable[[D], str]] = {
     "x5_substring_lcs_planted": q_x5_substring_lcs_planted,
     "x1_simhash_pairs": q_x1_simhash_pairs,
     "x2_substring_dup_pairs": q_x2_substring_dup_pairs,
+    "x6_exact_substring_spans": q_x6_exact_substring_spans,
     "near_dup_clusters": q_near_dup_clusters,
     "m1_media_exact_dups": q_m1_media_exact_dups,
     "v1_video_frame_dups": q_v1_video_frame_dups,
@@ -1317,7 +1356,20 @@ def _spark_video_frame_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spark_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine twin for x6: prefix-doubling signature grouping
+    (substring.exact_substring_spans) vs the oracle's string-true gram
+    recount — spans must match exactly (a signature collision anywhere
+    in the corpus would break the hash compare)."""
+    from .operators.substring import exact_substring_spans
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return exact_substring_spans(spark.table("documents"), min_len=32)
+
+
 ENGINE_BACKED["x2_substring_dup_pairs"] = _spark_substring_pairs
+ENGINE_BACKED["x6_exact_substring_spans"] = _spark_exact_substring_spans
 ENGINE_BACKED["near_dup_clusters"] = _spark_near_dup_clusters
 ENGINE_BACKED["m1_media_exact_dups"] = _spark_media_exact_dups
 ENGINE_BACKED["v1_video_frame_dups"] = _spark_video_frame_dups

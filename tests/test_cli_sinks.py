@@ -138,10 +138,12 @@ def test_cli_docdedup_tiers(spark, tmp_path):
     src = str(tmp_path / "docs.parquet")
     docs.to_parquet(src)
     for tier, min_rows in [("exact", 1), ("minhash", 3), ("simhash", 1),
-                           ("substring", 1), ("jaccard", 1)]:
+                           ("substring", 1), ("jaccard", 1),
+                           ("exactspans", 2)]:
         out = str(tmp_path / f"out_{tier}")
         rc = main(["docdedup", "--input", src, "--output", out,
-                   "--tier", tier, "--cores", "4"])
+                   "--tier", tier, "--cores", "4",
+                   *(["--min-span", "32"] if tier == "exactspans" else [])])
         assert rc == 0
         got = spark.read.parquet(out)
         assert got.count() >= min_rows, tier

@@ -149,3 +149,27 @@ def test_jaccard_join_plan_shape(spark):
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
     # the salted kernel is present (its phase-1 grouping key)
     assert "_salt" in plan
+
+
+def test_exact_substring_spans_plan_shape(spark):
+    """ExactSubstr spans (PLANS.md 'exact substring spans'): fully
+    JVM-side, no CartesianProduct, and — the tier's whole point — the
+    text column is confined to the scan/generate stage: no Exchange
+    partitions on or carries `text` (gram bytes never shuffle, only
+    24-byte (id, pos, sig) rows)."""
+    from backupdeduplicator_spark.operators.substring import (
+        exact_substring_spans)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(exact_substring_spans(docs, min_len=32,
+                                       materialize=False))
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line and "hashpartitioning" in line:
+            assert "text" not in line, line
+    # doubling schedule for L=32 from seed 8: two shifted self-joins
+    # (8->16->32) + the dup-count join
+    import re
+
+    assert len(re.findall(r"\(\d+\) SortMergeJoin|\(\d+\) ShuffledHashJoin|\(\d+\) BroadcastHashJoin", plan)) >= 3

@@ -125,3 +125,84 @@ def test_verify_substring_pairs(spark):
     assert (
         verify_substring_pairs(docs, cand, min_lcs=10_000).count() == 0
     )
+
+
+def _brute_spans(rows, L):
+    """String-true ExactSubstr model: count every char L-gram across the
+    corpus, mark positions whose gram occurs >= 2 times, merge positions
+    with gap <= L into maximal inclusive 1-based spans."""
+    from collections import Counter
+
+    grams = Counter()
+    for _, t in rows:
+        for p in range(1, len(t) - L + 2):
+            grams[t[p - 1:p - 1 + L]] += 1
+    out = []
+    for i, t in rows:
+        dup = [p for p in range(1, len(t) - L + 2)
+               if grams[t[p - 1:p - 1 + L]] >= 2]
+        if not dup:
+            continue
+        start = prev = dup[0]
+        for p in dup[1:]:
+            if p - prev <= L:
+                prev = p
+            else:
+                out.append((i, start, prev + L - 1))
+                start = prev = p
+        out.append((i, start, prev + L - 1))
+    return sorted(out)
+
+
+def _got_spans(spark, rows, L):
+    from backupdeduplicator_spark.operators.substring import (
+        exact_substring_spans)
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    return sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in exact_substring_spans(df, min_len=L).collect()
+    )
+
+
+def test_exact_substring_spans_planted(spark):
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, "AAA " + shared + " tail one unique aaaaaa"),
+        (2, "prefix two unique " + shared + " zzz"),
+        (3, "no duplication here at all, totally unique content x"),
+        (4, "self repeat self repeat self repeat self repeat END"),
+        (5, ""),
+        (6, "short"),
+        (7, shared),  # a whole duplicated document
+    ]
+    for L in (8, 16, 32, 50):
+        got = _got_spans(spark, rows, L)
+        assert got == _brute_spans(rows, L), L
+    # the planted run is detected end-to-end at L=32
+    got32 = dict(((i, s), e) for i, s, e in _got_spans(spark, rows, 32))
+    assert (7, 1) in got32 and got32[(7, 1)] == len(shared)
+
+
+def test_exact_substring_spans_randomized(spark):
+    # small alphabet -> organic repeats; signature grouping must equal
+    # the string-true model exactly
+    import random
+
+    rng = random.Random(1234)
+    rows = [
+        (i, "".join(rng.choices("ab", k=rng.randint(0, 60))))
+        for i in range(40)
+    ]
+    for L in (8, 12):
+        assert _got_spans(spark, rows, L) == _brute_spans(rows, L), L
+
+
+def test_exact_substring_spans_adjacent_merge(spark):
+    # two occurrences of a 2L block: inside each doc the L-grams tile
+    # contiguously -> ONE maximal span per doc covering the whole block
+    block = "0123456789abcdef" * 4  # 64 chars
+    rows = [(1, block + "-x-"), (2, "yy " + block)]
+    got = _got_spans(spark, rows, 16)
+    assert got == _brute_spans(rows, 16)
+    assert (1, 1, 64) in got

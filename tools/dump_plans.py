@@ -106,6 +106,16 @@ def main() -> None:
                               count_first=False)),
     ))
 
+    from backupdeduplicator_spark.operators.substring import (
+        exact_substring_spans)
+
+    sections.append((
+        "exact substring spans (prefix-doubling signatures: thin-row "
+        "shifted self-joins, gram bytes never shuffle)",
+        _explain(exact_substring_spans(docs, min_len=32,
+                                       materialize=False)),
+    ))
+
     out = ["# PLANS — formatted physical plans of the headline queries\n",
            f"Generated from `{sf_dir}`. Reviewed for: parquet pushdown, "
            "no content/vector/children payloads in any Exchange "
