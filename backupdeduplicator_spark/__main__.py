@@ -312,10 +312,14 @@ def cmd_docdedup(args) -> int:
             )
     elif args.tier == "exactspans":
         # ExactSubstr duplicated byte-range output (Lee et al. 2022):
-        # (id, span_start, span_end) maximal runs whose every min_span-
-        # gram occurs >= 2 times in the corpus
+        # (id, span_start, span_end) maximal runs in which every char is
+        # covered by a min_span-gram occurring >= 2 times in the corpus
         from .operators.substring import exact_substring_spans
 
+        if args.min_span < 8:
+            print("docdedup: --min-span must be >= 8 (the signature "
+                  "seed length)")
+            return 2
         out = exact_substring_spans(docs, id_col=args.id_col,
                                     text_col=args.text_col,
                                     min_len=args.min_span)

@@ -285,26 +285,21 @@ def q_t7_jaccard_join(d: D) -> str:
 
 def q_x6_exact_substring_spans(d: D) -> str:
     """ExactSubstr duplicated spans (Lee et al. 2022) at L=32 over
-    documents: maximal 1-based char ranges whose every 32-gram occurs
-    >= 2 times in the corpus. The oracle recomputes TRUE grams
-    (string equality); the engine twin groups positions by 128-bit
-    prefix-doubling signatures — the driver hash-compare is therefore
-    also a corpus-scale probe of the signature scheme's exactness."""
+    documents: maximal 1-based char ranges in which EVERY character is
+    covered by some 32-gram occurring >= 2 times in the corpus. The
+    oracle recomputes TRUE grams (string equality); the engine twin
+    groups positions by 128-bit prefix-doubling signatures — the driver
+    hash-compare is therefore also a corpus-scale probe of the
+    signature scheme's exactness. The Spark side runs the engine
+    operator (ENGINE_BACKED); this SQL exists for the DuckDB dialect
+    only."""
     L = 32
-    if d.dialect == "spark":
-        pos = (
-            f"SELECT doc_id, explode(CASE WHEN length(text) < {L} THEN array() "
-            f"ELSE sequence(1, length(text) - {L} + 1) END) AS p, text "
-            f"FROM documents"
-        )
-        gram = f"substring(text, p, {L})"
-    else:
-        pos = (
-            f"SELECT doc_id, unnest(CASE WHEN length(text) < {L} THEN "
-            f"CAST([] AS BIGINT[]) ELSE range(1, length(text) - {L} + 2) END) "
-            f"AS p, text FROM documents"
-        )
-        gram = f"substr(text, CAST(p AS INTEGER), {L})"
+    pos = (
+        f"SELECT doc_id, unnest(CASE WHEN length(text) < {L} THEN "
+        f"CAST([] AS BIGINT[]) ELSE range(1, length(text) - {L} + 2) END) "
+        f"AS p, text FROM documents"
+    )
+    gram = f"substr(text, CAST(p AS INTEGER), {L})"
     return (
         f"WITH pos AS ({pos}), "
         f"grams AS (SELECT doc_id, p, {gram} AS g FROM pos), "

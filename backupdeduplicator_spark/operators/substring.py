@@ -200,8 +200,10 @@ def exact_substring_spans(
     seed_len: int = 8,
     materialize: bool = True,
 ) -> DataFrame:
-    """EXACT duplicated-span detection: every maximal character range
-    whose every ``min_len``-gram occurs >= 2 times in the corpus — the
+    """EXACT duplicated-span detection: the maximal character ranges in
+    which EVERY character is covered by some ``min_len``-gram occurring
+    >= 2 times in the corpus (positions whose grams duplicate, merged
+    while their windows overlap or touch — gap <= min_len) — the
     ExactSubstr deliverable of Lee et al., "Deduplicating Training Data
     Makes Language Models Better" (ACL 2022), whose reference
     implementation builds a corpus suffix array. Winnowing (above) is
@@ -234,24 +236,32 @@ def exact_substring_spans(
     (matching SQL ``substr``), span_end inclusive. Cost is inherently
     per-character (so is the suffix array): run it after the cheaper
     tiers, on suspect subsets, at the scale the corpus budget allows.
+    Per-document transient bound: the generate stage materializes one
+    position array of ~8 bytes/char per document (the hash projection
+    streams row-by-row behind it) — documents beyond ~100 MB of text
+    should be pre-chunked.
     """
     if min_len < seed_len:
         raise ValueError(f"min_len must be >= seed_len ({seed_len})")
     from pyspark.sql.window import Window
 
-    sigs = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.expr(
-                f"CASE WHEN length({text_col}) < {seed_len} THEN "
-                f"array() "
-                f"ELSE transform(sequence(1, length({text_col}) - {seed_len} + 1), "
-                f"p -> struct(CAST(p AS BIGINT) AS pos, "
-                f"xxhash64(substring({text_col}, p, {seed_len})) AS a, "
-                f"xxhash64(substring({text_col}, p, {seed_len}), 7) AS b)) END"
-            )
-        ).alias("x"),
-    ).select("id", "x.pos", "x.a", "x.b")
+    gram = f"substring(_t, pos, {seed_len})"
+    sigs = (
+        docs.filter(F.length(text_col) >= seed_len)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("_t"),
+            F.explode(
+                F.expr(f"sequence(1, length({text_col}) - {seed_len} + 1)")
+            ).alias("pos"),
+        )
+        .select(
+            "id",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.expr(f"xxhash64({gram})").alias("a"),
+            F.expr(f"xxhash64({gram}, 7)").alias("b"),
+        )
+    )
 
     def _extend(cur: DataFrame, shift: int) -> DataFrame:
         # sig'(p) = hash(sig(p), sig(p + shift)): the shifted copy joins
@@ -267,18 +277,29 @@ def exact_substring_spans(
             F.xxhash64("b", "b2", F.lit(7)).alias("b"),
         )
 
+    cached: list[DataFrame] = []
+
+    def _mat(df: DataFrame) -> DataFrame:
+        # every round's output has two consumers (each round self-joins
+        # its predecessor twice, and the final round feeds the count agg
+        # + the rejoin): without a per-round persist the seed stage is
+        # recomputed ~2^rounds times. Rolling window of ONE cached round:
+        # once round k is materialized, round k-1's blocks are freed.
+        if materialize:
+            df = df.persist()
+            df.count()
+            if cached:
+                cached.pop().unpersist()
+            cached.append(df)
+        return df
+
+    sigs = _mat(sigs)
     h = seed_len
     while h * 2 <= min_len:
-        sigs = _extend(sigs, h)
+        sigs = _mat(_extend(sigs, h))
         h *= 2
     if min_len - h > 0:
-        sigs = _extend(sigs, min_len - h)
-
-    if materialize:
-        # two consumers below (count agg + rejoin); without the cache the
-        # whole doubling chain runs twice
-        sigs = sigs.persist()
-        sigs.count()
+        sigs = _mat(_extend(sigs, min_len - h))
     counts = sigs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
     dup = sigs.join(counts.filter(F.col("c") >= 2), ["a", "b"]).select(
         "id", "pos"
