@@ -206,3 +206,16 @@ def test_exact_substring_spans_adjacent_merge(spark):
     got = _got_spans(spark, rows, 16)
     assert got == _brute_spans(rows, 16)
     assert (1, 1, 64) in got
+
+
+def test_exact_substring_spans_multibyte(spark):
+    # positions are CHARACTERS (SQL substr semantics), not bytes: CJK +
+    # emoji text must produce the same spans as the Python char model
+    shared = "数据去重引擎🚀" * 5  # 35 chars, multibyte
+    rows = [
+        (1, "前缀一" + shared + "后缀甲"),
+        (2, "另一个前缀" + shared),
+        (3, "无重复的独立内容" * 5),
+    ]
+    for L in (8, 16):
+        assert _got_spans(spark, rows, L) == _brute_spans(rows, L), L
