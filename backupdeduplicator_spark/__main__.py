@@ -316,9 +316,8 @@ def cmd_docdedup(args) -> int:
         # covered by a min_span-gram occurring >= 2 times in the corpus
         from .operators.substring import exact_substring_spans
 
-        if args.min_span < 8:
-            print("docdedup: --min-span must be >= 8 (the signature "
-                  "seed length)")
+        if args.min_span < 1:
+            print("docdedup: --min-span must be >= 1")
             return 2
         out = exact_substring_spans(docs, id_col=args.id_col,
                                     text_col=args.text_col,

@@ -198,6 +198,7 @@ def exact_substring_spans(
     text_col: str = "text",
     min_len: int = 32,
     seed_len: int = 8,
+    direct_hash_max: int = 64,
     materialize: bool = True,
 ) -> DataFrame:
     """EXACT duplicated-span detection: the maximal character ranges in
@@ -215,13 +216,18 @@ def exact_substring_spans(
     reproduced relationally without ever shuffling an L-byte gram:
 
     * seed: one JVM pass computes two independent xxhash64 signatures of
-      the ``seed_len``-gram at EVERY position (thin (id, pos, a, b)
-      rows — the text itself never leaves the scan stage);
-    * doubling rounds: sig_2h(p) = hash(sig_h(p), sig_h(p+h)) via a
-      self-join shifted by h — log2(min_len/seed_len) joins, each
-      shuffling ~24-byte rows (vs the L-factor blowup of exploding
-      grams; at min_len=50 that is the difference between shuffling
-      0.1x and 50x the corpus);
+      the seed-gram at EVERY position (thin (id, pos, a, b) rows — the
+      text itself never leaves the scan stage). For
+      ``min_len <= direct_hash_max`` the seed IS the full L-gram hash:
+      hashing 64 in-cache chars per position is far cheaper than even
+      one join, so the whole signature phase is a single scan with ZERO
+      self-joins;
+    * doubling rounds (only when ``min_len > direct_hash_max``):
+      sig_2h(p) = hash(sig_h(p), sig_h(p+h)) via a self-join shifted by
+      h — log2(min_len/seed_len) joins, each shuffling ~24-byte rows.
+      The per-position hash work stays O(seed_len) no matter how large
+      L grows (token-level L in the thousands), where direct hashing
+      would be O(L) per position;
     * arbitrary L from powers of two by the overlapping-window trick:
       first L chars agree iff the h-windows at p and at p+L-h agree
       (L/2 <= h <= L), one final shifted join;
@@ -241,7 +247,11 @@ def exact_substring_spans(
     streams row-by-row behind it) — documents beyond ~100 MB of text
     should be pre-chunked.
     """
-    if min_len < seed_len:
+    if min_len < 1:
+        raise ValueError("min_len must be >= 1")
+    if min_len <= direct_hash_max:
+        seed_len = min_len  # direct path: seed IS the L-gram, no rounds
+    elif min_len < seed_len:
         raise ValueError(f"min_len must be >= seed_len ({seed_len})")
     from pyspark.sql.window import Window
 

@@ -156,20 +156,31 @@ def test_exact_substring_spans_plan_shape(spark):
     JVM-side, no CartesianProduct, and — the tier's whole point — the
     text column is confined to the scan/generate stage: no Exchange
     partitions on or carries `text` (gram bytes never shuffle, only
-    24-byte (id, pos, sig) rows)."""
+    24-byte (id, pos, sig) rows). Both signature paths pinned."""
+    import re
+
     from backupdeduplicator_spark.operators.substring import (
         exact_substring_spans)
 
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    plan = _plan(exact_substring_spans(docs, min_len=32,
-                                       materialize=False))
-    assert "CartesianProduct" not in plan
-    assert "ArrowEvalPython" not in plan
-    for line in plan.splitlines():
-        if "Exchange" in line and "hashpartitioning" in line:
-            assert "text" not in line, line
-    # doubling schedule for L=32 from seed 8: two shifted self-joins
-    # (8->16->32) + the dup-count join
-    import re
+    def _joins(plan):
+        return len(re.findall(
+            r"\(\d+\) SortMergeJoin|\(\d+\) ShuffledHashJoin"
+            r"|\(\d+\) BroadcastHashJoin", plan))
 
-    assert len(re.findall(r"\(\d+\) SortMergeJoin|\(\d+\) ShuffledHashJoin|\(\d+\) BroadcastHashJoin", plan)) >= 3
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for kw, min_joins, max_joins in [
+        ({}, 1, 1),                      # direct path: dup-count join only
+        # doubling path: 8->16->32 + count join; the LAZY plan repeats
+        # each round's subtree in both sides of the next self-join
+        # (ReusedExchange consolidates at runtime; materialize=True
+        # truncates per round), so the textual count is 7, not 3
+        ({"direct_hash_max": 0}, 3, 8),
+    ]:
+        plan = _plan(exact_substring_spans(docs, min_len=32,
+                                           materialize=False, **kw))
+        assert "CartesianProduct" not in plan
+        assert "ArrowEvalPython" not in plan
+        for line in plan.splitlines():
+            if "Exchange" in line and "hashpartitioning" in line:
+                assert "text" not in line, line
+        assert min_joins <= _joins(plan) <= max_joins, (kw, _joins(plan))

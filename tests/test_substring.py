@@ -154,14 +154,14 @@ def _brute_spans(rows, L):
     return sorted(out)
 
 
-def _got_spans(spark, rows, L):
+def _got_spans(spark, rows, L, **kw):
     from backupdeduplicator_spark.operators.substring import (
         exact_substring_spans)
 
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     return sorted(
         (r["doc_id"], r["span_start"], r["span_end"])
-        for r in exact_substring_spans(df, min_len=L).collect()
+        for r in exact_substring_spans(df, min_len=L, **kw).collect()
     )
 
 
@@ -177,8 +177,12 @@ def test_exact_substring_spans_planted(spark):
         (7, shared),  # a whole duplicated document
     ]
     for L in (8, 16, 32, 50):
-        got = _got_spans(spark, rows, L)
-        assert got == _brute_spans(rows, L), L
+        # direct-hash path (default for L <= 64) AND the prefix-doubling
+        # path (forced via direct_hash_max=0) must both equal the
+        # string-true model
+        want = _brute_spans(rows, L)
+        assert _got_spans(spark, rows, L) == want, L
+        assert _got_spans(spark, rows, L, direct_hash_max=0) == want, L
     # the planted run is detected end-to-end at L=32
     got32 = dict(((i, s), e) for i, s, e in _got_spans(spark, rows, 32))
     assert (7, 1) in got32 and got32[(7, 1)] == len(shared)
