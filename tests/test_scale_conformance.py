@@ -97,3 +97,12 @@ def test_empty_corpus_end_to_end(spark):
     docs = spark.createDataFrame([], "doc_id long, text string")
     assert simhash_pairs(docs).count() == 0
     assert substring_duplicate_pairs(docs).count() == 0
+
+    from backupdeduplicator_spark.operators.dedup_extra import jaccard_join
+    from backupdeduplicator_spark.operators.substring import (
+        exact_substring_spans)
+
+    assert jaccard_join(docs, threshold=0.5, count_first=False).count() == 0
+    assert exact_substring_spans(docs, min_len=32).count() == 0
+    assert exact_substring_spans(docs, min_len=32,
+                                 direct_hash_max=0).count() == 0
