@@ -249,8 +249,13 @@ def exact_substring_spans(
     """
     if min_len < 1:
         raise ValueError("min_len must be >= 1")
+    if seed_len < 1:
+        raise ValueError("seed_len must be >= 1")  # 0 loops forever below
     if min_len <= direct_hash_max:
-        seed_len = min_len  # direct path: seed IS the L-gram, no rounds
+        # direct path: the seed IS the L-gram, no rounds. NOTE: this
+        # overrides a caller-passed seed_len — to force the doubling
+        # path (custom seed experiments), pass direct_hash_max=0.
+        seed_len = min_len
     elif min_len < seed_len:
         raise ValueError(f"min_len must be >= seed_len ({seed_len})")
     from pyspark.sql.window import Window
@@ -268,8 +273,14 @@ def exact_substring_spans(
         .select(
             "id",
             F.col("pos").cast("bigint").alias("pos"),
+            # the salt must come FIRST: Spark folds multi-arg xxhash64
+            # left-to-right with the running hash as the next seed, so
+            # xxhash64(gram, 7) would be a pure function of
+            # xxhash64(gram) (zero added collision resistance), while
+            # xxhash64(7, gram) hashes the gram under an independent
+            # effective seed — a true second 64-bit chain
             F.expr(f"xxhash64({gram})").alias("a"),
-            F.expr(f"xxhash64({gram}, 7)").alias("b"),
+            F.expr(f"xxhash64(7, {gram})").alias("b"),
         )
     )
 

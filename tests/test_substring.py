@@ -223,3 +223,19 @@ def test_exact_substring_spans_multibyte(spark):
     ]
     for L in (8, 16):
         assert _got_spans(spark, rows, L) == _brute_spans(rows, L), L
+
+
+def test_exact_substring_spans_validation(spark):
+    import pytest
+
+    from backupdeduplicator_spark.operators.substring import (
+        exact_substring_spans)
+
+    d = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        exact_substring_spans(d, min_len=0)
+    with pytest.raises(ValueError):  # seed 0 would loop forever
+        exact_substring_spans(d, min_len=100, seed_len=0)
+    with pytest.raises(ValueError):  # doubling path: min_len < seed
+        exact_substring_spans(d, min_len=100, seed_len=200,
+                              direct_hash_max=0)
