@@ -408,6 +408,45 @@ def cmd_mediadedup(args) -> int:
     return 0
 
 
+def cmd_codeclone(args) -> int:
+    """Code-clone tiers over a (repo, path, content) source-code table.
+
+    ``type2``: exact groups on the sha256 of the NiCad-style normalized
+    form (comments/layout stripped, literals folded, identifiers blind-
+    renamed) — type-1 + type-2 clone classes, zero Python in the hot
+    path. ``near``: the same normalization feeding the MinHash/LSH/CC
+    near-dup tier — type-3 (near-miss) clones whose members differ by
+    added/removed statements, rename-insensitively. Caps are accounted,
+    never silent."""
+    from .operators.clones import code_clone_groups, normalize_code
+
+    spark = _spark(args)
+    src = spark.read.parquet(args.input)
+    report: dict = {}
+    if args.tier == "type2":
+        out = code_clone_groups(src, min_members=args.min_members,
+                                max_members=args.max_members)
+    else:  # near — type-3 via the bounded MinHash tier on normalized text
+        from .operators.minhash import near_duplicate_clusters
+
+        corpus = src.select("repo", "path",
+                            normalize_code("content").alias("content"))
+        out = near_duplicate_clusters(
+            corpus, sim_threshold=args.threshold, report=report)
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    if "oversized" in report:
+        dropped, rows = report["oversized"].agg(
+            F.count(F.lit(1)), F.sum("bn")
+        ).collect()[0]
+        if dropped:
+            print(f"codeclone: WARNING {dropped} oversized LSH buckets "
+                  f"dropped ({rows} member rows) — raise the cap to trade "
+                  f"runtime for recall")
+    print(f"codeclone[{args.tier}]: {n} rows -> {args.output}")
+    return 0
+
+
 def cmd_pipeline(args) -> int:
     from .plans.pipeline import run_pipeline
     from .sinks import write_dupsets_jsonl
@@ -529,6 +568,26 @@ def main(argv: list[str] | None = None) -> int:
                     help="exact tier: member-list cap per dup set "
                          "(n_members stays exact)")
     md.set_defaults(fn=cmd_mediadedup)
+
+    cc = sub.add_parser("codeclone", parents=[common])
+    cc.add_argument("--input", required=True,
+                    help="parquet table of (repo, path, content) source "
+                         "files")
+    cc.add_argument("--output", required=True)
+    cc.add_argument("--tier", default="type2", choices=["type2", "near"],
+                    help="type2 = exact groups on the normalized form "
+                         "(rename/literal/comment/layout-insensitive); "
+                         "near = MinHash/LSH clusters over the normalized "
+                         "token stream (type-3 near-miss clones)")
+    cc.add_argument("--threshold", type=float, default=0.55,
+                    help="near tier: estimated-Jaccard agreement threshold")
+    cc.add_argument("--min-members", type=int, default=2,
+                    dest="min_members")
+    cc.add_argument("--max-members", type=int, default=10000,
+                    dest="max_members",
+                    help="type2 tier: member-list cap per clone group "
+                         "(n_members stays exact)")
+    cc.set_defaults(fn=cmd_codeclone)
 
     df_ = sub.add_parser("diff", parents=[common])
     df_.add_argument("--a", required=True,

@@ -839,6 +839,80 @@ def q_v1_video_frame_dups(d: D) -> str:
     )
 
 
+# Synthetic source-code corpus for the clone tier: 12 structural shapes
+# (3 statement templates x 0..3 trailing accumulator statements), with
+# identifiers and literals varying per doc_id — so type-2 grouping (rename/
+# literal/comment/layout-insensitive) is exercised, not just exact dedup.
+# Every 10th file is mirrored byte-identically under another repo/path so
+# groups also contain type-1 (n_variants < n_members) members. Plain
+# string SQL valid in BOTH dialects (||, CASE, repeat, CAST AS STRING).
+_CLONE_CORPUS_SQL = """
+WITH code0 AS (
+  SELECT doc_id,
+    CASE doc_id % 3
+      WHEN 0 THEN 'int v' || CAST(doc_id AS STRING) || ' = '
+        || CAST(doc_id % 7 AS STRING) || ';  /* init v'
+        || CAST(doc_id AS STRING) || ' */ if (v'
+        || CAST(doc_id AS STRING) || ' > '
+        || CAST((doc_id * 3) % 11 AS STRING) || ') { return v'
+        || CAST(doc_id AS STRING) || '; }'
+      WHEN 1 THEN 'while (ctr' || CAST(doc_id AS STRING) || ' < '
+        || CAST(doc_id % 7 AS STRING) || ') { ctr'
+        || CAST(doc_id AS STRING) || ' = ctr'
+        || CAST(doc_id AS STRING) || ' + '
+        || CAST((doc_id * 3) % 11 AS STRING) || '; } // bump'
+      ELSE 'char *buf' || CAST(doc_id AS STRING) || ' = "lit'
+        || CAST(doc_id % 7 AS STRING) || '"; emit(buf'
+        || CAST(doc_id AS STRING) || ', '
+        || CAST((doc_id * 3) % 11 AS STRING) || ');'
+    END || repeat(' acc' || CAST(doc_id AS STRING) || ' = acc'
+        || CAST(doc_id AS STRING) || ' + '
+        || CAST((doc_id * 3) % 11 AS STRING) || ';',
+        CAST(doc_id % 4 AS INT)) AS content
+  FROM documents),
+corpus AS (
+  SELECT 'org-' || CAST(doc_id % 5 AS STRING) AS repo,
+         'src/c' || CAST(doc_id AS STRING) || '.c' AS path,
+         content
+  FROM code0
+  UNION ALL
+  SELECT 'fork-' || CAST(doc_id % 5 AS STRING) AS repo,
+         'vendor/c' || CAST(doc_id AS STRING) || '.c' AS path,
+         content
+  FROM code0 WHERE doc_id % 10 = 0)
+"""
+
+
+def q_cc1_code_clone_groups(d: D) -> str:
+    """Type-2 code-clone groups (operators/clones.py): NiCad-style blind
+    renaming — comments stripped, string/number literals folded to S/N,
+    identifiers renamed to V behind the keyword keep-list — then groups
+    by sha256 of the normalized form. The Spark side runs the engine
+    operator (built-in regexp_replace chain + salted capped member
+    collect); this SQL renders the IDENTICAL normalization steps
+    (clones._norm_steps, single source of truth) as RE2 via
+    D.re_replace, so a value match proves chain parity across regex
+    engines. n_variants = distinct raw contents per group (>1 = genuine
+    type-2 renames; the mirrored files contribute type-1 members).
+    Members uncapped at driver scale (cap 1000 >> group size)."""
+    from .operators.clones import CLONE_KEYWORDS, _norm_steps
+
+    norm = "content"
+    for pat, rep in _norm_steps(CLONE_KEYWORDS):
+        norm = d.re_replace(norm, pat, rep)
+    member = "repo || '/' || path"
+    return (
+        f"{_CLONE_CORPUS_SQL}, "
+        f"normed AS (SELECT repo, path, content, trim({norm}) AS norm "
+        f"FROM corpus) "
+        f"SELECT {d.sha256('norm')} AS clone_hash, "
+        f"COUNT(*) AS n_members, "
+        f"COUNT(DISTINCT {d.sha256('content')}) AS n_variants, "
+        f"{d.sorted_concat(member, ',')} AS members "
+        f"FROM normed GROUP BY {d.sha256('norm')} HAVING COUNT(*) >= 2"
+    )
+
+
 SQL_QUERIES: dict[str, Callable[[D], str]] = {
     "file_hashes": q_file_hashes,
     "p1_collision_filter": q_p1_collision_filter,
@@ -875,6 +949,7 @@ SQL_QUERIES: dict[str, Callable[[D], str]] = {
     "near_dup_clusters": q_near_dup_clusters,
     "m1_media_exact_dups": q_m1_media_exact_dups,
     "v1_video_frame_dups": q_v1_video_frame_dups,
+    "cc1_code_clone_groups": q_cc1_code_clone_groups,
 }
 
 
@@ -1366,8 +1441,31 @@ def _spark_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 ENGINE_BACKED["x2_substring_dup_pairs"] = _spark_substring_pairs
 ENGINE_BACKED["x6_exact_substring_spans"] = _spark_exact_substring_spans
 ENGINE_BACKED["near_dup_clusters"] = _spark_near_dup_clusters
+def _spark_code_clone_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clone tier end-to-end through the engine operator: the synthetic
+    code corpus (shared SQL text with the oracle) flows through
+    code_clone_groups — JVM regexp_replace normalization chain + salted
+    capped two-phase member collect + distinct-variant count — and is
+    projected to the oracle-comparable columns (members as the sorted
+    comma string; cap 1000 is never reached at sf0.01, so membership is
+    exact)."""
+    from .operators.clones import code_clone_groups
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    corpus = spark.sql(f"{_CLONE_CORPUS_SQL} SELECT * FROM corpus")
+    groups = code_clone_groups(corpus, max_members=1000)
+    return groups.select(
+        "clone_hash",
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("n_variants").cast("long").alias("n_variants"),
+        F.concat_ws(",", "members").alias("members"),
+    )
+
+
 ENGINE_BACKED["m1_media_exact_dups"] = _spark_media_exact_dups
 ENGINE_BACKED["v1_video_frame_dups"] = _spark_video_frame_dups
+ENGINE_BACKED["cc1_code_clone_groups"] = _spark_code_clone_groups
 
 # every query now has a DuckDB twin; the dict stays as the hook for
 # genuinely non-SQL-expressible future ops (custom stateful streaming)

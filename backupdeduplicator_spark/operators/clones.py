@@ -1,0 +1,187 @@
+"""Type-2 (identifier-renamed) code-clone detection.
+
+Reference parity: BackupDeduplicator groups only byte-identical content
+(sha256 equality, `/root/reference/src/stages/analyze/cmd.rs` dup-set
+formation). This tier applies the same group-formation semantics to
+*normalized* source text — NiCad-style "blind renaming": comments
+stripped, string/number literals folded to placeholder tokens ``S``/``N``,
+identifiers renamed to ``V`` behind a keyword keep-list, whitespace
+collapsed — so files that differ only in identifier names, literal
+values, comments, or layout land in one clone group (the classic
+type-1/type-2 clone classes of the clone-detection literature, e.g.
+NiCad / SourcererCC).
+
+Scale shape: the entire normalization is a chain of built-in
+``regexp_replace`` expressions — JVM-side, inside whole-stage codegen,
+zero Python in the hot path — followed by the engine's standard salted
+capped two-phase group collection (same defence as
+``analyze.duplicate_sets``). Content crosses no Exchange: only the
+8/32-byte hashes and member strings shuffle.
+
+Dialect parity: `_NORM_STEPS` is the single source of truth for the
+normalization chain. The Spark operator consumes it as Columns; the
+driver-contract DuckDB oracle (contract.py, `cc1_code_clone_groups`)
+renders the identical steps as RE2 SQL via `D.re_replace`. Patterns are
+restricted to the Java-regex ∩ RE2 common subset (no lookaround, no
+backreference *matching*; replacement backrefs only, which both
+support). Known boundary: Java ``\\s`` also matches ``\\x0B`` where RE2's
+does not — irrelevant to any corpus this engine normalizes in tests,
+and harmless in production (vertical tabs collapse to the same single
+space one step later on the Spark side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Keyword keep-list: tokens that survive blind renaming so control-flow
+# and type structure still distinguishes clones (`if(V>N)` != `while(V>N)`).
+# Language-agnostic union (C/Java/Python/JS core). ``S`` and ``N`` are the
+# literal placeholders injected by earlier steps and must round-trip the
+# identifier pass unchanged; a source identifier literally named ``S`` or
+# ``N`` therefore collides with the placeholder (documented, harmless —
+# it widens a clone class by one token value).
+CLONE_KEYWORDS: tuple[str, ...] = (
+    "if", "else", "elif", "for", "while", "do", "switch", "case",
+    "break", "continue", "return", "goto",
+    "def", "class", "lambda", "import", "from", "as", "pass", "raise",
+    "try", "except", "catch", "finally", "with", "yield", "global",
+    "function", "var", "let", "const", "new", "delete", "typeof",
+    "this", "self", "null", "None", "true", "false", "True", "False",
+    "and", "or", "not", "in", "is",
+    "int", "char", "float", "double", "long", "short", "unsigned",
+    "signed", "void", "bool", "struct", "enum", "union", "static",
+    "public", "private", "protected", "final", "abstract", "virtual",
+    "S", "N",
+)
+
+
+def _norm_steps(keywords: tuple[str, ...]) -> list[tuple[str, str]]:
+    """(pattern, replacement) chain, RE2-notation replacements (``\\0``,
+    ``\\1``). Order matters: comments, then string literals, then numbers,
+    then the wrap → unwrap-keywords → blind identifier passes, then
+    punctuation padding + whitespace collapse — the result is a
+    canonical single-spaced token stream, so ``y=2`` and ``y = 2``
+    normalize identically (true type-1 layout insensitivity, not just
+    run collapsing).
+
+    The ``«»`` guillemets are tokenizer markers: the wrap pass brackets
+    every identifier-shaped run, the unwrap pass releases keywords, the
+    blind pass folds the rest to ``V``. Pre-existing guillemets in the
+    source are folded to spaces first so no source byte can forge a
+    marker.
+    """
+    kw = "|".join(keywords)
+    return [
+        (r"(?s)/\*.*?\*/", " "),            # block comments
+        (r"(//|#)[^\n]*", " "),              # line comments
+        (r'"([^"\\]|\\.)*"', " S "),         # double-quoted strings
+        (r"'([^'\\]|\\.)*'", " S "),         # single-quoted strings
+        (r"\b\d+(\.\d+)?\b", " N "),         # numeric literals
+        (r"[«»]", " "),                       # neutralize marker chars
+        (r"[A-Za-z_][A-Za-z0-9_]*", "«\\0»"),  # wrap identifier runs
+        (f"«({kw})»", "\\1"),                # keywords survive
+        (r"«[^»]*»", "V"),                   # blind-rename the rest
+        (r"([^A-Za-z0-9_\s])", " \\1 "),     # pad punctuation: x=1 == x = 1
+        (r"\s+", " "),                        # layout-insensitive
+    ]
+
+
+def _java_replacement(rep: str) -> str:
+    """RE2-notation replacement (``\\0``/``\\1``) -> Java (``$0``/``$1``)."""
+    return rep.replace("\\0", "$0").replace("\\1", "$1")
+
+
+def normalize_code(
+    col: Column | str, keywords: tuple[str, ...] = CLONE_KEYWORDS
+) -> Column:
+    """Normalized (type-2 canonical) form of a source-text column.
+
+    Pure built-in expression chain — stays in whole-stage codegen.
+    """
+    out = F.col(col) if isinstance(col, str) else col
+    for pat, rep in _norm_steps(keywords):
+        out = F.regexp_replace(out, pat, _java_replacement(rep))
+    return F.trim(out)
+
+
+def code_clone_groups(
+    files: DataFrame,
+    content_col: str = "content",
+    keywords: tuple[str, ...] = CLONE_KEYWORDS,
+    min_members: int = 2,
+    max_members: int = 128,
+    salt_buckets: int = 16,
+    materialize: bool = True,
+) -> DataFrame:
+    """Type-1/type-2 clone groups over a (repo, path, content) table.
+
+    Columns: ``clone_hash`` (sha256 hex of the normalized form),
+    ``n_members`` (exact), ``n_variants`` (exact count of distinct raw
+    contents in the group — 1 = pure type-1/byte-identical group, >1 =
+    genuine type-2 renames present), ``members`` (ascending
+    ``repo/path`` strings, capped at ``max_members``).
+
+    Skew defence: a boilerplate normalized form (license header, empty
+    file) can own millions of members. Membership is collected with the
+    same salted capped two-phase aggregation as
+    ``analyze.duplicate_sets`` — per-reducer buffers bounded by
+    group_size/salt_buckets in phase 1 and salt_buckets * max_members in
+    phase 2, counts exact, the global ``max_members`` lowest members
+    preserved. ``n_variants`` comes from a separate
+    distinct-then-count pipeline (map-side partial both phases, no
+    member lists). The normalization chain runs once: the tiny
+    (member, hashes) projection is persisted, not the content.
+
+    ``materialize=False`` keeps the plan lazy for inspection
+    (dump_plans) at the cost of the chain running once per downstream
+    aggregation.
+    """
+    base = files.select(
+        F.concat_ws("/", "repo", "path").alias("member"),
+        F.sha2(F.col(content_col), 256).alias("raw_hash"),
+        F.sha2(normalize_code(F.col(content_col), keywords), 256).alias(
+            "clone_hash"
+        ),
+    )
+    if materialize:
+        base = base.persist()
+        base.count()  # barrier: AQE submits sibling leaf stages eagerly
+    phase1 = (
+        base.withColumn(
+            "salt", F.pmod(F.xxhash64("member"), F.lit(salt_buckets))
+        )
+        .groupBy("clone_hash", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.slice(
+                F.sort_array(F.collect_list("member")), 1, max_members
+            ).alias("pmembers"),
+        )
+    )
+    groups = (
+        phase1.groupBy("clone_hash")
+        .agg(
+            F.sum("pn").alias("n_members"),
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("pmembers"))),
+                1,
+                max_members,
+            ).alias("members"),
+        )
+        .filter(F.col("n_members") >= min_members)
+    )
+    variants = (
+        base.select("clone_hash", "raw_hash")
+        .distinct()
+        .groupBy("clone_hash")
+        .agg(F.count(F.lit(1)).alias("n_variants"))
+    )
+    out = groups.join(variants, "clone_hash").select(
+        "clone_hash", "n_members", "n_variants", "members"
+    )
+    if materialize:
+        out = out.localCheckpoint()
+        base.unpersist()
+    return out

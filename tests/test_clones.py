@@ -1,0 +1,165 @@
+"""Type-2 code-clone tier (operators/clones.py).
+
+Covers the normalization chain's clone classes (type-1 layout/comment,
+type-2 rename/literal), keyword preservation (control flow still
+distinguishes), marker-forging resistance, exact counts under the salted
+capped member collect, and n_variants semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from backupdeduplicator_spark.operators.clones import (
+    code_clone_groups,
+    normalize_code,
+)
+
+
+def _norm(spark, text: str) -> str:
+    return (
+        spark.range(1)
+        .select(normalize_code(F.lit(text)).alias("n"))
+        .collect()[0]["n"]
+    )
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "repo string, path string, content string")
+
+
+class TestNormalizeCode:
+    def test_comments_strings_numbers(self, spark):
+        src = 'int x = 42; /* init\nblock */ s = "he\\"llo"; // tail\ny = 3.14;'
+        assert (
+            _norm(spark, src)
+            == "int V = N ; V = S ; V = N ;"
+        )
+
+    def test_keywords_survive_blind_rename(self, spark):
+        assert _norm(spark, "if (count > 0) return total;") == \
+            "if ( V > N ) return V ;"
+        # different control flow must NOT normalize equal
+        assert _norm(spark, "while (count > 0) return total;") != \
+            _norm(spark, "if (count > 0) return total;")
+
+    def test_rename_and_literal_insensitive(self, spark):
+        a = 'for (i = 0; i < n; i++) { sum += arr[i]; } // loop'
+        b = 'for (j = 7; j < m; j++) { acc += buf[j]; } /* other */'
+        assert _norm(spark, a) == _norm(spark, b)
+
+    def test_marker_chars_cannot_forge_tokens(self, spark):
+        # guillemets in source fold to spaces before the wrap pass, so a
+        # source string can't smuggle a fake keyword through the unwrap
+        assert _norm(spark, "x = «if»;") == "V = if ;"
+        # ...and that differs from a real identifier named if-ish
+        assert _norm(spark, "x = iff;") == "V = V ;"
+
+    def test_identifier_with_digits_and_underscore(self, spark):
+        assert _norm(spark, "my_var2 = other3;") == "V = V ;"
+        # a leading digit is not an identifier head: the digit survives,
+        # the alpha tail is blind-renamed
+        assert _norm(spark, "x = 2abc;") == "V = 2V ;"
+
+    def test_layout_insensitive_around_punctuation(self, spark):
+        # punctuation padding makes spacing fully canonical (type-1)
+        assert _norm(spark, "y=2;emit(y);") == _norm(spark, "y = 2 ;\n  emit( y ) ;")
+
+
+class TestCloneGroups:
+    def test_type2_groups_with_variants(self, spark):
+        df = _corpus(spark, [
+            ("r1", "a.c", "int total = 0; if (total > 10) return total;"),
+            ("r1", "b.c", "int summe = 5; if (summe > 99) return summe;"),
+            ("r2", "c.c", "int total = 0; if (total > 10) return total;"),
+            ("r2", "d.c", "while (k < 3) { k = k + 1; }"),
+        ])
+        rows = code_clone_groups(df).collect()
+        assert len(rows) == 1
+        g = rows[0]
+        assert g["n_members"] == 3
+        assert g["n_variants"] == 2  # a.c==c.c raw; b.c renamed
+        assert g["members"] == ["r1/a.c", "r1/b.c", "r2/c.c"]
+
+    def test_min_members_filters_singletons(self, spark):
+        df = _corpus(spark, [
+            ("r", "x.c", "alpha(1);"),
+            ("r", "y.c", "if (a) beta(2);"),
+        ])
+        assert code_clone_groups(df).count() == 0
+
+    def test_member_cap_keeps_exact_count_and_lowest(self, spark):
+        rows = [("r", f"f{i:03d}.c", f"int v{i} = {i % 5};") for i in range(40)]
+        df = _corpus(spark, rows)
+        out = code_clone_groups(df, max_members=6, salt_buckets=4).collect()
+        assert len(out) == 1
+        g = out[0]
+        assert g["n_members"] == 40  # count exact despite the cap
+        assert g["n_variants"] == 40
+        assert g["members"] == [f"r/f{i:03d}.c" for i in range(6)]  # global lowest
+
+    def test_lazy_materialize_same_result(self, spark):
+        df = _corpus(spark, [
+            ("r", "a.c", "emit(x, 1); // one"),
+            ("r", "b.c", "emit(y, 2); /* two */"),
+        ])
+        eager = code_clone_groups(df).collect()
+        lazy = code_clone_groups(df, materialize=False).collect()
+        assert eager == lazy
+        assert eager[0]["n_members"] == 2
+
+
+def test_clone_plan_properties(spark):
+    """The normalization chain stays JVM-side (zero ArrowEvalPython), the
+    member collect is salted, and no join is cartesian."""
+    df = _corpus(spark, [("r", "a.c", "if (x > 1) y = 2;")] * 3).select(
+        "repo", F.concat("path", F.monotonically_increasing_id().cast("string")).alias("path"), "content"
+    )
+    plan = code_clone_groups(df, materialize=False)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "_salt" in plan or "salt" in plan
+    assert "Cartesian" not in plan
+
+
+def test_cli_codeclone_tiers(spark, tmp_path):
+    """codeclone CLI: type2 groups renamed variants exactly; near clusters
+    a statement-added variant the exact tier must NOT group."""
+    import pandas as pd
+
+    from backupdeduplicator_spark.__main__ import main
+
+    def mk(v, extra=0):
+        stmts = "".join(
+            f"{v}_sum = {v}_sum + {v}_arr[{j}]; // step {j}\n"
+            for j in range(12 + extra)
+        )
+        return f"int {v}_sum = 0;\n{stmts}return {v}_sum;\n"
+
+    rows = pd.DataFrame({
+        "repo": ["r1", "r1", "r2", "r2"],
+        "path": ["a.c", "b.c", "a2.c", "other.c"],
+        "content": [
+            mk("alpha"),          # type-2 group: rename of...
+            mk("beta"),           # ...this
+            mk("alpha", extra=1), # type-3: one extra statement
+            "while (q) { q = step(q); }",  # unrelated
+        ],
+    })
+    src = str(tmp_path / "code.parquet")
+    rows.to_parquet(src)
+
+    out2 = str(tmp_path / "type2")
+    assert main(["codeclone", "--input", src, "--output", out2,
+                 "--tier", "type2", "--cores", "4"]) == 0
+    g = spark.read.parquet(out2).collect()
+    assert len(g) == 1 and g[0]["n_members"] == 2
+    assert g[0]["members"] == ["r1/a.c", "r1/b.c"]
+
+    outn = str(tmp_path / "near")
+    assert main(["codeclone", "--input", src, "--output", outn,
+                 "--tier", "near", "--threshold", "0.5",
+                 "--cores", "4"]) == 0
+    near = spark.read.parquet(outn).collect()
+    comp = {f"{r['repo']}/{r['path']}": r["component"] for r in near}
+    assert comp["r1/a.c"] == comp["r1/b.c"] == comp["r2/a2.c"]
+    assert comp.get("r2/other.c", -1) != comp["r1/a.c"]
