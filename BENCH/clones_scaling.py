@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Clone-tier two-parallelism scaling bench (BASELINE.md protocol).
+
+Measures ``code_clone_groups`` — the type-2 normalization chain is ten
+JVM ``regexp_replace`` passes over every content byte, so the stage is
+compute-proportional to corpus bytes (the 100 TB-dominant cost), while
+the group shuffle moves only 32-byte hashes + member strings. Same
+sanctioned stand-in as bench_scaling.py: identical input at local[2] vs
+local[8], fresh subprocess per level (local-mode parallelism is fixed
+per JVM), best-of-N, efficiency = (thr_8 / thr_2) / 4.
+
+The corpus is synthesized INSIDE Spark (expression-built content seeded
+on ``id`` — deterministic, parallel, no Python in generation either), so
+the run measures the operator, not a driver-side data pump.
+
+Usage: python BENCH/clones_scaling.py [--n-files 30000] [--runs 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def synth_corpus(spark, n_files: int):
+    """(repo, path, content) — ~2.4 KB of C-ish source per file; 12
+    structural shapes (id % 12 filler statements) with identifiers and
+    literals varying per id, so type-2 groups of varying size form."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(n_files).withColumn("sid", F.col("id").cast("string"))
+    stmt = F.concat(
+        F.lit("acc"), "sid", F.lit(" = acc"), "sid", F.lit(" + buf"), "sid",
+        F.lit("["), F.pmod("id", F.lit(7)).cast("string"),
+        F.lit("] * "), F.pmod("id", F.lit(11)).cast("string"),
+        F.lit("; /* step "), "sid", F.lit(" */\n"),
+    )
+    content = F.concat(
+        F.lit("int acc"), "sid", F.lit(" = 0; // init\n"),
+        F.repeat(stmt, (F.pmod("id", F.lit(12)) + F.lit(24)).cast("int")),
+        F.lit("if (acc"), "sid", F.lit(" > "),
+        F.pmod("id", F.lit(13)).cast("string"),
+        F.lit(") { return acc"), "sid", F.lit("; }\n"),
+    )
+    return base.select(
+        F.concat(F.lit("org-"), F.pmod("id", F.lit(50)).cast("string")).alias("repo"),
+        F.concat(F.lit("src/f"), "sid", F.lit(".c")).alias("path"),
+        content.alias("content"),
+    )
+
+
+def child(cores: int, n_files: int) -> None:
+    sys.path.insert(0, REPO)
+    from pyspark.sql import functions as F
+
+    from backupdeduplicator_spark.operators.clones import code_clone_groups
+    from backupdeduplicator_spark.session import get_spark
+
+    spark = get_spark(f"clones-scaling-{cores}", cores=cores,
+                      shuffle_partitions=max(cores * 4, 8))
+    corpus = synth_corpus(spark, n_files).repartition(cores * 4)
+    corpus = corpus.persist()
+    nbytes = corpus.agg(F.sum(F.length("content"))).collect()[0][0]
+    # untimed warmup: JIT-compile the whole codegen'd chain on a slice
+    code_clone_groups(corpus.limit(2000)).count()
+    t0 = time.monotonic()
+    groups = code_clone_groups(corpus)
+    n_groups = groups.count()
+    wall = time.monotonic() - t0
+    print(json.dumps({
+        "cores": cores, "n_files": n_files, "content_bytes": int(nbytes),
+        "n_groups": n_groups, "wall_sec": round(wall, 3),
+        "mb_per_sec": round(nbytes / 1e6 / wall, 2),
+    }))
+    spark.stop()
+
+
+def run_level(cores: int, n_files: int, runs: int) -> dict:
+    best = None
+    for _ in range(runs):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cores-child",
+             str(cores), "--n-files", str(n_files)],
+            capture_output=True, text=True, timeout=3600, cwd=REPO,
+        )
+        lines = [l for l in out.stdout.strip().splitlines()
+                 if l.startswith("{")]
+        if not lines:
+            raise RuntimeError(f"child failed:\n{out.stdout}\n{out.stderr}")
+        r = json.loads(lines[-1])
+        if best is None or r["wall_sec"] < best["wall_sec"]:
+            best = r
+    return best
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-files", type=int, default=30000)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--cores-child", type=int, default=0)
+    args = ap.parse_args()
+    if args.cores_child:
+        child(args.cores_child, args.n_files)
+        return 0
+    lo = run_level(2, args.n_files, args.runs)
+    hi = run_level(8, args.n_files, args.runs)
+    eff = (hi["mb_per_sec"] / lo["mb_per_sec"]) / 4.0
+    stamp = time.strftime("%Y%m%dT%H%M%S")
+    report = {
+        "tier": "code_clone_groups", "protocol":
+        f"best-of-{args.runs} fresh JVMs per level, untimed JIT warmup",
+        "local2": lo, "local8": hi, "efficiency_2_to_8": round(eff, 3),
+    }
+    print(json.dumps(report))
+    path = os.path.join(REPO, "BENCH", f"scaling_run_{stamp}.md")
+    with open(path, "w") as f:
+        f.write(
+            "# Clone-tier scaling run (N=2 -> 4N=8 cores)\n\n"
+            f"- corpus: {lo['n_files']} files, "
+            f"{lo['content_bytes'] / 1e6:.1f} MB synthesized source, "
+            f"{lo['n_groups']} clone groups\n"
+            f"- protocol: {report['protocol']}\n"
+            f"- local[2]: {lo['wall_sec']} s ({lo['mb_per_sec']} MB/s)\n"
+            f"- local[8]: {hi['wall_sec']} s ({hi['mb_per_sec']} MB/s)\n"
+            f"- scaling efficiency: **{eff:.3f}**\n"
+        )
+    print(f"wrote {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
