@@ -650,6 +650,15 @@ def q_near_dup_clusters(d: D) -> str:
 
     The Spark side runs the real engine pipeline (ENGINE_BACKED); this
     SQL exists for the DuckDB dialect only."""
+    return _near_dup_closure_sql(d, _files_cte(d), "files")
+
+
+def _near_dup_closure_sql(d: D, prelude: str, src: str) -> str:
+    """The full MinHash/LSH/CC pipeline as DuckDB SQL over any source
+    CTE exposing (repo, path, content) — shared by the flagship
+    near_dup_clusters oracle (src = the derived files view) and the
+    type-3 code-clone oracle cc2 (src = the normalized clone corpus).
+    ``prelude`` is the leading ``WITH ...`` chain defining ``src``."""
     from .functions.shingles import _A, _B
 
     perm_vals = ", ".join(
@@ -666,8 +675,8 @@ def q_near_dup_clusters(d: D) -> str:
         f"* ({asc5}[length(content) - i + 1]))) % 2147483647"
     )
     return f"""
-{_files_cte(d)}, fh AS (
-  SELECT repo, path, {d.sha256('content')} AS id, content FROM files
+{prelude}, fh AS (
+  SELECT repo, path, {d.sha256('content')} AS id, content FROM {src}
 ), contents AS (
   SELECT id, min(content) AS content FROM fh GROUP BY id
 ), sh AS (
@@ -913,6 +922,28 @@ def q_cc1_code_clone_groups(d: D) -> str:
     )
 
 
+def q_cc2_code_clone_near(d: D) -> str:
+    """Type-3 (near-miss) code clones: the cc1 normalization chain feeds
+    the ENTIRE flagship MinHash/LSH/CC pipeline — same shingle/perm/band
+    constants, same closure — so clone classes that differ by
+    added/removed statements cluster together, rename-insensitively.
+    The Spark side composes normalize_code with near_duplicate_clusters
+    (exactly what `codeclone --tier near` runs); this oracle composes
+    the RE2 rendering of the same chain with the shared SQL closure
+    (_near_dup_closure_sql). Cluster labels are min member content
+    sha256, so values are engine-independent."""
+    from .operators.clones import CLONE_KEYWORDS, _norm_steps
+
+    norm = "content"
+    for pat, rep in _norm_steps(CLONE_KEYWORDS):
+        norm = d.re_replace(norm, pat, rep)
+    prelude = (
+        f"{_CLONE_CORPUS_SQL}, normsrc AS "
+        f"(SELECT repo, path, trim({norm}) AS content FROM corpus)"
+    )
+    return _near_dup_closure_sql(d, prelude, "normsrc")
+
+
 SQL_QUERIES: dict[str, Callable[[D], str]] = {
     "file_hashes": q_file_hashes,
     "p1_collision_filter": q_p1_collision_filter,
@@ -950,6 +981,7 @@ SQL_QUERIES: dict[str, Callable[[D], str]] = {
     "m1_media_exact_dups": q_m1_media_exact_dups,
     "v1_video_frame_dups": q_v1_video_frame_dups,
     "cc1_code_clone_groups": q_cc1_code_clone_groups,
+    "cc2_code_clone_near": q_cc2_code_clone_near,
 }
 
 
@@ -1463,9 +1495,28 @@ def _spark_code_clone_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spark_code_clone_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-3 clone clusters through the engine composition (the
+    `codeclone --tier near` path): normalize_code -> the real
+    MinHash/LSH/CC tier, relabeled by min member content sha256 as in
+    _spark_near_dup_clusters so labels are oracle-comparable."""
+    from .operators.clones import normalize_code
+    from .operators.minhash import near_duplicate_clusters
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    corpus = spark.sql(f"{_CLONE_CORPUS_SQL} SELECT * FROM corpus").select(
+        "repo", "path", normalize_code("content").alias("content")
+    )
+    clusters = near_duplicate_clusters(corpus)
+    lab = clusters.groupBy("component").agg(F.min("id").alias("cluster"))
+    return clusters.join(lab, "component").select("repo", "path", "id", "cluster")
+
+
 ENGINE_BACKED["m1_media_exact_dups"] = _spark_media_exact_dups
 ENGINE_BACKED["v1_video_frame_dups"] = _spark_video_frame_dups
 ENGINE_BACKED["cc1_code_clone_groups"] = _spark_code_clone_groups
+ENGINE_BACKED["cc2_code_clone_near"] = _spark_code_clone_near
 
 # every query now has a DuckDB twin; the dict stays as the hook for
 # genuinely non-SQL-expressible future ops (custom stateful streaming)
