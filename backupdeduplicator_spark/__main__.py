@@ -434,7 +434,8 @@ def cmd_codeclone(args) -> int:
         out = near_duplicate_clusters(
             corpus, sim_threshold=args.threshold, report=report)
     out.write.mode("overwrite").parquet(args.output)
-    n = spark.read.parquet(args.output).count()
+    written = spark.read.parquet(args.output)
+    n = written.count()
     if "oversized" in report:
         dropped, rows = report["oversized"].agg(
             F.count(F.lit(1)), F.sum("bn")
@@ -443,6 +444,12 @@ def cmd_codeclone(args) -> int:
             print(f"codeclone: WARNING {dropped} oversized LSH buckets "
                   f"dropped ({rows} member rows) — raise the cap to trade "
                   f"runtime for recall")
+    if args.tier == "type2":
+        capped = written.filter(
+            F.size("members") < F.col("n_members")).count()
+        if capped:
+            print(f"codeclone: NOTE {capped} clone groups list only their "
+                  f"first {args.max_members} members (n_members is exact)")
     print(f"codeclone[{args.tier}]: {n} rows -> {args.output}")
     return 0
 

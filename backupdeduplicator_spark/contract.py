@@ -894,25 +894,24 @@ corpus AS (
 
 def q_cc1_code_clone_groups(d: D) -> str:
     """Type-2 code-clone groups (operators/clones.py): NiCad-style blind
-    renaming — comments stripped, string/number literals folded to S/N,
-    identifiers renamed to V behind the keyword keep-list — then groups
-    by sha256 of the normalized form. The Spark side runs the engine
-    operator (built-in regexp_replace chain + salted capped member
-    collect); this SQL renders the IDENTICAL normalization steps
-    (clones._norm_steps, single source of truth) as RE2 via
-    D.re_replace, so a value match proves chain parity across regex
-    engines. n_variants = distinct raw contents per group (>1 = genuine
-    type-2 renames; the mirrored files contribute type-1 members).
-    Members uncapped at driver scale (cap 1000 >> group size)."""
-    from .operators.clones import CLONE_KEYWORDS, _norm_steps
+    renaming — one-scan tokenization, comments dropped, string/number
+    literals folded to S/N, identifiers renamed to V behind the keyword
+    keep-list — then groups by sha256 of the normalized form. The Spark
+    side runs the engine operator (built-in single-scan tokenizer +
+    salted capped member collect); this SQL renders the IDENTICAL
+    TOKEN_RE + classification rules (clones.duckdb_normalize_sql, single
+    source of truth) in RE2, so a value match proves tokenizer parity
+    across regex engines. n_variants = distinct raw contents per group
+    (>1 = genuine type-2 renames; the mirrored files contribute type-1
+    members). Members uncapped at driver scale (cap 1000 >> group size).
+    DuckDB dialect only (the Spark side is ENGINE_BACKED)."""
+    from .operators.clones import duckdb_normalize_sql
 
-    norm = "content"
-    for pat, rep in _norm_steps(CLONE_KEYWORDS):
-        norm = d.re_replace(norm, pat, rep)
+    norm = duckdb_normalize_sql("content")
     member = "repo || '/' || path"
     return (
         f"{_CLONE_CORPUS_SQL}, "
-        f"normed AS (SELECT repo, path, content, trim({norm}) AS norm "
+        f"normed AS (SELECT repo, path, content, {norm} AS norm "
         f"FROM corpus) "
         f"SELECT {d.sha256('norm')} AS clone_hash, "
         f"COUNT(*) AS n_members, "
@@ -923,23 +922,22 @@ def q_cc1_code_clone_groups(d: D) -> str:
 
 
 def q_cc2_code_clone_near(d: D) -> str:
-    """Type-3 (near-miss) code clones: the cc1 normalization chain feeds
+    """Type-3 (near-miss) code clones: the cc1 normalization tokenizer feeds
     the ENTIRE flagship MinHash/LSH/CC pipeline — same shingle/perm/band
     constants, same closure — so clone classes that differ by
     added/removed statements cluster together, rename-insensitively.
     The Spark side composes normalize_code with near_duplicate_clusters
     (exactly what `codeclone --tier near` runs); this oracle composes
-    the RE2 rendering of the same chain with the shared SQL closure
+    the RE2 rendering of the same tokenizer with the shared SQL closure
     (_near_dup_closure_sql). Cluster labels are min member content
-    sha256, so values are engine-independent."""
-    from .operators.clones import CLONE_KEYWORDS, _norm_steps
+    sha256, so values are engine-independent. DuckDB dialect only (the
+    Spark side is ENGINE_BACKED)."""
+    from .operators.clones import duckdb_normalize_sql
 
-    norm = "content"
-    for pat, rep in _norm_steps(CLONE_KEYWORDS):
-        norm = d.re_replace(norm, pat, rep)
     prelude = (
         f"{_CLONE_CORPUS_SQL}, normsrc AS "
-        f"(SELECT repo, path, trim({norm}) AS content FROM corpus)"
+        f"(SELECT repo, path, {duckdb_normalize_sql('content')} AS content "
+        f"FROM corpus)"
     )
     return _near_dup_closure_sql(d, prelude, "normsrc")
 
@@ -1476,7 +1474,7 @@ ENGINE_BACKED["near_dup_clusters"] = _spark_near_dup_clusters
 def _spark_code_clone_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clone tier end-to-end through the engine operator: the synthetic
     code corpus (shared SQL text with the oracle) flows through
-    code_clone_groups — JVM regexp_replace normalization chain + salted
+    code_clone_groups — single-scan JVM normalization tokenizer + salted
     capped two-phase member collect + distinct-variant count — and is
     projected to the oracle-comparable columns (members as the sorted
     comma string; cap 1000 is never reached at sf0.01, so membership is

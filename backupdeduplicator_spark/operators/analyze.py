@@ -95,6 +95,12 @@ def duplicate_sets(
     max_members * salt_buckets regardless of group size, and the global
     first-max_members members are preserved (ascending member order makes
     each partial's cap a superset of its contribution to the global cap).
+
+    The plain (key, member) form of this defence lives in
+    ``buckets.salted_capped_collect`` (used by the media/clone group
+    emitters); this function keeps its own two phases because it folds
+    three extra per-group aggregates (parent-ok flag, children array,
+    SetKey refinement) through them.
     """
     m = _with_parent_flag(entries)
     # SetKey: (hash, size, file_type, children). The children array can be

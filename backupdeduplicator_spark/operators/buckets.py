@@ -220,3 +220,52 @@ def bounded_probe_join(
         anti_side = F.broadcast(anti_side)
     bounded = hit.join(anti_side, key_cols, "left_anti")
     return probe.join(bounded, key_cols), oversized
+
+
+def salted_capped_collect(
+    df: DataFrame,
+    key_cols: list[str],
+    member_col: str,
+    max_members: int,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """(key..., n_members, members) — the salted capped two-phase member
+    collect shared by the exact-dedup group emitters (media payload
+    groups, code-clone groups; `analyze.duplicate_sets` keeps its own
+    copy because it folds three extra per-group aggregates and a
+    different output shape through the same two phases).
+
+    ``n_members`` is always the EXACT group count; ``members`` is the
+    globally lowest ``max_members`` members in ascending natural order
+    (each salt keeps its own lowest ``max_members``, a superset of its
+    contribution to the global lowest — so the merged slice is exact).
+    ``n_members > size(members)`` is the caller's no-silent-caps signal.
+
+    Honest bound (same residual the module docstring documents for the
+    salted pair plan): a phase-1 partial buffers its full (key, salt)
+    membership — group_size / salt_buckets members — before the
+    sort+slice runs; phase-2 buffers are hard-bounded at
+    salt_buckets * max_members. Raise ``salt_buckets`` for adversarial
+    duplication factors.
+    """
+    phase1 = (
+        df.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col(member_col)), F.lit(salt_buckets)),
+        )
+        .groupBy(*key_cols, "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.slice(
+                F.sort_array(F.collect_list(member_col)), 1, max_members
+            ).alias("pmembers"),
+        )
+    )
+    return phase1.groupBy(*key_cols).agg(
+        F.sum("pn").alias("n_members"),
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("pmembers"))),
+            1,
+            max_members,
+        ).alias("members"),
+    )

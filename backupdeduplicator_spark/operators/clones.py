@@ -4,30 +4,37 @@ Reference parity: BackupDeduplicator groups only byte-identical content
 (sha256 equality, `/root/reference/src/stages/analyze/cmd.rs` dup-set
 formation). This tier applies the same group-formation semantics to
 *normalized* source text — NiCad-style "blind renaming": comments
-stripped, string/number literals folded to placeholder tokens ``S``/``N``,
-identifiers renamed to ``V`` behind a keyword keep-list, whitespace
-collapsed — so files that differ only in identifier names, literal
-values, comments, or layout land in one clone group (the classic
+dropped, string/number literals folded to placeholder tokens ``S``/``N``,
+identifiers renamed to ``V`` behind a keyword keep-list, layout made
+canonical — so files that differ only in identifier names, literal
+values, comments, or whitespace land in one clone group (the classic
 type-1/type-2 clone classes of the clone-detection literature, e.g.
 NiCad / SourcererCC).
 
-Scale shape: the entire normalization is a chain of built-in
-``regexp_replace`` expressions — JVM-side, inside whole-stage codegen,
-zero Python in the hot path — followed by the engine's standard salted
-capped two-phase group collection (same defence as
-``analyze.duplicate_sets``). Content crosses no Exchange: only the
-8/32-byte hashes and member strings shuffle.
+Normalization is a SINGLE-SCAN tokenizer, not a chain of sequential
+rewrites: one ``regexp_extract_all`` over ``TOKEN_RE`` (alternation
+tried leftmost-first at each position, so a ``//`` inside a string
+literal is lexed as string content, never as a comment — sequential
+comment-then-string passes get that wrong), then a per-token
+classification (``transform`` + ``array_join``). Everything is built-in
+JVM expressions — zero Python in the hot path; only 32-byte hashes and
+member strings ever shuffle.
 
-Dialect parity: `_NORM_STEPS` is the single source of truth for the
-normalization chain. The Spark operator consumes it as Columns; the
-driver-contract DuckDB oracle (contract.py, `cc1_code_clone_groups`)
-renders the identical steps as RE2 SQL via `D.re_replace`. Patterns are
-restricted to the Java-regex ∩ RE2 common subset (no lookaround, no
-backreference *matching*; replacement backrefs only, which both
-support). Known boundary: Java ``\\s`` also matches ``\\x0B`` where RE2's
-does not — irrelevant to any corpus this engine normalizes in tests,
-and harmless in production (vertical tabs collapse to the same single
-space one step later on the Spark side).
+Dialect parity: ``TOKEN_RE`` and the classification rules are the
+single source of truth. The Spark operator consumes them as Columns;
+the driver-contract DuckDB oracle consumes them through
+``duckdb_normalize_sql`` (contract.py ``cc1``/``cc2``). Patterns are
+restricted to the Java-regex ∩ RE2 common subset — ``(?s)``, reluctant
+``.*?``, ``\\p{L}``/``\\p{N}`` Unicode classes, and leftmost-first
+alternation hold in both engines; no lookaround, no backreferences.
+
+Known language-agnostic boundary: ``//`` and ``#`` OUTSIDE a string
+literal always lex as line comments, so Python floor division
+(``a // b``) and CSS ids degrade to comment-dropping — deterministic,
+identical in both dialects, and the price of one keep-list across
+C/Java/Python/JS. A per-language comment grammar would need a ``lang``
+dispatch column, which the input schema carries if a caller wants to
+specialize.
 """
 
 from __future__ import annotations
@@ -37,11 +44,10 @@ from pyspark.sql import functions as F
 
 # Keyword keep-list: tokens that survive blind renaming so control-flow
 # and type structure still distinguishes clones (`if(V>N)` != `while(V>N)`).
-# Language-agnostic union (C/Java/Python/JS core). ``S`` and ``N`` are the
-# literal placeholders injected by earlier steps and must round-trip the
-# identifier pass unchanged; a source identifier literally named ``S`` or
-# ``N`` therefore collides with the placeholder (documented, harmless —
-# it widens a clone class by one token value).
+# Language-agnostic union (C/Java/Python/JS core). The ``S``/``N``
+# placeholders are injected AFTER tokenization and never re-scanned, so
+# source identifiers literally named S or N are blind-renamed to V like
+# any other identifier — no placeholder collision.
 CLONE_KEYWORDS: tuple[str, ...] = (
     "if", "else", "elif", "for", "while", "do", "switch", "case",
     "break", "continue", "return", "goto",
@@ -53,57 +59,84 @@ CLONE_KEYWORDS: tuple[str, ...] = (
     "int", "char", "float", "double", "long", "short", "unsigned",
     "signed", "void", "bool", "struct", "enum", "union", "static",
     "public", "private", "protected", "final", "abstract", "virtual",
-    "S", "N",
 )
 
+# One token per match, leftmost-first alternation — ORDER IS SEMANTICS:
+# comments before strings would be wrong ('/*' inside a string must lex
+# as string content), so strings/comments are alternatives in ONE scan
+# and whichever starts first at the cursor wins, exactly like a lexer.
+#   1. block comment   /* ... */   (reluctant, (?s) lets it span lines)
+#   2. line comment    // ... | # ...
+#   3. string literal  "..." | '...'   (backslash escapes honored)
+#   4. number literal  hex | decimal/float/exponent, with a trailing
+#      alpha run so suffixed literals (10L, 3.14f, 0xFFu) fold whole
+#   5. identifier      Unicode letters/digits/underscore (\p{L}\p{N})
+#   6. any other single non-space char (operators, punctuation)
+TOKEN_RE: str = (
+    r"(?s)/\*.*?\*/"
+    r"|//[^\n]*|#[^\n]*"
+    r"|\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*'"
+    r"|0[xX][0-9A-Fa-f]+[A-Za-z]*"
+    r"|(?:\d+(?:\.\d+)?|\.\d+)(?:[eE][+-]?\d+)?[A-Za-z]*"
+    r"|[\p{L}_][\p{L}\p{N}_]*"
+    r"|\S"
+)
 
-def _norm_steps(keywords: tuple[str, ...]) -> list[tuple[str, str]]:
-    """(pattern, replacement) chain, RE2-notation replacements (``\\0``,
-    ``\\1``). Order matters: comments, then string literals, then numbers,
-    then the wrap → unwrap-keywords → blind identifier passes, then
-    punctuation padding + whitespace collapse — the result is a
-    canonical single-spaced token stream, so ``y=2`` and ``y = 2``
-    normalize identically (true type-1 layout insensitivity, not just
-    run collapsing).
-
-    The ``«»`` guillemets are tokenizer markers: the wrap pass brackets
-    every identifier-shaped run, the unwrap pass releases keywords, the
-    blind pass folds the rest to ``V``. Pre-existing guillemets in the
-    source are folded to spaces first so no source byte can forge a
-    marker.
-    """
-    kw = "|".join(keywords)
-    return [
-        (r"(?s)/\*.*?\*/", " "),            # block comments
-        (r"(//|#)[^\n]*", " "),              # line comments
-        (r'"([^"\\]|\\.)*"', " S "),         # double-quoted strings
-        (r"'([^'\\]|\\.)*'", " S "),         # single-quoted strings
-        (r"\b\d+(\.\d+)?\b", " N "),         # numeric literals
-        (r"[«»]", " "),                       # neutralize marker chars
-        (r"[A-Za-z_][A-Za-z0-9_]*", "«\\0»"),  # wrap identifier runs
-        (f"«({kw})»", "\\1"),                # keywords survive
-        (r"«[^»]*»", "V"),                   # blind-rename the rest
-        (r"([^A-Za-z0-9_\s])", " \\1 "),     # pad punctuation: x=1 == x = 1
-        (r"\s+", " "),                        # layout-insensitive
-    ]
-
-
-def _java_replacement(rep: str) -> str:
-    """RE2-notation replacement (``\\0``/``\\1``) -> Java (``$0``/``$1``)."""
-    return rep.replace("\\0", "$0").replace("\\1", "$1")
+# Classification probes, applied to each token in this order (anchored
+# prefixes — cheap, unambiguous given how TOKEN_RE tokenizes).
+COMMENT_PROBE: str = r"^(/\*|//|#)"
+STRING_PROBE: str = "^[\"']"
+NUMBER_PROBE: str = r"^\.?[0-9]"
+IDENT_PROBE: str = r"^[\p{L}_]"
 
 
 def normalize_code(
     col: Column | str, keywords: tuple[str, ...] = CLONE_KEYWORDS
 ) -> Column:
-    """Normalized (type-2 canonical) form of a source-text column.
+    """Normalized (type-2 canonical) form of a source-text column: the
+    token stream with comments dropped, strings -> S, numbers -> N,
+    non-keyword identifiers -> V, joined by single spaces — so layout is
+    canonical by construction. Pure built-in expression tree (one regex
+    scan + one array transform), stays JVM-side."""
+    src = F.col(col) if isinstance(col, str) else col
+    toks = F.regexp_extract_all(src, F.lit(TOKEN_RE), 0)
+    kw = F.array(*[F.lit(k) for k in keywords])
+    cls = F.transform(
+        toks,
+        lambda t: F.when(t.rlike(COMMENT_PROBE), F.lit(""))
+        .when(t.rlike(STRING_PROBE), F.lit("S"))
+        .when(t.rlike(NUMBER_PROBE), F.lit("N"))
+        .when(
+            t.rlike(IDENT_PROBE),
+            F.when(F.array_contains(kw, t), t).otherwise(F.lit("V")),
+        )
+        .otherwise(t),
+    )
+    return F.array_join(F.filter(cls, lambda t: t != F.lit("")), " ")
 
-    Pure built-in expression chain — stays in whole-stage codegen.
-    """
-    out = F.col(col) if isinstance(col, str) else col
-    for pat, rep in _norm_steps(keywords):
-        out = F.regexp_replace(out, pat, _java_replacement(rep))
-    return F.trim(out)
+
+def duckdb_normalize_sql(
+    expr: str, keywords: tuple[str, ...] = CLONE_KEYWORDS
+) -> str:
+    """The DuckDB (RE2) rendering of ``normalize_code`` over a SQL
+    expression — the oracle twin used by the cc1/cc2 driver queries. A
+    value match there proves tokenizer + classification parity across
+    the two regex engines."""
+
+    def q(pat: str) -> str:
+        return "'" + pat.replace("'", "''") + "'"
+
+    kws = ", ".join(f"'{k}'" for k in keywords)
+    return (
+        "array_to_string(list_filter(list_transform("
+        f"regexp_extract_all({expr}, {q(TOKEN_RE)}), t -> CASE "
+        f"WHEN regexp_matches(t, {q(COMMENT_PROBE)}) THEN '' "
+        f"WHEN regexp_matches(t, {q(STRING_PROBE)}) THEN 'S' "
+        f"WHEN regexp_matches(t, {q(NUMBER_PROBE)}) THEN 'N' "
+        f"WHEN regexp_matches(t, {q(IDENT_PROBE)}) THEN "
+        f"(CASE WHEN t IN ({kws}) THEN t ELSE 'V' END) "
+        "ELSE t END), t -> t <> ''), ' ')"
+    )
 
 
 def code_clone_groups(
@@ -125,19 +158,20 @@ def code_clone_groups(
 
     Skew defence: a boilerplate normalized form (license header, empty
     file) can own millions of members. Membership is collected with the
-    same salted capped two-phase aggregation as
-    ``analyze.duplicate_sets`` — per-reducer buffers bounded by
-    group_size/salt_buckets in phase 1 and salt_buckets * max_members in
-    phase 2, counts exact, the global ``max_members`` lowest members
-    preserved. ``n_variants`` comes from a separate
-    distinct-then-count pipeline (map-side partial both phases, no
-    member lists). The normalization chain runs once: the tiny
+    shared salted capped two-phase aggregation
+    (`buckets.salted_capped_collect`, same defence as
+    ``analyze.duplicate_sets``) — counts exact, the global
+    ``max_members`` lowest members preserved. ``n_variants`` comes from
+    a separate distinct-then-count pipeline (map-side partial both
+    phases, no member lists). The normalization runs once: the tiny
     (member, hashes) projection is persisted, not the content.
 
     ``materialize=False`` keeps the plan lazy for inspection
-    (dump_plans) at the cost of the chain running once per downstream
-    aggregation.
+    (dump_plans) at the cost of the tokenizer running once per
+    downstream aggregation.
     """
+    from .buckets import salted_capped_collect
+
     base = files.select(
         F.concat_ws("/", "repo", "path").alias("member"),
         F.sha2(F.col(content_col), 256).alias("raw_hash"),
@@ -148,30 +182,10 @@ def code_clone_groups(
     if materialize:
         base = base.persist()
         base.count()  # barrier: AQE submits sibling leaf stages eagerly
-    phase1 = (
-        base.withColumn(
-            "salt", F.pmod(F.xxhash64("member"), F.lit(salt_buckets))
-        )
-        .groupBy("clone_hash", "salt")
-        .agg(
-            F.count(F.lit(1)).alias("pn"),
-            F.slice(
-                F.sort_array(F.collect_list("member")), 1, max_members
-            ).alias("pmembers"),
-        )
-    )
-    groups = (
-        phase1.groupBy("clone_hash")
-        .agg(
-            F.sum("pn").alias("n_members"),
-            F.slice(
-                F.sort_array(F.flatten(F.collect_list("pmembers"))),
-                1,
-                max_members,
-            ).alias("members"),
-        )
-        .filter(F.col("n_members") >= min_members)
-    )
+    groups = salted_capped_collect(
+        base, ["clone_hash"], "member",
+        max_members=max_members, salt_buckets=salt_buckets,
+    ).filter(F.col("n_members") >= min_members)
     variants = (
         base.select("clone_hash", "raw_hash")
         .distinct()

@@ -476,8 +476,8 @@ def media_exact_dups(
 ) -> DataFrame:
     """Exact media dedup: group by payload sha256 (same rule as text).
 
-    Salted capped two-phase collect (the operators/analyze.duplicate_sets
-    shape): phase 1 groups by (sha, salt) and slices each partial at
+    Salted capped two-phase collect (the shared
+    ``buckets.salted_capped_collect`` kernel): phase 1 groups by (sha, salt) and slices each partial at
     ``max_members``; phase 2 merges the <= salt_buckets * max_members
     surviving partial entries per sha. Honest bound (same residual as
     operators/buckets.py documents): a phase-1 partial still BUFFERS its
@@ -490,28 +490,13 @@ def media_exact_dups(
     ``size(members)`` the list was capped (the no-silent-caps signal; the
     kept members are the globally lowest ``max_members`` by sort order,
     plenty to act on a dup set)."""
+    from .buckets import salted_capped_collect
+
     feats = extract_features(media, decode_fn)
-    phase1 = (
-        feats.withColumn(
-            "_salt", F.pmod(F.xxhash64("id"), F.lit(salt_buckets))
-        )
-        .groupBy("payload_sha256", "_salt")
-        .agg(
-            F.count(F.lit(1)).alias("pn"),
-            F.slice(
-                F.sort_array(F.collect_list("id")), 1, max_members
-            ).alias("pmembers"),
-        )
-    )
     return (
-        phase1.groupBy("payload_sha256")
-        .agg(
-            F.sum("pn").alias("n_members"),
-            F.slice(
-                F.sort_array(F.flatten(F.collect_list("pmembers"))),
-                1,
-                max_members,
-            ).alias("members"),
+        salted_capped_collect(
+            feats, ["payload_sha256"], "id",
+            max_members=max_members, salt_buckets=salt_buckets,
         )
         .filter(F.col("n_members") >= 2)
         .select("payload_sha256", "n_members", "members")

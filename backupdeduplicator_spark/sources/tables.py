@@ -134,22 +134,3 @@ class D:
             return f"regexp_replace({x}, '[^A-Za-z]', '')"
         return f"regexp_replace({x}, '[^A-Za-z]', '', 'g')"
 
-    def re_replace(self, x: str, pat: str, rep: str) -> str:
-        """Replace-all regexp_replace. ``pat``/``rep`` are given in the
-        Java-regex ∩ RE2 common subset with RE2-notation replacement
-        backrefs (``\\0`` = whole match, ``\\1`` = group 1); translated
-        per dialect (Spark replacement uses ``$N``; Spark string
-        literals treat backslash as an escape so pattern backslashes
-        double)."""
-        if self.dialect == "spark":
-            p = pat.replace("\\", "\\\\").replace("'", "\\'")
-            r = (
-                rep.replace("\\0", "$0")
-                .replace("\\1", "$1")
-                .replace("\\", "\\\\")
-                .replace("'", "\\'")
-            )
-            return f"regexp_replace({x}, '{p}', '{r}')"
-        p = pat.replace("'", "''")
-        r = rep.replace("'", "''")
-        return f"regexp_replace({x}, '{p}', '{r}', 'g')"

@@ -48,22 +48,45 @@ class TestNormalizeCode:
         b = 'for (j = 7; j < m; j++) { acc += buf[j]; } /* other */'
         assert _norm(spark, a) == _norm(spark, b)
 
-    def test_marker_chars_cannot_forge_tokens(self, spark):
-        # guillemets in source fold to spaces before the wrap pass, so a
-        # source string can't smuggle a fake keyword through the unwrap
-        assert _norm(spark, "x = «if»;") == "V = if ;"
-        # ...and that differs from a real identifier named if-ish
+    def test_non_letter_chars_stay_verbatim(self, spark):
+        # guillemets aren't letters: they lex as single punctuation
+        # tokens, so no source byte can forge identifier structure
+        assert _norm(spark, "x = «if»;") == "V = « if » ;"
         assert _norm(spark, "x = iff;") == "V = V ;"
 
     def test_identifier_with_digits_and_underscore(self, spark):
         assert _norm(spark, "my_var2 = other3;") == "V = V ;"
-        # a leading digit is not an identifier head: the digit survives,
-        # the alpha tail is blind-renamed
-        assert _norm(spark, "x = 2abc;") == "V = 2V ;"
+        # a digit-led run is one number token (suffix rule), not an
+        # identifier — 2abc folds whole to N
+        assert _norm(spark, "x = 2abc;") == "V = N ;"
 
     def test_layout_insensitive_around_punctuation(self, spark):
-        # punctuation padding makes spacing fully canonical (type-1)
+        # token stream + single-space join makes spacing fully canonical
         assert _norm(spark, "y=2;emit(y);") == _norm(spark, "y = 2 ;\n  emit( y ) ;")
+
+    def test_comment_marker_inside_string_is_string_content(self, spark):
+        # leftmost-first alternation: the string opens before // does, so
+        # the rest of the line is NOT swallowed as a comment (the
+        # sequential-passes design got this wrong: review r4s5 finding 1)
+        a = _norm(spark, 'p = "http://x"; if (f) return 1;')
+        b = _norm(spark, 'p = "http://y"; while (f) emit(1);')
+        assert a == 'V = S ; if ( V ) return N ;'
+        assert b == 'V = S ; while ( V ) V ( N ) ;'
+        assert a != b
+        # ...and # inside a string likewise
+        assert _norm(spark, 's = "a#b"; t = 1;') == "V = S ; V = N ;"
+
+    def test_suffixed_and_exponent_literals_fold(self, spark):
+        # review r4s5 finding 2: 10L / 1e9 / 0xFF must all fold to N
+        assert _norm(spark, "x = 10L;") == _norm(spark, "x = 25L;") == "V = N ;"
+        assert _norm(spark, "y = 1e9;") == _norm(spark, "y = 2.5e-6;") == "V = N ;"
+        assert _norm(spark, "z = 0xFF;") == _norm(spark, "z = 0x1Au;") == "V = N ;"
+        assert _norm(spark, "w = .5;") == "V = N ;"
+
+    def test_unicode_identifiers_blind_renamed(self, spark):
+        # review r4s5 finding 5: \p{L} identifiers rename like ASCII ones
+        assert _norm(spark, "naïve = 1;") == _norm(spark, "naive = 1;") == "V = N ;"
+        assert _norm(spark, "日本語 = π;") == "V = V ;"
 
 
 class TestCloneGroups:
