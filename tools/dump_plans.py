@@ -116,6 +116,14 @@ def main() -> None:
                                        materialize=False)),
     ))
 
+    from backupdeduplicator_spark.operators.clones import code_clone_groups
+
+    sections.append((
+        "code clone groups (single-scan tokenizer normalization, salted "
+        "capped member collect; only 32-byte hashes shuffle)",
+        _explain(code_clone_groups(files, materialize=False)),
+    ))
+
     out = ["# PLANS — formatted physical plans of the headline queries\n",
            f"Generated from `{sf_dir}`. Reviewed for: parquet pushdown, "
            "no content/vector/children payloads in any Exchange "
