@@ -425,12 +425,15 @@ def cmd_codeclone(args) -> int:
     report: dict = {}
     if args.tier == "type2":
         out = code_clone_groups(src, min_members=args.min_members,
-                                max_members=args.max_members)
+                                max_members=args.max_members,
+                                lang_col=args.lang_col)
     else:  # near — type-3 via the bounded MinHash tier on normalized text
         from .operators.minhash import near_duplicate_clusters
 
         corpus = src.select("repo", "path",
-                            normalize_code("content").alias("content"))
+                            normalize_code(
+                                "content", lang_col=args.lang_col
+                            ).alias("content"))
         out = near_duplicate_clusters(
             corpus, sim_threshold=args.threshold, report=report)
     out.write.mode("overwrite").parquet(args.output)
@@ -594,6 +597,11 @@ def main(argv: list[str] | None = None) -> int:
                     dest="max_members",
                     help="type2 tier: member-list cap per clone group "
                          "(n_members stays exact)")
+    cc.add_argument("--lang-col", default=None, dest="lang_col",
+                    help="column holding the language tag (e.g. 'lang'): "
+                         "dispatches the comment/string grammar per row "
+                         "(python: # comments, ''' strings, // is an "
+                         "operator; C-family: // and /* */ only)")
     cc.set_defaults(fn=cmd_codeclone)
 
     df_ = sub.add_parser("diff", parents=[common])

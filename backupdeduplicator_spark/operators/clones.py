@@ -28,13 +28,14 @@ restricted to the Java-regex ∩ RE2 common subset — ``(?s)``, reluctant
 ``.*?``, ``\\p{L}``/``\\p{N}`` Unicode classes, and leftmost-first
 alternation hold in both engines; no lookaround, no backreferences.
 
-Known language-agnostic boundary: ``//`` and ``#`` OUTSIDE a string
-literal always lex as line comments, so Python floor division
-(``a // b``) and CSS ids degrade to comment-dropping — deterministic,
-identical in both dialects, and the price of one keep-list across
-C/Java/Python/JS. A per-language comment grammar would need a ``lang``
-dispatch column, which the input schema carries if a caller wants to
-specialize.
+Language dispatch: with the GENERIC grammar, ``//`` and ``#`` outside a
+string literal always lex as line comments, so Python floor division
+(``a // b``) degrades to comment-dropping — deterministic, identical in
+both dialects, the price of one grammar across C/Java/Python/JS. Pass
+``lang_col`` (the input schema carries ``lang``) to dispatch per row:
+Python files keep ``//`` as operators and fold triple-quoted strings,
+C-family files keep ``#`` lines as tokens. Only one CASE branch
+evaluates per row.
 """
 
 from __future__ import annotations
@@ -61,25 +62,54 @@ CLONE_KEYWORDS: tuple[str, ...] = (
     "public", "private", "protected", "final", "abstract", "virtual",
 )
 
-# One token per match, leftmost-first alternation — ORDER IS SEMANTICS:
+# Token arms, leftmost-first alternation — ORDER IS SEMANTICS:
 # comments before strings would be wrong ('/*' inside a string must lex
 # as string content), so strings/comments are alternatives in ONE scan
 # and whichever starts first at the cursor wins, exactly like a lexer.
-#   1. block comment   /* ... */   (reluctant, (?s) lets it span lines)
-#   2. line comment    // ... | # ...
-#   3. string literal  "..." | '...'   (backslash escapes honored)
-#   4. number literal  hex | decimal/float/exponent, with a trailing
-#      alpha run so suffixed literals (10L, 3.14f, 0xFFu) fold whole
-#   5. identifier      Unicode letters/digits/underscore (\p{L}\p{N})
-#   6. any other single non-space char (operators, punctuation)
-TOKEN_RE: str = (
-    r"(?s)/\*.*?\*/"
-    r"|//[^\n]*|#[^\n]*"
-    r"|\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*'"
-    r"|0[xX][0-9A-Fa-f]+[A-Za-z]*"
+#   comments      /* ... */ (reluctant, (?s) spans lines), // ..., # ...
+#   strings       "..." | '...' (backslash escapes), python '''/""" docs
+#   numbers       hex | decimal/float/exponent, with a trailing alpha
+#                 run so suffixed literals (10L, 3.14f, 0xFFu) fold whole
+#   identifiers   Unicode letters/digits/underscore (\p{L}\p{N})
+#   fallthrough   any other single non-space char (operators, punct)
+_ARM_BLOCK = r"/\*.*?\*/"
+_ARM_LINE_SLASH = r"//[^\n]*"
+_ARM_LINE_HASH = r"#[^\n]*"
+_ARM_TRIPLE = r"\"\"\".*?\"\"\"|'''.*?'''"
+_ARM_STRINGS = r"\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*'"
+_ARM_NUMBER = (
+    r"0[xX][0-9A-Fa-f]+[A-Za-z]*"
     r"|(?:\d+(?:\.\d+)?|\.\d+)(?:[eE][+-]?\d+)?[A-Za-z]*"
-    r"|[\p{L}_][\p{L}\p{N}_]*"
-    r"|\S"
+)
+_ARM_IDENT = r"[\p{L}_][\p{L}\p{N}_]*"
+
+
+def _token_re(*comment_and_string_arms: str) -> str:
+    return "(?s)" + "|".join(
+        (*comment_and_string_arms, _ARM_NUMBER, _ARM_IDENT, r"\S")
+    )
+
+
+# Generic (lang unknown): every comment style — deterministic, but //
+# inside Python floor division and # inside C preprocessor lines lex as
+# comments. The lang-dispatched variants resolve those ambiguities when
+# the caller's table carries a language column (input schema does).
+TOKEN_RE: str = _token_re(
+    _ARM_BLOCK, _ARM_LINE_SLASH, _ARM_LINE_HASH, _ARM_STRINGS
+)
+# Python: # comments only (a // b lexes as two '/' operator tokens),
+# triple-quoted strings before single-quoted so """doc""" is one S.
+TOKEN_RE_PYTHON: str = _token_re(_ARM_TRIPLE, _ARM_LINE_HASH, _ARM_STRINGS)
+# C-family: // and /* */ only; a bare '#' lexes as punctuation (and is
+# then dropped by the shared comment probe, so preprocessor directives
+# normalize to their token tail — deterministic in both dialects).
+TOKEN_RE_C_LIKE: str = _token_re(_ARM_BLOCK, _ARM_LINE_SLASH, _ARM_STRINGS)
+
+PYTHON_LANGS: tuple[str, ...] = ("python", "py", "python3")
+C_LIKE_LANGS: tuple[str, ...] = (
+    "c", "cpp", "c++", "cc", "h", "hpp", "java", "js", "javascript",
+    "jsx", "ts", "typescript", "tsx", "go", "rust", "scala", "kotlin",
+    "swift", "cs", "c#", "csharp", "php",
 )
 
 # Classification probes, applied to each token in this order (anchored
@@ -90,16 +120,8 @@ NUMBER_PROBE: str = r"^\.?[0-9]"
 IDENT_PROBE: str = r"^[\p{L}_]"
 
 
-def normalize_code(
-    col: Column | str, keywords: tuple[str, ...] = CLONE_KEYWORDS
-) -> Column:
-    """Normalized (type-2 canonical) form of a source-text column: the
-    token stream with comments dropped, strings -> S, numbers -> N,
-    non-keyword identifiers -> V, joined by single spaces — so layout is
-    canonical by construction. Pure built-in expression tree (one regex
-    scan + one array transform), stays JVM-side."""
-    src = F.col(col) if isinstance(col, str) else col
-    toks = F.regexp_extract_all(src, F.lit(TOKEN_RE), 0)
+def _normalize_with(src: Column, token_re: str, keywords: tuple[str, ...]) -> Column:
+    toks = F.regexp_extract_all(src, F.lit(token_re), 0)
     kw = F.array(*[F.lit(k) for k in keywords])
     cls = F.transform(
         toks,
@@ -115,27 +137,75 @@ def normalize_code(
     return F.array_join(F.filter(cls, lambda t: t != F.lit("")), " ")
 
 
+def normalize_code(
+    col: Column | str,
+    keywords: tuple[str, ...] = CLONE_KEYWORDS,
+    lang_col: str | None = None,
+) -> Column:
+    """Normalized (type-2 canonical) form of a source-text column: the
+    token stream with comments dropped, strings -> S, numbers -> N,
+    non-keyword identifiers -> V, joined by single spaces — so layout is
+    canonical by construction. Pure built-in expression tree (one regex
+    scan + one array transform), stays JVM-side.
+
+    ``lang_col`` (optional) dispatches the comment/string grammar per
+    row: Python files keep ``//`` as operators and fold triple-quoted
+    strings; C-family files keep ``#`` lines as tokens. Unknown/null
+    languages use the generic grammar — only one CASE branch evaluates
+    per row, so dispatch costs a string comparison, not extra scans."""
+    src = F.col(col) if isinstance(col, str) else col
+    if lang_col is None:
+        return _normalize_with(src, TOKEN_RE, keywords)
+    lang = F.lower(F.col(lang_col))
+    return (
+        F.when(lang.isin(*PYTHON_LANGS),
+               _normalize_with(src, TOKEN_RE_PYTHON, keywords))
+        .when(lang.isin(*C_LIKE_LANGS),
+              _normalize_with(src, TOKEN_RE_C_LIKE, keywords))
+        .otherwise(_normalize_with(src, TOKEN_RE, keywords))
+    )
+
+
 def duckdb_normalize_sql(
-    expr: str, keywords: tuple[str, ...] = CLONE_KEYWORDS
+    expr: str,
+    keywords: tuple[str, ...] = CLONE_KEYWORDS,
+    lang_expr: str | None = None,
 ) -> str:
     """The DuckDB (RE2) rendering of ``normalize_code`` over a SQL
-    expression — the oracle twin used by the cc1/cc2 driver queries. A
-    value match there proves tokenizer + classification parity across
-    the two regex engines."""
+    expression — the oracle twin used by the cc1/cc2 driver queries (and
+    the cross-engine parity tests). A value match proves tokenizer +
+    classification parity across the two regex engines. ``lang_expr``
+    mirrors ``normalize_code``'s per-row grammar dispatch."""
 
     def q(pat: str) -> str:
         return "'" + pat.replace("'", "''") + "'"
 
-    kws = ", ".join(f"'{k}'" for k in keywords)
+    def one(token_re: str) -> str:
+        kws = ", ".join(f"'{k}'" for k in keywords)
+        # DuckDB's array_to_string returns NULL for an EMPTY list where
+        # Spark's array_join returns '' — null-preserving COALESCE keeps
+        # empty files grouping identically in both engines (NULL content
+        # stays NULL in both)
+        return (
+            f"CASE WHEN {expr} IS NULL THEN NULL ELSE COALESCE("
+            "array_to_string(list_filter(list_transform("
+            f"regexp_extract_all({expr}, {q(token_re)}), t -> CASE "
+            f"WHEN regexp_matches(t, {q(COMMENT_PROBE)}) THEN '' "
+            f"WHEN regexp_matches(t, {q(STRING_PROBE)}) THEN 'S' "
+            f"WHEN regexp_matches(t, {q(NUMBER_PROBE)}) THEN 'N' "
+            f"WHEN regexp_matches(t, {q(IDENT_PROBE)}) THEN "
+            f"(CASE WHEN t IN ({kws}) THEN t ELSE 'V' END) "
+            "ELSE t END), t -> t <> ''), ' '), '') END"
+        )
+
+    if lang_expr is None:
+        return one(TOKEN_RE)
+    py = ", ".join(f"'{x}'" for x in PYTHON_LANGS)
+    cl = ", ".join(f"'{x}'" for x in C_LIKE_LANGS)
     return (
-        "array_to_string(list_filter(list_transform("
-        f"regexp_extract_all({expr}, {q(TOKEN_RE)}), t -> CASE "
-        f"WHEN regexp_matches(t, {q(COMMENT_PROBE)}) THEN '' "
-        f"WHEN regexp_matches(t, {q(STRING_PROBE)}) THEN 'S' "
-        f"WHEN regexp_matches(t, {q(NUMBER_PROBE)}) THEN 'N' "
-        f"WHEN regexp_matches(t, {q(IDENT_PROBE)}) THEN "
-        f"(CASE WHEN t IN ({kws}) THEN t ELSE 'V' END) "
-        "ELSE t END), t -> t <> ''), ' ')"
+        f"CASE WHEN lower({lang_expr}) IN ({py}) THEN {one(TOKEN_RE_PYTHON)} "
+        f"WHEN lower({lang_expr}) IN ({cl}) THEN {one(TOKEN_RE_C_LIKE)} "
+        f"ELSE {one(TOKEN_RE)} END"
     )
 
 
@@ -147,8 +217,11 @@ def code_clone_groups(
     max_members: int = 128,
     salt_buckets: int = 16,
     materialize: bool = True,
+    lang_col: str | None = None,
 ) -> DataFrame:
     """Type-1/type-2 clone groups over a (repo, path, content) table.
+    ``lang_col`` enables per-language comment/string grammar dispatch
+    (see ``normalize_code``).
 
     Columns: ``clone_hash`` (sha256 hex of the normalized form),
     ``n_members`` (exact), ``n_variants`` (exact count of distinct raw
@@ -175,9 +248,10 @@ def code_clone_groups(
     base = files.select(
         F.concat_ws("/", "repo", "path").alias("member"),
         F.sha2(F.col(content_col), 256).alias("raw_hash"),
-        F.sha2(normalize_code(F.col(content_col), keywords), 256).alias(
-            "clone_hash"
-        ),
+        F.sha2(
+            normalize_code(F.col(content_col), keywords, lang_col=lang_col),
+            256,
+        ).alias("clone_hash"),
     )
     if materialize:
         base = base.persist()

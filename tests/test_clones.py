@@ -186,3 +186,77 @@ def test_cli_codeclone_tiers(spark, tmp_path):
     comp = {f"{r['repo']}/{r['path']}": r["component"] for r in near}
     assert comp["r1/a.c"] == comp["r1/b.c"] == comp["r2/a2.c"]
     assert comp.get("r2/other.c", -1) != comp["r1/a.c"]
+
+
+class TestLangDispatch:
+    def _norm_lang(self, spark, text, lang):
+        df = spark.createDataFrame([(text, lang)], "content string, lang string")
+        return df.select(
+            normalize_code("content", lang_col="lang").alias("n")
+        ).collect()[0]["n"]
+
+    def test_python_floor_division_is_operator(self, spark):
+        got = self._norm_lang(spark, "x = a // b + z  # note", "python")
+        assert got == "V = V / / V + V"
+        # generic grammar still treats // as a comment
+        assert self._norm_lang(spark, "x = a // b + z", "txt") == "V = V"
+
+    def test_python_triple_quoted_string_folds(self, spark):
+        assert self._norm_lang(
+            spark, 'd = """multi\nline "doc" here"""', "py") == "V = S"
+        assert self._norm_lang(spark, "d = '''x'''", "python") == "V = S"
+
+    def test_c_like_keeps_hash_line_tokens(self, spark):
+        # '#' lexes as punctuation in C-family and is dropped by the
+        # shared comment probe; the directive's tail stays as tokens
+        got = self._norm_lang(spark, "#include <stdio.h>\nint x = 1;", "c")
+        assert got == "V < V . V > int V = N ;"
+        # ...where the generic grammar drops the whole line
+        assert self._norm_lang(
+            spark, "#include <stdio.h>\nint x = 1;", None) == "int V = N ;"
+
+    def test_dispatch_groups_python_renames(self, spark):
+        df = spark.createDataFrame(
+            [("r", "a.py", "q = n // 2  # half", "python"),
+             ("r", "b.py", "w = m // 7  # part", "python")],
+            "repo string, path string, content string, lang string")
+        rows = code_clone_groups(df, lang_col="lang").collect()
+        assert len(rows) == 1 and rows[0]["n_members"] == 2
+
+
+def test_duckdb_normalize_parity(spark):
+    """Cross-engine pin: duckdb_normalize_sql (RE2) must produce the
+    exact normalize_code (Java regex) output, for every grammar."""
+    import duckdb
+
+    from backupdeduplicator_spark.operators.clones import duckdb_normalize_sql
+
+    samples = [
+        ('p = "http://x"; if (f) return 1; /* c */', "c"),
+        ("x = a // b + z  # note", "python"),
+        ('d = """doc // #"""; y = 0xFFu + 1e9', "py"),
+        ("naïve = 10L; 日本語 = .5; s = 'a#b'", "java"),
+        ("#include <x.h>\nwhile (k) { k--; }", "cpp"),
+        ("generic // comment # both", None),
+        ("", "python"),
+        ("// nothing but a comment", "c"),
+        (None, "java"),
+    ]
+    df = spark.createDataFrame(samples, "content string, lang string")
+    got_plain = [r["n"] for r in df.select(
+        normalize_code("content").alias("n")).collect()]
+    got_lang = [r["n"] for r in df.select(
+        normalize_code("content", lang_col="lang").alias("n")).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE s (content VARCHAR, lang VARCHAR)")
+    con.executemany("INSERT INTO s VALUES (?, ?)", samples)
+    duck_plain = [r[0] for r in con.execute(
+        f"SELECT {duckdb_normalize_sql('content')} FROM s").fetchall()]
+    duck_lang = [r[0] for r in con.execute(
+        f"SELECT {duckdb_normalize_sql('content', lang_expr='lang')} FROM s"
+    ).fetchall()]
+    con.close()
+    for (text, lang), sp, du in zip(samples, got_plain, duck_plain):
+        assert sp == du, ("plain", text, sp, du)
+    for (text, lang), sp, du in zip(samples, got_lang, duck_lang):
+        assert sp == du, ("lang", text, lang, sp, du)
