@@ -416,14 +416,30 @@ def cmd_codeclone(args) -> int:
     renamed) — type-1 + type-2 clone classes, zero Python in the hot
     path. ``near``: the same normalization feeding the MinHash/LSH/CC
     near-dup tier — type-3 (near-miss) clones whose members differ by
-    added/removed statements, rename-insensitively. Caps are accounted,
-    never silent."""
+    added/removed statements, rename-insensitively. ``spans``: the
+    ExactSubstr duplicated-run tier over the normalized token stream —
+    maximal runs (>= --min-span normalized chars) duplicated somewhere
+    in the corpus, rename/literal/comment-insensitively; offsets are in
+    NORMALIZED-text space (the canonical single-spaced token stream),
+    not raw bytes. Caps are accounted, never silent."""
     from .operators.clones import code_clone_groups, normalize_code
 
     spark = _spark(args)
     src = spark.read.parquet(args.input)
     report: dict = {}
-    if args.tier == "type2":
+    if args.tier == "spans":
+        from .operators.substring import exact_substring_spans
+
+        if args.min_span < 1:
+            print("codeclone: --min-span must be >= 1")
+            return 2
+        docs = src.select(
+            F.concat_ws("/", "repo", "path").alias("member"),
+            normalize_code("content", lang_col=args.lang_col).alias("norm"),
+        )
+        out = exact_substring_spans(docs, id_col="member", text_col="norm",
+                                    min_len=args.min_span)
+    elif args.tier == "type2":
         out = code_clone_groups(src, min_members=args.min_members,
                                 max_members=args.max_members,
                                 lang_col=args.lang_col)
@@ -584,11 +600,18 @@ def main(argv: list[str] | None = None) -> int:
                     help="parquet table of (repo, path, content) source "
                          "files")
     cc.add_argument("--output", required=True)
-    cc.add_argument("--tier", default="type2", choices=["type2", "near"],
+    cc.add_argument("--tier", default="type2",
+                    choices=["type2", "near", "spans"],
                     help="type2 = exact groups on the normalized form "
                          "(rename/literal/comment/layout-insensitive); "
                          "near = MinHash/LSH clusters over the normalized "
-                         "token stream (type-3 near-miss clones)")
+                         "token stream (type-3 near-miss clones); spans = "
+                         "ExactSubstr duplicated runs over the normalized "
+                         "stream (rename-insensitive duplicated code "
+                         "blocks, offsets in normalized space)")
+    cc.add_argument("--min-span", type=int, default=50, dest="min_span",
+                    help="spans tier: minimum duplicated run length in "
+                         "normalized characters")
     cc.add_argument("--threshold", type=float, default=0.55,
                     help="near tier: estimated-Jaccard agreement threshold")
     cc.add_argument("--min-members", type=int, default=2,

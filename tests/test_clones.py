@@ -260,3 +260,55 @@ def test_duckdb_normalize_parity(spark):
         assert sp == du, ("plain", text, sp, du)
     for (text, lang), sp, du in zip(samples, got_lang, duck_lang):
         assert sp == du, ("lang", text, lang, sp, du)
+
+
+def test_cli_codeclone_spans_rename_insensitive(spark, tmp_path):
+    """spans tier: a shared code block duplicated across files under
+    DIFFERENT identifier names is detected as an ExactSubstr run over
+    the normalized stream; unrelated files yield no span."""
+    import pandas as pd
+
+    from backupdeduplicator_spark.__main__ import main
+
+    def block(v):
+        return "".join(
+            f"{v}[{j}] = {v}[{j}] * {j + 13}; check({v}[{j}]);\n"
+            for j in range(10)
+        )
+
+    # Blind renaming folds every identifier to V and every number to N,
+    # so noise must differ in token STRUCTURE, not names. Operators pass
+    # through normalization verbatim: encode the global statement index
+    # in the operator pair, making every noise statement corpus-unique —
+    # noise can contribute zero duplicated runs by construction.
+    OPS = "+-*/%<>&|^"
+
+    def noise(region):
+        return "".join(
+            f"x {OPS[k % 10]} y {OPS[(k // 10) % 10]} 3;\n"
+            for k in range(region * 12, region * 12 + 12)
+        )
+
+    rows = pd.DataFrame({
+        "repo": ["r"] * 4,
+        "path": ["a.c", "b.c", "c.c", "d.c"],
+        "content": [
+            noise(0) + block("alpha") + noise(1),
+            noise(2) + block("beta_renamed") + noise(3),
+            noise(4), noise(5),
+        ],
+    })
+    src = str(tmp_path / "code.parquet")
+    rows.to_parquet(src)
+    out = str(tmp_path / "spans")
+    assert main(["codeclone", "--input", src, "--output", out,
+                 "--tier", "spans", "--min-span", "40",
+                 "--cores", "4"]) == 0
+    got = spark.read.parquet(out).collect()
+    members = {r["member"] for r in got}
+    assert members == {"r/a.c", "r/b.c"}
+    # the duplicated run covers the shared block in NORMALIZED space:
+    # both files' spans have identical length (same normalized block)
+    spans = {r["member"]: r["span_end"] - r["span_start"] for r in got}
+    assert len(got) == 2
+    assert spans["r/a.c"] == spans["r/b.c"] >= 40
