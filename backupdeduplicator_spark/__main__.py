@@ -408,6 +408,38 @@ def cmd_mediadedup(args) -> int:
     return 0
 
 
+def cmd_forkdetect(args) -> int:
+    """Repo-level fork detection over a (repo, path, content) input
+    table: repos whose sets of distinct file content hashes overlap
+    with Jaccard >= --threshold, via the fully-relational AllPairs
+    prefix-filter tier (operators/setsim.py — no per-repo arrays at any
+    stage, so monorepos never materialize a member list)."""
+    from .operators.setsim import repo_fork_pairs
+
+    spark = _spark(args)
+    files = _read_input(spark, args.input)
+    report: dict = {}
+    out = repo_fork_pairs(
+        files, threshold=args.threshold, hash_col=args.hash_col,
+        max_bucket=args.max_bucket, count_first=args.count_first,
+        report=report,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    n = written.count()
+    dropped, rows = report["oversized"].agg(
+        F.count(F.lit(1)), F.sum("bn")
+    ).collect()[0]
+    if dropped:
+        print(f"forkdetect: WARNING {dropped} oversized content-hash "
+              f"buckets dropped ({rows} member rows) — a hash shared by "
+              f"more than --max-bucket repos (empty file, license "
+              f"boilerplate) generates no candidates through that hash; "
+              f"raise --max-bucket to trade runtime for recall")
+    print(f"forkdetect: {n} fork pairs -> {args.output}")
+    return 0
+
+
 def cmd_codeclone(args) -> int:
     """Code-clone tiers over a (repo, path, content) source-code table.
 
@@ -594,6 +626,23 @@ def main(argv: list[str] | None = None) -> int:
                     help="exact tier: member-list cap per dup set "
                          "(n_members stays exact)")
     md.set_defaults(fn=cmd_mediadedup)
+
+    fk = sub.add_parser("forkdetect", parents=[common])
+    fk.add_argument("--input", required=True,
+                    help="(repo, path, content) table — parquet dir, "
+                         ".jsonl/.csv, or Iceberg identifier")
+    fk.add_argument("--output", required=True)
+    fk.add_argument("--threshold", type=float, default=0.5)
+    fk.add_argument("--hash-col", default=None, dest="hash_col",
+                    help="reuse a precomputed content-hash column "
+                         "instead of re-hashing content")
+    fk.add_argument("--max-bucket", type=int, default=2000,
+                    dest="max_bucket")
+    fk.add_argument("--count-first", action="store_const", const=True,
+                    default=None, dest="count_first",
+                    help="force the provable-bound count-first candidate "
+                         "plan (default: auto skew probe)")
+    fk.set_defaults(fn=cmd_forkdetect)
 
     cc = sub.add_parser("codeclone", parents=[common])
     cc.add_argument("--input", required=True,

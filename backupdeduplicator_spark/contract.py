@@ -283,6 +283,30 @@ def q_t7_jaccard_join(d: D) -> str:
     return _q_ngram_jaccard(d, 0.35)
 
 
+def q_r1_repo_fork_pairs(d: D) -> str:
+    """Repo-level fork detection: Jaccard >= 0.1 between repos' sets of
+    distinct file content hashes, over the derived files view (the
+    mirror branch plants cross-repo shared files). Naive formulation —
+    the engine twin is the fully-relational AllPairs prefix-filter path
+    (operators/setsim.py), so the driver hash-compare proves that
+    pruning lossless at the repo granularity too."""
+    t = 0.1
+    jac = "inter * CAST(1.0 AS DOUBLE) / (n1.n + n2.n - inter)"
+    return (
+        f"{_files_cte(d)}, rws AS (SELECT DISTINCT repo, "
+        f"{d.sha256('content')} AS h FROM files), "
+        f"n AS (SELECT repo, COUNT(*) AS n FROM rws GROUP BY repo), "
+        f"intr AS (SELECT a.repo AS repo1, b.repo AS repo2, COUNT(*) AS inter "
+        f"FROM rws a JOIN rws b ON a.h = b.h AND a.repo < b.repo "
+        f"GROUP BY a.repo, b.repo) "
+        f"SELECT repo1, repo2, n1.n AS n1, n2.n AS n2, inter, "
+        f"ROUND({jac}, 6) AS jaccard "
+        f"FROM intr JOIN n n1 ON intr.repo1 = n1.repo "
+        f"JOIN n n2 ON intr.repo2 = n2.repo "
+        f"WHERE {jac} >= {t}"
+    )
+
+
 def q_x6_exact_substring_spans(d: D) -> str:
     """ExactSubstr duplicated spans (Lee et al. 2022) at L=32 over
     documents: maximal 1-based char ranges in which EVERY character is
@@ -980,6 +1004,7 @@ SQL_QUERIES: dict[str, Callable[[D], str]] = {
     "v1_video_frame_dups": q_v1_video_frame_dups,
     "cc1_code_clone_groups": q_cc1_code_clone_groups,
     "cc2_code_clone_near": q_cc2_code_clone_near,
+    "r1_repo_fork_pairs": q_r1_repo_fork_pairs,
 }
 
 
@@ -1067,6 +1092,19 @@ def _spark_t7_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_join(
         spark.table("documents"), threshold=0.35, count_first=False
     )
+
+
+def _spark_r1_repo_fork_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine twin for r1: setsim.repo_fork_pairs — the no-arrays
+    AllPairs prefix-filter path over (repo, content sha256) rows —
+    checked against the naive DuckDB hash self-join. count_first pinned
+    False so the driver plan is deterministic (no data-dependent probe
+    flip); sf0.01 hash buckets sit far under the cap."""
+    from .operators.setsim import repo_fork_pairs
+    from .sources.tables import files_df
+
+    files = files_df(spark, sf_dir)
+    return repo_fork_pairs(files, threshold=0.1, count_first=False)
 
 
 def _spark_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1515,6 +1553,7 @@ ENGINE_BACKED["m1_media_exact_dups"] = _spark_media_exact_dups
 ENGINE_BACKED["v1_video_frame_dups"] = _spark_video_frame_dups
 ENGINE_BACKED["cc1_code_clone_groups"] = _spark_code_clone_groups
 ENGINE_BACKED["cc2_code_clone_near"] = _spark_code_clone_near
+ENGINE_BACKED["r1_repo_fork_pairs"] = _spark_r1_repo_fork_pairs
 
 # every query now has a DuckDB twin; the dict stays as the hook for
 # genuinely non-SQL-expressible future ops (custom stateful streaming)

@@ -1,0 +1,181 @@
+"""Fully-relational exact set-similarity join + repo-level fork
+detection.
+
+The reference detects a *wholly* duplicated repository/folder exactly,
+via its hash tree (identical subtree => identical composite hash,
+/root/reference/src/stages/analyze/cmd/cmd.rs — the dup-set formation
+over directory hashes). It has no notion of a *nearly* duplicated repo:
+a fork that diverged by a few files shares no directory hash with its
+upstream and is invisible to the hash tree. This tier closes that gap
+Spark-first: a repository is represented as the SET of its distinct
+file content hashes, and repos with Jaccard(files_a, files_b) >= t are
+reported as fork pairs with their exact overlap.
+
+Why a second Jaccard implementation when `dedup_extra.jaccard_join`
+exists: that tier carries each document's shingle ARRAY through the
+verify stage (`array_intersect` per candidate pair) — fine when a set
+is a few hundred 5-grams, fatal when a set is one row per FILE of a
+monorepo (10^7 elements would materialize per pair, per task). This
+variant never builds an array at any stage:
+
+* input is the exploded (id, item) row form — the shape a 100 TB corpus
+  is already in after the hash stage;
+* the AllPairs/PPJoin prefix filter (Bayardo et al., WWW'07; Xiao et
+  al., PPJoin) is computed with a window rank over document-frequency
+  order, rows only;
+* candidate buckets route through the shared bounded kernel
+  (operators/buckets.py) — a degenerate item (a hash shared by every
+  repo, e.g. the empty file) is dropped + accounted, never expanded;
+* the intersection is verified RELATIONALLY: candidates join back to
+  the row table on (id1) then (id2, item) and a count aggregation
+  yields |A ∩ B| — map-side combinable, no per-pair buffer anywhere.
+
+Output is exact (the prefix filter is lossless; pinned against the
+naive formulation by tests and the r1 driver oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def set_similarity_join(
+    rows: DataFrame,
+    id_col: str,
+    item_col: str,
+    threshold: float,
+    max_bucket: int = 2000,
+    salt_buckets: int = 16,
+    count_first: bool | None = None,
+    report: dict | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """EXACT Jaccard pairs >= ``threshold`` over sets given as exploded
+    (id, item) rows. Returns (id1, id2, n1, n2, inter, jaccard) with
+    id1 < id2, jaccard rounded to 6 dp; n1/n2 are the distinct-item set
+    sizes and ``inter`` the exact intersection size.
+
+    Duplicate (id, item) rows are collapsed first (sets, not bags).
+    ``report['oversized']`` receives the lazy dropped-bucket accounting
+    from the bounded kernel, like every other candidate tier.
+    """
+    from pyspark.sql.window import Window
+
+    from .buckets import bounded_bucket_pairs
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    eps = 1e-9  # float guard: never SHRINK a prefix/filter via FP error
+    base = rows.select(
+        F.col(id_col).alias("id"), F.col(item_col).alias("it")
+    ).distinct()
+    if materialize:
+        # consumed by the n/df counts, the prefix, and both verify
+        # rejoin sides; eager count = the AQE leaf-race barrier
+        base = base.persist()
+        base.count()
+    n_tab = base.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    df_tab = base.groupBy("it").agg(F.count(F.lit(1)).alias("df"))
+    required = F.ceil(F.lit(threshold) * F.col("n") - F.lit(eps)).cast("int")
+    prefix = (
+        base.join(n_tab, "id")
+        .join(df_tab, "it")
+        .withColumn(
+            "r",
+            F.row_number().over(Window.partitionBy("id").orderBy("df", "it")),
+        )
+        .filter(F.col("r") <= F.col("n") - required + F.lit(1))
+        .select("it", F.struct(F.col("id"), F.col("n")).alias("m"))
+    )
+    if materialize:
+        # the kernel scans its bucket table 2-3x (skew probe + salted
+        # phase, or counts + anti-join); uncached, each scan re-runs
+        # the df join + per-id window sort
+        prefix = prefix.persist()
+        prefix.count()
+    pairs_raw, oversized = bounded_bucket_pairs(
+        prefix, ["it"], "m", max_bucket,
+        salt_buckets=salt_buckets, count_first=count_first,
+    )
+    if report is not None:
+        report["oversized"] = oversized
+    cand = (
+        pairs_raw.select(
+            F.col("m1.id").alias("id1"), F.col("m1.n").alias("n1"),
+            F.col("m2.id").alias("id2"), F.col("m2.n").alias("n2"),
+        )
+        .filter(
+            F.least("n1", "n2").cast("double")
+            >= F.lit(threshold) * F.greatest("n1", "n2") - F.lit(eps)
+        )
+        .distinct()
+    )
+    r1 = base.select(F.col("id").alias("id1"), "it")
+    r2 = base.select(F.col("id").alias("id2"), "it")
+    out = (
+        cand.join(r1, "id1")
+        .join(r2, ["id2", "it"])
+        .groupBy("id1", "id2", "n1", "n2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "id1", "id2", "n1", "n2", "inter",
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+    if materialize:
+        # same lifecycle as jaccard_join: truncate to the (small) pair
+        # set, materialize accounting while caches are alive, release
+        out = out.localCheckpoint()
+        if report is not None:
+            report["oversized"] = report["oversized"].localCheckpoint()
+        prefix.unpersist()
+        base.unpersist()
+    return out
+
+
+def repo_fork_pairs(
+    files: DataFrame,
+    threshold: float = 0.1,
+    repo_col: str = "repo",
+    content_col: str = "content",
+    hash_col: str | None = None,
+    max_bucket: int = 2000,
+    salt_buckets: int = 16,
+    count_first: bool | None = None,
+    report: dict | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Near-duplicate REPOSITORY pairs: repos whose sets of distinct file
+    content hashes overlap with Jaccard >= ``threshold``. Returns
+    (repo1, repo2, n1, n2, inter, jaccard), repo1 < repo2.
+
+    Pass ``hash_col`` to reuse hashes computed by an earlier stage
+    (e.g. build_entries' per-file sha256) instead of re-hashing content
+    — at 100 TB the content column should cross the hash kernel exactly
+    once per pipeline, not once per tier.
+    """
+    if hash_col is not None:
+        rows = files.select(
+            F.col(repo_col).alias("repo"), F.col(hash_col).alias("h")
+        )
+    else:
+        rows = files.select(
+            F.col(repo_col).alias("repo"),
+            F.sha2(F.col(content_col).cast("binary"), 256).alias("h"),
+        )
+    out = set_similarity_join(
+        rows, "repo", "h", threshold,
+        max_bucket=max_bucket, salt_buckets=salt_buckets,
+        count_first=count_first, report=report, materialize=materialize,
+    )
+    return out.select(
+        F.col("id1").alias("repo1"), F.col("id2").alias("repo2"),
+        "n1", "n2", "inter", "jaccard",
+    )

@@ -260,3 +260,39 @@ def test_cli_mediadedup(spark, tmp_path, capsys):
     # baseline and progressive encodings of one image decode identically
     assert {(1, 2), (1, 3), (2, 3)} <= pairs
     assert not any(4 in p for p in pairs)
+
+
+def test_cli_forkdetect(spark, tmp_path, capsys):
+    """forkdetect CLI: fork pair found with exact overlap stats; a
+    content hash shared by more repos than --max-bucket is dropped AND
+    warned about (no-silent-caps)."""
+    import pandas as pd
+
+    rows = [("org/a", f"p{i}", f"content-{i}") for i in range(10)]
+    rows += [("org/b", f"q{i}", f"content-{i}") for i in range(8)]
+    rows += [("org/b", "q8", "own-1"), ("org/b", "q9", "own-2")]
+    files = pd.DataFrame(rows, columns=["repo", "path", "content"])
+    src = str(tmp_path / "files.parquet")
+    files.to_parquet(src)
+    out = str(tmp_path / "forks")
+    assert main(["forkdetect", "--input", src, "--output", out,
+                 "--threshold", "0.5", "--cores", "4"]) == 0
+    got = spark.read.parquet(out).collect()
+    assert [(r["repo1"], r["repo2"], r["inter"]) for r in got] == [
+        ("org/a", "org/b", 8)
+    ]
+
+    # boilerplate hash shared by 30 repos, cap 10: dropped + warned
+    boiler = [(f"r{i:02d}", "LICENSE", "same-license") for i in range(30)]
+    boiler += [("r00", "a", "x"), ("r01", "b", "x")]
+    src2 = str(tmp_path / "boiler.parquet")
+    pd.DataFrame(boiler, columns=["repo", "path", "content"]).to_parquet(src2)
+    out2 = str(tmp_path / "forks2")
+    capsys.readouterr()
+    assert main(["forkdetect", "--input", src2, "--output", out2,
+                 "--threshold", "0.5", "--max-bucket", "10",
+                 "--count-first", "--cores", "4"]) == 0
+    msg = capsys.readouterr().out
+    assert "WARNING" in msg and "oversized" in msg
+    got2 = {(r["repo1"], r["repo2"]) for r in spark.read.parquet(out2).collect()}
+    assert got2 == {("r00", "r01")}

@@ -184,3 +184,29 @@ def test_exact_substring_spans_plan_shape(spark):
             if "Exchange" in line and "hashpartitioning" in line:
                 assert "text" not in line, line
         assert min_joins <= _joins(plan) <= max_joins, (kw, _joins(plan))
+
+
+def test_repo_fork_pairs_plan_shape(spark):
+    """Relational set-similarity (PLANS.md 'repo fork pairs'): fully
+    JVM-side, no CartesianProduct, one Window (the per-repo df-order
+    prefix rank), the bounded kernel's salted shape underneath — and
+    the tier's whole point: no collect_list/sort_array outside the
+    kernel, so no Exchange carries an array column."""
+    import re
+
+    from backupdeduplicator_spark.operators.setsim import repo_fork_pairs
+
+    files = spark.createDataFrame(
+        [("a", "p", "c1"), ("b", "q", "c1"), ("b", "r", "c2")],
+        "repo string, path string, content string",
+    )
+    plan = _plan(repo_fork_pairs(files, threshold=0.5, materialize=False,
+                                 count_first=False))
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan, "setsim must stay JVM-side"
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert "_salt" in plan
+    # the ONLY aggregation buffering members is the kernel's capped
+    # two-phase collect (ObjectHashAggregate); the verify stage is a
+    # plain count aggregate
+    assert "array_intersect" not in plan

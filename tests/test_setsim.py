@@ -1,0 +1,139 @@
+"""Set-similarity join (relational AllPairs) + repo fork detection.
+
+Ground truth throughout is the naive Python computation over the same
+sets — the prefix filter and relational verify must be lossless.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from backupdeduplicator_spark.operators.setsim import (
+    repo_fork_pairs, set_similarity_join,
+)
+
+
+def _naive_pairs(sets: dict, threshold: float) -> dict:
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if not inter:
+                continue
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= threshold:
+                out[(a, b)] = (len(sets[a]), len(sets[b]), inter, round(j, 6))
+    return out
+
+
+def _result_map(df) -> dict:
+    return {
+        (r["id1"], r["id2"]): (r["n1"], r["n2"], r["inter"], r["jaccard"])
+        for r in df.collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def synth_sets():
+    rng = random.Random(7)
+    sets = {}
+    # 40 base sets over a 200-item universe; 10 "forks" copying a base
+    # set with a few items swapped — guaranteed high-Jaccard pairs
+    for i in range(40):
+        sets[f"id{i:03d}"] = {
+            f"it{rng.randrange(200):03d}" for _ in range(rng.randrange(5, 25))
+        }
+    for i in range(10):
+        src = set(sets[f"id{i:03d}"])
+        drop = rng.randrange(0, max(1, len(src) // 4))
+        fork = set(sorted(src)[drop:]) | {f"fk{i}"}
+        sets[f"fork{i:02d}"] = fork
+    return sets
+
+
+@pytest.fixture(scope="module")
+def synth_rows(spark, synth_sets):
+    rows = [(i, it) for i, s in synth_sets.items() for it in sorted(s)]
+    return spark.createDataFrame(rows, "id string, it string").cache()
+
+
+@pytest.mark.parametrize("threshold", [0.2, 0.5, 0.8])
+def test_equals_naive(spark, synth_sets, synth_rows, threshold):
+    got = _result_map(
+        set_similarity_join(synth_rows, "id", "it", threshold)
+    )
+    assert got == _naive_pairs(synth_sets, threshold)
+
+
+def test_count_first_parity(spark, synth_sets, synth_rows):
+    salted = _result_map(
+        set_similarity_join(synth_rows, "id", "it", 0.4, count_first=False)
+    )
+    hard = _result_map(
+        set_similarity_join(synth_rows, "id", "it", 0.4, count_first=True)
+    )
+    assert salted == hard == _naive_pairs(synth_sets, 0.4)
+
+
+def test_bag_rows_collapse_to_sets(spark):
+    # duplicate (id, item) rows must not inflate n or inter
+    rows = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "y"), ("b", "x"), ("b", "x"),
+         ("b", "y"), ("b", "z")],
+        "id string, it string",
+    )
+    got = _result_map(set_similarity_join(rows, "id", "it", 0.5))
+    assert got == {("a", "b"): (2, 3, 2, round(2 / 3, 6))}
+
+
+def test_degenerate_item_capped_and_accounted(spark):
+    # one item shared by 60 ids, cap 10: its bucket is dropped +
+    # accounted; pairs that ALSO share rare items survive via those
+    rows = [(f"id{i:02d}", "common") for i in range(60)]
+    rows += [("id00", "rare"), ("id01", "rare")]
+    df = spark.createDataFrame(rows, "id string, it string")
+    report = {}
+    out = set_similarity_join(
+        df, "id", "it", 0.5, max_bucket=10, count_first=True, report=report,
+    )
+    got = _result_map(out)
+    # id00/id01: sets {common,rare} x2 -> J=1 via the rare-item bucket
+    assert got == {("id00", "id01"): (2, 2, 2, 1.0)}
+    over = {tuple(r) for r in report["oversized"].collect()}
+    assert ("common", 60) in over
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], "id string, it string")
+    assert set_similarity_join(df, "id", "it", 0.5).count() == 0
+
+
+def test_repo_fork_pairs_planted(spark):
+    # repo A: files c0..c9; repo B: c0..c7 + two own -> J = 8/12
+    rows = [("org/a", f"p{i}", f"content-{i}") for i in range(10)]
+    rows += [("org/b", f"q{i}", f"content-{i}") for i in range(8)]
+    rows += [("org/b", "q8", "own-1"), ("org/b", "q9", "own-2")]
+    # repo C: disjoint
+    rows += [("org/c", f"r{i}", f"other-{i}") for i in range(5)]
+    files = spark.createDataFrame(rows, "repo string, path string, content string")
+    got = {
+        (r["repo1"], r["repo2"]): (r["n1"], r["n2"], r["inter"], r["jaccard"])
+        for r in repo_fork_pairs(files, threshold=0.5).collect()
+    }
+    assert got == {("org/a", "org/b"): (10, 10, 8, round(8 / 12, 6))}
+
+
+def test_repo_fork_pairs_hash_col_reuse(spark):
+    # precomputed hash column path must equal the content path
+    from pyspark.sql import functions as F
+
+    rows = [("a", "x", "t1"), ("a", "y", "t2"), ("b", "z", "t1"),
+            ("b", "w", "t2"), ("b", "v", "t3")]
+    files = spark.createDataFrame(rows, "repo string, path string, content string")
+    via_content = repo_fork_pairs(files, threshold=0.3).collect()
+    pre = files.withColumn("h", F.sha2(F.col("content").cast("binary"), 256))
+    via_hash = repo_fork_pairs(pre, threshold=0.3, hash_col="h").collect()
+    assert sorted(map(tuple, via_content)) == sorted(map(tuple, via_hash))

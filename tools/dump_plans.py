@@ -116,6 +116,16 @@ def main() -> None:
                                        materialize=False)),
     ))
 
+    from backupdeduplicator_spark.operators.setsim import repo_fork_pairs
+
+    sections.append((
+        "repo fork pairs (relational AllPairs over (repo, hash) rows: "
+        "df-ordered prefixes, bounded buckets, join-count verify — no "
+        "arrays anywhere)",
+        _explain(repo_fork_pairs(files, threshold=0.5, materialize=False,
+                                 count_first=False)),
+    ))
+
     from backupdeduplicator_spark.operators.clones import code_clone_groups
 
     sections.append((
