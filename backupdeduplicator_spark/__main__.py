@@ -11,6 +11,9 @@ engine's additions (neardup, pipeline).
     python -m backupdeduplicator_spark export   --checkpoint DIR --file HASHTREE_JSONL
     python -m backupdeduplicator_spark docdedup --input DOCS_PARQUET --output DIR --tier minhash
     python -m backupdeduplicator_spark mediadedup --input MEDIA_PARQUET --output DIR --tier exact
+    python -m backupdeduplicator_spark codeclone --input CODE_PARQUET --output DIR --tier type2
+    python -m backupdeduplicator_spark forkdetect --input CODE_PARQUET --output DIR [--threshold 0.5]
+    python -m backupdeduplicator_spark diff     --a CKPT --b CKPT [--output DIR]
 
 --input is a parquet directory of (repo, path, commit, lang, content)
 rows; --checkpoint is the snapshot-table root (plans/checkpoint.py);
@@ -409,21 +412,42 @@ def cmd_mediadedup(args) -> int:
 
 
 def cmd_forkdetect(args) -> int:
-    """Repo-level fork detection over a (repo, path, content) input
-    table: repos whose sets of distinct file content hashes overlap
-    with Jaccard >= --threshold, via the fully-relational AllPairs
-    prefix-filter tier (operators/setsim.py — no per-repo arrays at any
-    stage, so monorepos never materialize a member list)."""
-    from .operators.setsim import repo_fork_pairs
+    """Fork detection over a (repo, path, content) input table: repo or
+    directory-subtree pairs whose sets of distinct file content hashes
+    overlap with Jaccard >= --threshold, via the fully-relational
+    AllPairs prefix-filter tier (operators/setsim.py — no per-repo
+    arrays at any stage, so monorepos never materialize a member
+    list). --granularity subtree attributes each file to every
+    ancestor directory and reports near-duplicate subtrees (vendored
+    copies, diverged forks of one folder) the exact hash tree cannot
+    see; same-repo ancestor pairs are suppressed."""
+    from .operators.setsim import repo_fork_pairs, subtree_fork_pairs
 
     spark = _spark(args)
     files = _read_input(spark, args.input)
+    if args.hash_col is not None and args.hash_col not in files.columns:
+        # .jsonl/.csv inputs are read with the pinned (repo, path, commit,
+        # lang, content) schema — extra columns are dropped at the reader,
+        # so --hash-col only works against parquet/Iceberg sources
+        print(f"forkdetect: ERROR --hash-col '{args.hash_col}' not in the "
+              f"input columns {files.columns} (note: .jsonl/.csv inputs "
+              f"are schema-pinned and carry no extra columns — use a "
+              f"parquet/Iceberg source for precomputed hashes)",
+              file=sys.stderr)
+        return 2
     report: dict = {}
-    out = repo_fork_pairs(
-        files, threshold=args.threshold, hash_col=args.hash_col,
-        max_bucket=args.max_bucket, count_first=args.count_first,
-        report=report,
-    )
+    if args.granularity == "subtree":
+        out = subtree_fork_pairs(
+            files, threshold=args.threshold, min_files=args.min_files,
+            hash_col=args.hash_col, max_bucket=args.max_bucket,
+            count_first=args.count_first, report=report,
+        )
+    else:
+        out = repo_fork_pairs(
+            files, threshold=args.threshold, hash_col=args.hash_col,
+            max_bucket=args.max_bucket, count_first=args.count_first,
+            report=report,
+        )
     out.write.mode("overwrite").parquet(args.output)
     written = spark.read.parquet(args.output)
     n = written.count()
@@ -633,6 +657,16 @@ def main(argv: list[str] | None = None) -> int:
                          ".jsonl/.csv, or Iceberg identifier")
     fk.add_argument("--output", required=True)
     fk.add_argument("--threshold", type=float, default=0.5)
+    fk.add_argument("--granularity", default="repo",
+                    choices=["repo", "subtree"],
+                    help="repo: whole-repository fork pairs; subtree: "
+                         "near-duplicate directory pairs (vendored "
+                         "copies), every file attributed to each "
+                         "ancestor dir")
+    fk.add_argument("--min-files", type=int, default=2, dest="min_files",
+                    help="subtree granularity: ignore dirs with fewer "
+                         "distinct file hashes (suppresses trivial "
+                         "single-file J=1 pairs)")
     fk.add_argument("--hash-col", default=None, dest="hash_col",
                     help="reuse a precomputed content-hash column "
                          "instead of re-hashing content")

@@ -307,6 +307,41 @@ def q_r1_repo_fork_pairs(d: D) -> str:
     )
 
 
+def q_r2_subtree_fork_pairs(d: D) -> str:
+    """Subtree-level fork detection: (repo, dir) pairs whose recursive
+    file-hash sets overlap with Jaccard >= 0.2 (dirs with >= 3 distinct
+    hashes; same-repo ancestor pairs suppressed) — the near-dup analog
+    of the reference's exact identical-subtree detection via the hash
+    tree. The oracle expands the fixed-depth-2 derived view's ancestors
+    explicitly ('' / seg1 / seg1/seg2 — same simplification as the
+    Merkle oracles); the engine twin handles arbitrary depth. Pair
+    orientation is (repo, dir) tuple order, which equals the engine's
+    composite-key order because the \\x1f separator sorts below every
+    printable character. DuckDB-dialect only (the Spark side is
+    ENGINE_BACKED)."""
+    t, mf = 0.2, 3
+    jac = "inter * CAST(1.0 AS DOUBLE) / (n1.n + n2.n - inter)"
+    return (
+        f"{_files_cte(d)}, anc AS (SELECT repo, {d.sha256('content')} AS h, "
+        f"unnest(['', split_part(path,'/',1), "
+        f"split_part(path,'/',1) || '/' || split_part(path,'/',2)]) AS dir "
+        f"FROM files), "
+        f"rws AS (SELECT DISTINCT repo, dir, h FROM anc), "
+        f"n AS (SELECT repo, dir, COUNT(*) AS n FROM rws "
+        f"GROUP BY repo, dir HAVING COUNT(*) >= {mf}), "
+        f"intr AS (SELECT a.repo AS repo1, a.dir AS dir1, "
+        f"b.repo AS repo2, b.dir AS dir2, COUNT(*) AS inter "
+        f"FROM rws a JOIN rws b ON a.h = b.h "
+        f"AND (a.repo, a.dir) < (b.repo, b.dir) GROUP BY 1, 2, 3, 4) "
+        f"SELECT repo1, dir1, repo2, dir2, n1.n AS n1, n2.n AS n2, inter, "
+        f"ROUND({jac}, 6) AS jaccard "
+        f"FROM intr JOIN n n1 ON intr.repo1 = n1.repo AND intr.dir1 = n1.dir "
+        f"JOIN n n2 ON intr.repo2 = n2.repo AND intr.dir2 = n2.dir "
+        f"WHERE {jac} >= {t} AND NOT (repo1 = repo2 AND (dir1 = '' "
+        f"OR dir2 = '' OR dir2 LIKE dir1 || '/%' OR dir1 LIKE dir2 || '/%'))"
+    )
+
+
 def q_x6_exact_substring_spans(d: D) -> str:
     """ExactSubstr duplicated spans (Lee et al. 2022) at L=32 over
     documents: maximal 1-based char ranges in which EVERY character is
@@ -1005,6 +1040,7 @@ SQL_QUERIES: dict[str, Callable[[D], str]] = {
     "cc1_code_clone_groups": q_cc1_code_clone_groups,
     "cc2_code_clone_near": q_cc2_code_clone_near,
     "r1_repo_fork_pairs": q_r1_repo_fork_pairs,
+    "r2_subtree_fork_pairs": q_r2_subtree_fork_pairs,
 }
 
 
@@ -1105,6 +1141,19 @@ def _spark_r1_repo_fork_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     files = files_df(spark, sf_dir)
     return repo_fork_pairs(files, threshold=0.1, count_first=False)
+
+
+def _spark_r2_subtree_fork_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine twin for r2: setsim.subtree_fork_pairs (ancestor explode +
+    the shared relational AllPairs stage), vs the naive fixed-depth
+    DuckDB expansion. count_first pinned False (deterministic plan)."""
+    from .operators.setsim import subtree_fork_pairs
+    from .sources.tables import files_df
+
+    files = files_df(spark, sf_dir)
+    return subtree_fork_pairs(
+        files, threshold=0.2, min_files=3, count_first=False
+    )
 
 
 def _spark_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1554,6 +1603,7 @@ ENGINE_BACKED["v1_video_frame_dups"] = _spark_video_frame_dups
 ENGINE_BACKED["cc1_code_clone_groups"] = _spark_code_clone_groups
 ENGINE_BACKED["cc2_code_clone_near"] = _spark_code_clone_near
 ENGINE_BACKED["r1_repo_fork_pairs"] = _spark_r1_repo_fork_pairs
+ENGINE_BACKED["r2_subtree_fork_pairs"] = _spark_r2_subtree_fork_pairs
 
 # every query now has a DuckDB twin; the dict stays as the hook for
 # genuinely non-SQL-expressible future ops (custom stateful streaming)

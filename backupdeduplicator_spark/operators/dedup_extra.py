@@ -229,14 +229,16 @@ def jaccard_join(
     — the engine-wide no-unbounded-bucket rule. On benign corpora no
     bucket reaches ``max_bucket`` and the output equals the naive
     formulation exactly (pinned by tests and the t7 driver oracle).
+
+    The correctness-critical candidate stage (df-ordered prefixes,
+    guarded ceil, bounded buckets, length filter) is the shared
+    :func:`~..operators.setsim.allpairs_candidates`; only the verify
+    differs — arrays + ``array_intersect`` here (sets are doc-bounded
+    shingle lists), relational join-counts in the setsim tier (sets are
+    corpus-scale member rows).
     """
-    from .buckets import bounded_bucket_pairs
+    from .setsim import allpairs_candidates
 
-    if not 0.0 < threshold <= 1.0:
-        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    from pyspark.sql.window import Window
-
-    eps = 1e-9  # float guard: never SHRINK a prefix/filter via FP error
     base = docs.select(
         F.col(id_col).alias("id"),
         F.expr(shingle_array_expr(text_col, k)).alias("shs"),
@@ -247,44 +249,15 @@ def jaccard_join(
         # frames consumed by concurrent leaf stages compute twice)
         base = base.persist()
         base.count()
-    sh = base.select("id", "n", F.explode("shs").alias("s"))
-    df_tab = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    required = F.ceil(F.lit(threshold) * F.col("n") - F.lit(eps)).cast("int")
-    prefix = (
-        sh.join(df_tab, "s")
-        .withColumn(
-            "r",
-            F.row_number().over(Window.partitionBy("id").orderBy("df", "s")),
-        )
-        .filter(F.col("r") <= F.col("n") - required + F.lit(1))
-        .select("s", F.struct(F.col("id"), F.col("n")).alias("m"))
-    )
-    if materialize:
-        # the kernel scans its bucket table 2-3x (skew probe, salted
-        # phase — or counts + anti-join on the count-first plan); without
-        # this cache each scan re-runs the df join + per-doc window sort,
-        # the scale path's heaviest stage (buckets.py tells callers to
-        # persist exactly this)
-        prefix = prefix.persist()
-        prefix.count()
-    pairs_raw, oversized = bounded_bucket_pairs(
-        prefix, ["s"], "m", max_bucket,
+    sh = base.select("id", "n", F.explode("shs").alias("it"))
+    cand, oversized, cache = allpairs_candidates(
+        sh, threshold, max_bucket,
         salt_buckets=salt_buckets, count_first=count_first,
+        materialize=materialize,
     )
     if report is not None:
         report["oversized"] = oversized
-    cand = (
-        pairs_raw.select(
-            F.col("m1.id").alias("id1"), F.col("m1.n").alias("n1"),
-            F.col("m2.id").alias("id2"), F.col("m2.n").alias("n2"),
-        )
-        .filter(
-            F.least("n1", "n2").cast("double")
-            >= F.lit(threshold) * F.greatest("n1", "n2") - F.lit(eps)
-        )
-        .select("id1", "id2")
-        .distinct()
-    )
+    cand = cand.select("id1", "id2")
     a = base.select(F.col("id").alias("id1"), F.col("shs").alias("sh1"))
     b = base.select(F.col("id").alias("id2"), F.col("shs").alias("sh2"))
     inter = F.size(F.array_intersect("sh1", "sh2"))
@@ -307,7 +280,8 @@ def jaccard_join(
         out = out.localCheckpoint()
         if report is not None:
             report["oversized"] = report["oversized"].localCheckpoint()
-        prefix.unpersist()
+        if cache is not None:
+            cache.unpersist()
         base.unpersist()
     return out
 

@@ -1,5 +1,6 @@
 """Fully-relational exact set-similarity join + repo-level fork
-detection.
+detection — and the shared AllPairs prefix-filter candidate stage used
+by both this tier and the shingle-level ``dedup_extra.jaccard_join``.
 
 The reference detects a *wholly* duplicated repository/folder exactly,
 via its hash tree (identical subtree => identical composite hash,
@@ -11,7 +12,7 @@ Spark-first: a repository is represented as the SET of its distinct
 file content hashes, and repos with Jaccard(files_a, files_b) >= t are
 reported as fork pairs with their exact overlap.
 
-Why a second Jaccard implementation when `dedup_extra.jaccard_join`
+Why a second Jaccard verify path when `dedup_extra.jaccard_join`
 exists: that tier carries each document's shingle ARRAY through the
 verify stage (`array_intersect` per candidate pair) — fine when a set
 is a few hundred 5-grams, fatal when a set is one row per FILE of a
@@ -22,7 +23,8 @@ variant never builds an array at any stage:
   is already in after the hash stage;
 * the AllPairs/PPJoin prefix filter (Bayardo et al., WWW'07; Xiao et
   al., PPJoin) is computed with a window rank over document-frequency
-  order, rows only;
+  order, rows only (:func:`allpairs_candidates`, shared with the
+  shingle tier so the correctness-critical prefix math lives once);
 * candidate buckets route through the shared bounded kernel
   (operators/buckets.py) — a degenerate item (a hash shared by every
   repo, e.g. the empty file) is dropped + accounted, never expanded;
@@ -36,8 +38,103 @@ naive formulation by tests and the r1 driver oracle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _guarded(x: Column) -> Column:
+    """x minus an FP-error allowance: ceil/compare guards must never
+    SHRINK a prefix or filter via float noise, at any magnitude. The
+    absolute 1e-9 term covers small products; the relative x*1e-12 term
+    takes over once x is large enough that one ulp of the product
+    (~x*2^-52) exceeds 1e-9 — i.e. exactly at monorepo scale, where an
+    absolute-only guard silently stops protecting. 1e-12 is ~4500 ulp
+    of slack yet shifts an integer-valued product by < 1 for any
+    x < 1e12, so the guarded ceil/filter is never off by a whole
+    element in the other direction either."""
+    return x - F.greatest(F.lit(1e-9), x * F.lit(1e-12))
+
+
+def allpairs_candidates(
+    sh: DataFrame,
+    threshold: float,
+    max_bucket: int,
+    salt_buckets: int = 16,
+    count_first: bool | None = None,
+    materialize: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame | None]:
+    """The AllPairs/PPJoin candidate stage over exploded set rows:
+    ``sh`` has columns (id, n, it) — one row per (set, member item),
+    ``n`` the set's cardinality. Returns (cand, oversized, cache):
+    ``cand`` = distinct (id1, n1, id2, n2) pairs surviving the prefix
+    filter and the length filter, ``oversized`` = the bounded kernel's
+    dropped-bucket accounting, ``cache`` = the persisted prefix frame
+    (callers unpersist it after materializing downstream results; None
+    when ``materialize`` is False).
+
+    The filter is lossless (Chaudhuri et al.'s SSJoin primitive;
+    Bayardo et al., WWW'07 AllPairs; Xiao et al., PPJoin):
+
+    * order all items globally by (document frequency, item) — no
+      global rank is materialized, the (df, it) tuple itself is the
+      order, so the only new shuffle is the df-count join;
+    * each set joins on only its first ``n - ceil(t*n) + 1`` items in
+      that order (its *prefix*). Any pair with ``J >= t`` shares
+      ``>= ceil(t*max(n1,n2))`` items, and a set avoiding the other's
+      prefix can share at most ``ceil(t*n) - 1 < ceil(t*n)`` of them —
+      so true pairs always collide on a prefix item (both prefixes, as
+      both are probe-length); frequent boilerplate items land in
+      nobody's prefix and never generate candidates;
+    * candidates pass the length filter
+      ``min(n1,n2) >= t*max(n1,n2)`` (J <= n_min/n_max).
+
+    Prefix buckets route through the shared bounded kernel — a
+    degenerate item is dropped + accounted via ``oversized`` instead of
+    exploding one task. The per-set Window rank buffers one set's rows
+    per partition; Spark's window buffer spills to disk, so a monorepo
+    set costs I/O, not memory.
+    """
+    from pyspark.sql.window import Window
+
+    from .buckets import bounded_bucket_pairs
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    required = F.ceil(_guarded(F.lit(threshold) * F.col("n"))).cast("int")
+    df_tab = sh.groupBy("it").agg(F.count(F.lit(1)).alias("df"))
+    prefix = (
+        sh.join(df_tab, "it")
+        .withColumn(
+            "r",
+            F.row_number().over(Window.partitionBy("id").orderBy("df", "it")),
+        )
+        .filter(F.col("r") <= F.col("n") - required + F.lit(1))
+        .select("it", F.struct(F.col("id"), F.col("n")).alias("m"))
+    )
+    cache = None
+    if materialize:
+        # the kernel scans its bucket table 2-3x (skew probe + salted
+        # phase, or counts + anti-join); uncached, each scan re-runs
+        # the df join + per-id window sort
+        cache = prefix.persist()
+        cache.count()
+        prefix = cache
+    pairs_raw, oversized = bounded_bucket_pairs(
+        prefix, ["it"], "m", max_bucket,
+        salt_buckets=salt_buckets, count_first=count_first,
+    )
+    cand = (
+        pairs_raw.select(
+            F.col("m1.id").alias("id1"), F.col("m1.n").alias("n1"),
+            F.col("m2.id").alias("id2"), F.col("m2.n").alias("n2"),
+        )
+        .filter(
+            F.least("n1", "n2").cast("double")
+            >= _guarded(F.lit(threshold) * F.greatest("n1", "n2"))
+        )
+        .distinct()
+    )
+    return cand, oversized, cache
 
 
 def set_similarity_join(
@@ -50,6 +147,7 @@ def set_similarity_join(
     count_first: bool | None = None,
     report: dict | None = None,
     materialize: bool = True,
+    min_set_size: int = 1,
 ) -> DataFrame:
     """EXACT Jaccard pairs >= ``threshold`` over sets given as exploded
     (id, item) rows. Returns (id1, id2, n1, n2, inter, jaccard) with
@@ -59,14 +157,10 @@ def set_similarity_join(
     Duplicate (id, item) rows are collapsed first (sets, not bags).
     ``report['oversized']`` receives the lazy dropped-bucket accounting
     from the bounded kernel, like every other candidate tier.
+    ``min_set_size`` drops sets smaller than that from consideration
+    entirely (both sides) — the subtree tier uses it to keep 1-file
+    directories from flooding the output with trivial J=1 pairs.
     """
-    from pyspark.sql.window import Window
-
-    from .buckets import bounded_bucket_pairs
-
-    if not 0.0 < threshold <= 1.0:
-        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    eps = 1e-9  # float guard: never SHRINK a prefix/filter via FP error
     base = rows.select(
         F.col(id_col).alias("id"), F.col(item_col).alias("it")
     ).distinct()
@@ -76,41 +170,16 @@ def set_similarity_join(
         base = base.persist()
         base.count()
     n_tab = base.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    df_tab = base.groupBy("it").agg(F.count(F.lit(1)).alias("df"))
-    required = F.ceil(F.lit(threshold) * F.col("n") - F.lit(eps)).cast("int")
-    prefix = (
-        base.join(n_tab, "id")
-        .join(df_tab, "it")
-        .withColumn(
-            "r",
-            F.row_number().over(Window.partitionBy("id").orderBy("df", "it")),
-        )
-        .filter(F.col("r") <= F.col("n") - required + F.lit(1))
-        .select("it", F.struct(F.col("id"), F.col("n")).alias("m"))
-    )
-    if materialize:
-        # the kernel scans its bucket table 2-3x (skew probe + salted
-        # phase, or counts + anti-join); uncached, each scan re-runs
-        # the df join + per-id window sort
-        prefix = prefix.persist()
-        prefix.count()
-    pairs_raw, oversized = bounded_bucket_pairs(
-        prefix, ["it"], "m", max_bucket,
+    if min_set_size > 1:
+        n_tab = n_tab.filter(F.col("n") >= min_set_size)
+    sh = base.join(n_tab, "id").select("id", "n", "it")
+    cand, oversized, cache = allpairs_candidates(
+        sh, threshold, max_bucket,
         salt_buckets=salt_buckets, count_first=count_first,
+        materialize=materialize,
     )
     if report is not None:
         report["oversized"] = oversized
-    cand = (
-        pairs_raw.select(
-            F.col("m1.id").alias("id1"), F.col("m1.n").alias("n1"),
-            F.col("m2.id").alias("id2"), F.col("m2.n").alias("n2"),
-        )
-        .filter(
-            F.least("n1", "n2").cast("double")
-            >= F.lit(threshold) * F.greatest("n1", "n2") - F.lit(eps)
-        )
-        .distinct()
-    )
     r1 = base.select(F.col("id").alias("id1"), "it")
     r2 = base.select(F.col("id").alias("id2"), "it")
     out = (
@@ -135,7 +204,8 @@ def set_similarity_join(
         out = out.localCheckpoint()
         if report is not None:
             report["oversized"] = report["oversized"].localCheckpoint()
-        prefix.unpersist()
+        if cache is not None:
+            cache.unpersist()
         base.unpersist()
     return out
 
@@ -179,3 +249,89 @@ def repo_fork_pairs(
         F.col("id1").alias("repo1"), F.col("id2").alias("repo2"),
         "n1", "n2", "inter", "jaccard",
     )
+
+
+_SEP = "\x1f"  # unit separator: cannot appear in repo names or paths
+
+
+def subtree_fork_pairs(
+    files: DataFrame,
+    threshold: float = 0.5,
+    min_files: int = 2,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    content_col: str = "content",
+    hash_col: str | None = None,
+    include_nested: bool = False,
+    max_bucket: int = 2000,
+    salt_buckets: int = 16,
+    count_first: bool | None = None,
+    report: dict | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Near-duplicate DIRECTORY subtrees: (repo, dir) pairs whose sets
+    of distinct file content hashes (all files under the subtree,
+    recursively) overlap with Jaccard >= ``threshold``. Returns
+    (repo1, dir1, repo2, dir2, n1, n2, inter, jaccard); dir '' is the
+    repo root.
+
+    The reference's hash tree finds byte-identical subtrees only (equal
+    Merkle hash — analyze's dup-set formation over Directory rows);
+    this is its near-dup analog: a vendored copy of a library with two
+    patched files, or a fork's src/ tree that diverged slightly, shares
+    no Merkle hash but scores high subtree Jaccard. Each file's hash is
+    attributed to every ancestor directory (one exploded row per
+    ancestor — row inflation = tree depth, the same linear factor the
+    reference's recursive hash tree pays), then sets flow through the
+    same relational AllPairs join as :func:`repo_fork_pairs`.
+
+    ``min_files`` (default 2) drops directories with fewer distinct
+    content hashes: a corpus-scale run would otherwise report every
+    pair of single-file dirs holding the same boilerplate file as a
+    trivial J=1 fork. ``include_nested=False`` (default) suppresses
+    ancestor-descendant pairs within one repo (a dir always overlaps
+    its own parent heavily — the reference's analyze stage suppresses
+    the same parent/child double-reporting for exact dup sets,
+    CONFORMANCE §2.11) — cross-repo and disjoint same-repo pairs are
+    the findings.
+    """
+    if hash_col is not None:
+        h = F.col(hash_col)
+    else:
+        h = F.sha2(F.col(content_col).cast("binary"), 256)
+    # ancestor dirs of 'a/b/f.txt' = ['', 'a', 'a/b']; of 'f.txt' = ['']
+    dir_parts = (
+        f"slice(split({path_col}, '/'), 1, "
+        f"size(split({path_col}, '/')) - 1)"
+    )
+    ancestors = F.expr(
+        f"transform(sequence(0, size({dir_parts})), "
+        f"i -> array_join(slice({dir_parts}, 1, i), '/'))"
+    )
+    rows = files.select(
+        F.col(repo_col).alias("repo"),
+        F.explode(ancestors).alias("dir"),
+        h.alias("h"),
+    ).select(F.concat_ws(_SEP, "repo", "dir").alias("node"), "h")
+    pairs = set_similarity_join(
+        rows, "node", "h", threshold,
+        max_bucket=max_bucket, salt_buckets=salt_buckets,
+        count_first=count_first, report=report, materialize=materialize,
+        min_set_size=max(min_files, 1),
+    )
+    out = pairs.select(
+        F.split_part(F.col("id1"), F.lit(_SEP), F.lit(1)).alias("repo1"),
+        F.split_part(F.col("id1"), F.lit(_SEP), F.lit(2)).alias("dir1"),
+        F.split_part(F.col("id2"), F.lit(_SEP), F.lit(2)).alias("dir2"),
+        F.split_part(F.col("id2"), F.lit(_SEP), F.lit(1)).alias("repo2"),
+        "n1", "n2", "inter", "jaccard",
+    ).select("repo1", "dir1", "repo2", "dir2", "n1", "n2", "inter", "jaccard")
+    if not include_nested:
+        same_repo = F.col("repo1") == F.col("repo2")
+        nested = (
+            (F.col("dir1") == "") | (F.col("dir2") == "")
+            | F.col("dir2").startswith(F.concat("dir1", F.lit("/")))
+            | F.col("dir1").startswith(F.concat("dir2", F.lit("/")))
+        )
+        out = out.filter(~(same_repo & nested))
+    return out

@@ -296,3 +296,42 @@ def test_cli_forkdetect(spark, tmp_path, capsys):
     assert "WARNING" in msg and "oversized" in msg
     got2 = {(r["repo1"], r["repo2"]) for r in spark.read.parquet(out2).collect()}
     assert got2 == {("r00", "r01")}
+
+
+def test_cli_forkdetect_subtree(spark, tmp_path):
+    """--granularity subtree finds the vendored-copy dir pair."""
+    import pandas as pd
+
+    rows = [("A", "vendor/libx/a.c", "c1"), ("A", "vendor/libx/b.c", "c2"),
+            ("A", "vendor/libx/c.c", "c3"), ("A", "src/m.c", "a1"),
+            ("A", "src/u.c", "a2"),
+            ("B", "third/libx/a.c", "c1"), ("B", "third/libx/b.c", "c2"),
+            ("B", "third/libx/c.c", "c3"), ("B", "app/x.c", "b1")]
+    src = str(tmp_path / "code.parquet")
+    pd.DataFrame(rows, columns=["repo", "path", "content"]).to_parquet(src)
+    out = str(tmp_path / "subtrees")
+    assert main(["forkdetect", "--input", src, "--output", out,
+                 "--granularity", "subtree", "--threshold", "0.9",
+                 "--min-files", "3", "--cores", "4"]) == 0
+    got = {(r["repo1"], r["dir1"], r["repo2"], r["dir2"]): r["jaccard"]
+           for r in spark.read.parquet(out).collect()}
+    assert got == {
+        ("A", "vendor", "B", "third"): 1.0,
+        ("A", "vendor", "B", "third/libx"): 1.0,
+        ("A", "vendor/libx", "B", "third"): 1.0,
+        ("A", "vendor/libx", "B", "third/libx"): 1.0,
+    }
+
+
+def test_cli_forkdetect_bad_hash_col(tmp_path, capsys):
+    """--hash-col naming a column the reader cannot see fails with a
+    clear error, not an AnalysisException traceback."""
+    import pandas as pd
+
+    src = str(tmp_path / "f.parquet")
+    pd.DataFrame([("a", "p", "c")],
+                 columns=["repo", "path", "content"]).to_parquet(src)
+    rc = main(["forkdetect", "--input", src, "--output",
+               str(tmp_path / "o"), "--hash-col", "nope", "--cores", "4"])
+    assert rc == 2
+    assert "--hash-col 'nope'" in capsys.readouterr().err

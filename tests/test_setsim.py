@@ -137,3 +137,83 @@ def test_repo_fork_pairs_hash_col_reuse(spark):
     pre = files.withColumn("h", F.sha2(F.col("content").cast("binary"), 256))
     via_hash = repo_fork_pairs(pre, threshold=0.3, hash_col="h").collect()
     assert sorted(map(tuple, via_content)) == sorted(map(tuple, via_hash))
+
+
+@pytest.fixture(scope="module")
+def vendored_files(spark):
+    rows = [
+        ("A", "vendor/libx/a.c", "c1"), ("A", "vendor/libx/b.c", "c2"),
+        ("A", "vendor/libx/c.c", "c3"),
+        ("A", "src/main.c", "a1"), ("A", "src/util.c", "a2"),
+        ("B", "third/libx/a.c", "c1"), ("B", "third/libx/b.c", "c2"),
+        ("B", "third/libx/d.c", "c4"),
+        ("B", "app/x.c", "b1"),
+    ]
+    return spark.createDataFrame(
+        rows, "repo string, path string, content string"
+    ).cache()
+
+
+def _subtree_map(df) -> dict:
+    return {
+        (r["repo1"], r["dir1"], r["repo2"], r["dir2"]):
+            (r["n1"], r["n2"], r["inter"], r["jaccard"])
+        for r in df.collect()
+    }
+
+
+def test_subtree_fork_pairs_vendored_copy(spark, vendored_files):
+    from backupdeduplicator_spark.operators.setsim import subtree_fork_pairs
+
+    got = _subtree_map(subtree_fork_pairs(vendored_files, threshold=0.5))
+    # vendor(/libx) in A vs third(/libx) in B share {c1,c2}: J = 2/4
+    expect = (3, 3, 2, 0.5)
+    assert got == {
+        ("A", "vendor", "B", "third"): expect,
+        ("A", "vendor", "B", "third/libx"): expect,
+        ("A", "vendor/libx", "B", "third"): expect,
+        ("A", "vendor/libx", "B", "third/libx"): expect,
+    }
+
+
+def test_subtree_fork_pairs_nested_suppression(spark, vendored_files):
+    from backupdeduplicator_spark.operators.setsim import subtree_fork_pairs
+
+    got = _subtree_map(
+        subtree_fork_pairs(vendored_files, threshold=0.5,
+                           include_nested=True)
+    )
+    # nested same-repo pairs now included: vendor vs vendor/libx (J=1),
+    # third vs third/libx (J=1), and each root vs its dominant subtree
+    assert ("A", "vendor", "A", "vendor/libx") in got
+    assert got[("A", "vendor", "A", "vendor/libx")] == (3, 3, 3, 1.0)
+    assert ("B", "third", "B", "third/libx") in got
+    # default rerun excludes every same-repo ancestor pair
+    sup = _subtree_map(subtree_fork_pairs(vendored_files, threshold=0.5))
+    assert all(r1 != r2 for (r1, _, r2, _) in sup)
+
+
+def test_subtree_fork_pairs_min_files(spark, vendored_files):
+    from backupdeduplicator_spark.operators.setsim import subtree_fork_pairs
+
+    # min_files=4 excludes every dir except the roots (5 and 4 hashes);
+    # roots share only {c1,c2} -> J = 2/7 -> nothing at 0.5
+    assert subtree_fork_pairs(
+        vendored_files, threshold=0.5, min_files=4
+    ).count() == 0
+    # at a lower threshold the root pair appears (cross-repo, kept)
+    got = _subtree_map(subtree_fork_pairs(
+        vendored_files, threshold=0.25, min_files=4))
+    assert got == {("A", "", "B", ""): (5, 4, 2, round(2 / 7, 6))}
+
+
+def test_subtree_fork_pairs_root_level_file(spark):
+    from backupdeduplicator_spark.operators.setsim import subtree_fork_pairs
+
+    # files at repo root (no '/') attribute to dir '' only
+    rows = [("A", "x.c", "c1"), ("A", "y.c", "c2"),
+            ("B", "x.c", "c1"), ("B", "y.c", "c2")]
+    files = spark.createDataFrame(
+        rows, "repo string, path string, content string")
+    got = _subtree_map(subtree_fork_pairs(files, threshold=0.9))
+    assert got == {("A", "", "B", ""): (2, 2, 2, 1.0)}
