@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Fork-detection-tier two-parallelism scaling bench (BASELINE.md
+protocol).
+
+Measures ``repo_fork_pairs`` end-to-end: JVM sha256 over every content
+byte (the content-proportional, 100 TB-dominant stage), then the
+fully-relational AllPairs set join (distinct, df counts, window-rank
+prefix, bounded buckets, join-count verify) over the resulting
+(repo, hash) rows. Same sanctioned stand-in as bench_scaling.py:
+identical input at local[2] vs local[8], fresh subprocess per level
+(local-mode parallelism is fixed per JVM), best-of-N, efficiency =
+(thr_8 / thr_2) / 4.
+
+The corpus is synthesized INSIDE Spark (expression-built content seeded
+on ``id``): R repos of ~n/R files each; every 10th repo is a "fork" of
+its predecessor sharing 80% of file contents, so the join produces a
+deterministic non-trivial pair set.
+
+Usage: python BENCH/setsim_scaling.py [--n-files 60000] [--runs 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+N_REPOS = 200
+
+
+def synth_corpus(spark, n_files: int):
+    """(repo, path, content) — ~2 KB per file. File i belongs to repo
+    i % N_REPOS; content is keyed on a *content id*: for a fork repo
+    (repo % 10 == 9) the first 80% of its files reuse the contents of
+    the predecessor repo's files (cid shifts to repo-1), the rest are
+    its own — so fork pairs share exactly that fraction of hashes."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(n_files).select(
+        F.col("id"),
+        F.pmod("id", F.lit(N_REPOS)).alias("repo_id"),
+        (F.col("id") / F.lit(N_REPOS)).cast("long").alias("slot"),
+    )
+    is_fork_share = (F.pmod("repo_id", F.lit(10)) == 9) & (
+        F.pmod("slot", F.lit(10)) < 8
+    )
+    cid = F.when(is_fork_share, F.col("id") - F.lit(1)).otherwise(F.col("id"))
+    scid = cid.cast("string")
+    filler = F.concat(
+        F.lit("line "), scid, F.lit(" payload "),
+        F.pmod(cid, F.lit(97)).cast("string"), F.lit(" of doc\n"),
+    )
+    content = F.concat(
+        F.lit("document "), scid, F.lit("\n"), F.repeat(filler, 64)
+    )
+    return base.select(
+        F.concat(F.lit("org-"), F.col("repo_id").cast("string")).alias("repo"),
+        F.concat(F.lit("src/f"), F.col("id").cast("string"),
+                 F.lit(".txt")).alias("path"),
+        content.alias("content"),
+    )
+
+
+def child(cores: int, n_files: int) -> None:
+    sys.path.insert(0, REPO)
+    from pyspark.sql import functions as F
+
+    from backupdeduplicator_spark.operators.setsim import repo_fork_pairs
+    from backupdeduplicator_spark.session import get_spark
+
+    spark = get_spark(f"setsim-scaling-{cores}", cores=cores,
+                      shuffle_partitions=max(cores * 4, 8))
+    corpus = synth_corpus(spark, n_files).repartition(cores * 4).persist()
+    nbytes = corpus.agg(F.sum(F.length("content"))).collect()[0][0]
+    # untimed warmup: JIT-compile the full codegen'd pipeline on a slice
+    repo_fork_pairs(corpus.limit(2000), threshold=0.5).count()
+    t0 = time.monotonic()
+    pairs = repo_fork_pairs(corpus, threshold=0.5)
+    n_pairs = pairs.count()
+    wall = time.monotonic() - t0
+    print(json.dumps({
+        "cores": cores, "n_files": n_files, "content_bytes": int(nbytes),
+        "n_pairs": n_pairs, "wall_sec": round(wall, 3),
+        "files_per_sec": round(n_files / wall, 1),
+    }))
+    spark.stop()
+
+
+def run_level(cores: int, n_files: int, runs: int) -> dict:
+    best = None
+    for _ in range(runs):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cores-child",
+             str(cores), "--n-files", str(n_files)],
+            capture_output=True, text=True, timeout=3600, cwd=REPO,
+        )
+        lines = [l for l in out.stdout.strip().splitlines()
+                 if l.startswith("{")]
+        if not lines:
+            raise RuntimeError(f"child failed:\n{out.stdout}\n{out.stderr}")
+        r = json.loads(lines[-1])
+        if best is None or r["wall_sec"] < best["wall_sec"]:
+            best = r
+    return best
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-files", type=int, default=60000)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--cores-child", type=int, default=0)
+    args = ap.parse_args()
+    if args.cores_child:
+        child(args.cores_child, args.n_files)
+        return 0
+    lo = run_level(2, args.n_files, args.runs)
+    hi = run_level(8, args.n_files, args.runs)
+    eff = (hi["files_per_sec"] / lo["files_per_sec"]) / 4.0
+    stamp = time.strftime("%Y%m%dT%H%M%S")
+    report = {
+        "tier": "repo_fork_pairs", "protocol":
+        f"best-of-{args.runs} fresh JVMs per level, untimed JIT warmup",
+        "local2": lo, "local8": hi, "efficiency_2_to_8": round(eff, 3),
+    }
+    print(json.dumps(report))
+    path = os.path.join(REPO, "BENCH", f"scaling_run_{stamp}.md")
+    with open(path, "w") as f:
+        f.write(
+            "# Fork-detection-tier scaling run (N=2 -> 4N=8 cores)\n\n"
+            f"- corpus: {lo['n_files']} files / {N_REPOS} repos, "
+            f"{lo['content_bytes'] / 1e6:.1f} MB synthesized content, "
+            f"{lo['n_pairs']} fork pairs (sha256 + relational AllPairs "
+            f"join, repo_fork_pairs end-to-end)\n"
+            f"- protocol: {report['protocol']}\n"
+            f"- local[2]: {lo['wall_sec']} s ({lo['files_per_sec']} files/s)\n"
+            f"- local[8]: {hi['wall_sec']} s ({hi['files_per_sec']} files/s)\n"
+            f"- scaling efficiency: **{eff:.3f}**\n"
+        )
+    print(f"wrote {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -420,31 +420,58 @@ def cmd_forkdetect(args) -> int:
     list). --granularity subtree attributes each file to every
     ancestor directory and reports near-duplicate subtrees (vendored
     copies, diverged forks of one folder) the exact hash tree cannot
-    see; same-repo ancestor pairs are suppressed."""
+    see; same-repo ancestor pairs are suppressed.
+
+    With --checkpoint instead of --input, the tier runs straight off a
+    prior `build` run's file_hashes snapshot — no content is ever read
+    (at 100 TB, fork detection then moves only 32-byte hashes)."""
     from .operators.setsim import repo_fork_pairs, subtree_fork_pairs
 
-    spark = _spark(args)
-    files = _read_input(spark, args.input)
-    if args.hash_col is not None and args.hash_col not in files.columns:
-        # .jsonl/.csv inputs are read with the pinned (repo, path, commit,
-        # lang, content) schema — extra columns are dropped at the reader,
-        # so --hash-col only works against parquet/Iceberg sources
-        print(f"forkdetect: ERROR --hash-col '{args.hash_col}' not in the "
-              f"input columns {files.columns} (note: .jsonl/.csv inputs "
-              f"are schema-pinned and carry no extra columns — use a "
-              f"parquet/Iceberg source for precomputed hashes)",
-              file=sys.stderr)
+    if (args.input is None) == (args.checkpoint is None):
+        print("forkdetect: ERROR pass exactly one of --input (content "
+              "table) or --checkpoint (reuse a build's file_hashes "
+              "snapshot)", file=sys.stderr)
         return 2
+    spark = _spark(args)
+    hash_col = args.hash_col
+    if args.checkpoint is not None:
+        from .plans.checkpoint import CheckpointManager
+
+        ck = CheckpointManager(spark, args.checkpoint)
+        if not ck.exists("file_hashes"):
+            print(f"forkdetect: ERROR no file_hashes snapshot under "
+                  f"{args.checkpoint} — run `build` first", file=sys.stderr)
+            return 2
+        # algo doesn't matter (any consistent content hash identifies a
+        # file), but rows with NULL hashes (NULL content) stay NULL and
+        # never match — identical to the --input path's sha2(NULL)
+        files = ck.read("file_hashes").select(
+            "repo", "path", F.lower(F.hex("hash")).alias("_ck_hash")
+        )
+        hash_col = "_ck_hash"
+    else:
+        files = _read_input(spark, args.input)
+        if hash_col is not None and hash_col not in files.columns:
+            # .jsonl/.csv inputs are read with the pinned (repo, path,
+            # commit, lang, content) schema — extra columns are dropped
+            # at the reader, so --hash-col only works against
+            # parquet/Iceberg sources
+            print(f"forkdetect: ERROR --hash-col '{hash_col}' not in the "
+                  f"input columns {files.columns} (note: .jsonl/.csv "
+                  f"inputs are schema-pinned and carry no extra columns "
+                  f"— use a parquet/Iceberg source for precomputed "
+                  f"hashes)", file=sys.stderr)
+            return 2
     report: dict = {}
     if args.granularity == "subtree":
         out = subtree_fork_pairs(
             files, threshold=args.threshold, min_files=args.min_files,
-            hash_col=args.hash_col, max_bucket=args.max_bucket,
+            hash_col=hash_col, max_bucket=args.max_bucket,
             count_first=args.count_first, report=report,
         )
     else:
         out = repo_fork_pairs(
-            files, threshold=args.threshold, hash_col=args.hash_col,
+            files, threshold=args.threshold, hash_col=hash_col,
             max_bucket=args.max_bucket, count_first=args.count_first,
             report=report,
         )
@@ -652,9 +679,13 @@ def main(argv: list[str] | None = None) -> int:
     md.set_defaults(fn=cmd_mediadedup)
 
     fk = sub.add_parser("forkdetect", parents=[common])
-    fk.add_argument("--input", required=True,
+    fk.add_argument("--input", default=None,
                     help="(repo, path, content) table — parquet dir, "
                          ".jsonl/.csv, or Iceberg identifier")
+    fk.add_argument("--checkpoint", default=None,
+                    help="reuse a prior build's file_hashes snapshot "
+                         "instead of reading content (exactly one of "
+                         "--input/--checkpoint)")
     fk.add_argument("--output", required=True)
     fk.add_argument("--threshold", type=float, default=0.5)
     fk.add_argument("--granularity", default="repo",

@@ -335,3 +335,34 @@ def test_cli_forkdetect_bad_hash_col(tmp_path, capsys):
                str(tmp_path / "o"), "--hash-col", "nope", "--cores", "4"])
     assert rc == 2
     assert "--hash-col 'nope'" in capsys.readouterr().err
+
+
+def test_cli_forkdetect_from_checkpoint(spark, tmp_path, capsys):
+    """forkdetect --checkpoint reuses a build's file_hashes snapshot —
+    no content column is read — and yields the same pairs as --input."""
+    import pandas as pd
+
+    rows = [("org/a", f"p{i}", f"content-{i}") for i in range(10)]
+    rows += [("org/b", f"q{i}", f"content-{i}") for i in range(8)]
+    rows += [("org/b", "q8", "own-1"), ("org/b", "q9", "own-2")]
+    src = str(tmp_path / "files.parquet")
+    pd.DataFrame(rows, columns=["repo", "path", "content"]).assign(
+        commit="c0", lang="txt").to_parquet(src)
+    ck = str(tmp_path / "ck")
+    assert main(["build", "--input", src, "--checkpoint", ck,
+                 "--cores", "4"]) == 0
+    out_ck = str(tmp_path / "forks_ck")
+    assert main(["forkdetect", "--checkpoint", ck, "--output", out_ck,
+                 "--threshold", "0.5", "--cores", "4"]) == 0
+    out_in = str(tmp_path / "forks_in")
+    assert main(["forkdetect", "--input", src, "--output", out_in,
+                 "--threshold", "0.5", "--cores", "4"]) == 0
+    a = sorted(map(tuple, spark.read.parquet(out_ck).collect()))
+    b = sorted(map(tuple, spark.read.parquet(out_in).collect()))
+    assert a == b and len(a) == 1
+
+    # exactly one of --input/--checkpoint
+    rc = main(["forkdetect", "--input", src, "--checkpoint", ck,
+               "--output", str(tmp_path / "x"), "--cores", "4"])
+    assert rc == 2
+    assert "exactly one" in capsys.readouterr().err
