@@ -2,21 +2,28 @@
 """Fork-detection-tier two-parallelism scaling bench (BASELINE.md
 protocol).
 
-Measures ``repo_fork_pairs`` end-to-end: JVM sha256 over every content
-byte (the content-proportional, 100 TB-dominant stage), then the
-fully-relational AllPairs set join (distinct, df counts, window-rank
-prefix, bounded buckets, join-count verify) over the resulting
-(repo, hash) rows. Same sanctioned stand-in as bench_scaling.py:
-identical input at local[2] vs local[8], fresh subprocess per level
-(local-mode parallelism is fixed per JVM), best-of-N, efficiency =
-(thr_8 / thr_2) / 4.
+``repo_fork_pairs`` has two cost regimes, timed separately per run
+(same decomposition the sigs-stage evidence uses — a composite number
+over a latency-bound tail says nothing about either phase):
 
-The corpus is synthesized INSIDE Spark (expression-built content seeded
-on ``id``): R repos of ~n/R files each; every 10th repo is a "fork" of
-its predecessor sharing 80% of file contents, so the join produces a
-deterministic non-trivial pair set.
+* **hash phase** — JVM sha256 + (repo, hash) distinct over every
+  content byte. Content-proportional: the 100 TB-dominant stage.
+* **join phase** — the relational AllPairs set join (df counts,
+  window-rank prefix, bounded buckets, join-count verify) over the
+  hash ROWS via the hash_col path; row-proportional and
+  content-size-independent (a 100 TB corpus of 10^9 files is ~30 GB
+  of hash rows here).
 
-Usage: python BENCH/setsim_scaling.py [--n-files 60000] [--runs 3]
+Fresh subprocess per level (local-mode parallelism is fixed per JVM),
+best-of-N per level, efficiency = (thr_8 / thr_2) / 4. The corpus is
+synthesized INSIDE Spark (expression-built content seeded on ``id``):
+R repos; every 10th repo "forks" its predecessor sharing 80% of file
+contents, so the join produces a deterministic 20-pair result at any
+size. Size the two phases independently: --repeat grows bytes/file
+(hash phase), --n-files grows rows (join phase).
+
+Usage: python BENCH/setsim_scaling.py [--n-files 240000] [--repeat 512]
+       [--runs 3]
 """
 
 from __future__ import annotations
@@ -33,12 +40,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_REPOS = 200
 
 
-def synth_corpus(spark, n_files: int):
-    """(repo, path, content) — ~2 KB per file. File i belongs to repo
-    i % N_REPOS; content is keyed on a *content id*: for a fork repo
-    (repo % 10 == 9) the first 80% of its files reuse the contents of
-    the predecessor repo's files (cid shifts to repo-1), the rest are
-    its own — so fork pairs share exactly that fraction of hashes."""
+def synth_corpus(spark, n_files: int, repeat: int):
+    """(repo, path, content) — content grows with ``repeat``. File i
+    belongs to repo i % N_REPOS; for a fork repo (repo % 10 == 9) the
+    first 80% of its files reuse the contents of the predecessor
+    repo's files (cid shifts to repo-1), the rest are its own."""
     from pyspark.sql import functions as F
 
     base = spark.range(n_files).select(
@@ -56,7 +62,7 @@ def synth_corpus(spark, n_files: int):
         F.pmod(cid, F.lit(97)).cast("string"), F.lit(" of doc\n"),
     )
     content = F.concat(
-        F.lit("document "), scid, F.lit("\n"), F.repeat(filler, 64)
+        F.lit("document "), scid, F.lit("\n"), F.repeat(filler, repeat)
     )
     return base.select(
         F.concat(F.lit("org-"), F.col("repo_id").cast("string")).alias("repo"),
@@ -66,7 +72,7 @@ def synth_corpus(spark, n_files: int):
     )
 
 
-def child(cores: int, n_files: int) -> None:
+def child(cores: int, n_files: int, repeat: int) -> None:
     sys.path.insert(0, REPO)
     from pyspark.sql import functions as F
 
@@ -75,28 +81,43 @@ def child(cores: int, n_files: int) -> None:
 
     spark = get_spark(f"setsim-scaling-{cores}", cores=cores,
                       shuffle_partitions=max(cores * 4, 8))
-    corpus = synth_corpus(spark, n_files).repartition(cores * 4).persist()
+    corpus = synth_corpus(spark, n_files, repeat).repartition(
+        cores * 4).persist()
     nbytes = corpus.agg(F.sum(F.length("content"))).collect()[0][0]
-    # untimed warmup: JIT-compile the full codegen'd pipeline on a slice
+    hashed_cold = corpus.select(
+        "repo", "path", F.sha2(F.col("content").cast("binary"), 256).alias("h")
+    )
+    # untimed warmup: JIT-compile both phases on a slice
     repo_fork_pairs(corpus.limit(2000), threshold=0.5).count()
+    # hash phase: sha256 every content byte, materialize the hash rows
     t0 = time.monotonic()
-    pairs = repo_fork_pairs(corpus, threshold=0.5)
+    hashed = hashed_cold.persist()
+    hashed.count()
+    t_hash = time.monotonic() - t0
+    # join phase: the relational AllPairs set join over hash rows only
+    t0 = time.monotonic()
+    pairs = repo_fork_pairs(hashed, threshold=0.5, hash_col="h")
     n_pairs = pairs.count()
-    wall = time.monotonic() - t0
+    t_join = time.monotonic() - t0
     print(json.dumps({
         "cores": cores, "n_files": n_files, "content_bytes": int(nbytes),
-        "n_pairs": n_pairs, "wall_sec": round(wall, 3),
-        "files_per_sec": round(n_files / wall, 1),
+        "n_pairs": n_pairs,
+        "hash_sec": round(t_hash, 3),
+        "hash_mb_per_sec": round(nbytes / 1e6 / t_hash, 1),
+        "join_sec": round(t_join, 3),
+        "join_files_per_sec": round(n_files / t_join, 1),
+        "wall_sec": round(t_hash + t_join, 3),
     }))
     spark.stop()
 
 
-def run_level(cores: int, n_files: int, runs: int) -> dict:
+def run_level(cores: int, n_files: int, repeat: int, runs: int) -> dict:
     best = None
     for _ in range(runs):
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--cores-child",
-             str(cores), "--n-files", str(n_files)],
+             str(cores), "--n-files", str(n_files),
+             "--repeat", str(repeat)],
             capture_output=True, text=True, timeout=3600, cwd=REPO,
         )
         lines = [l for l in out.stdout.strip().splitlines()
@@ -111,21 +132,26 @@ def run_level(cores: int, n_files: int, runs: int) -> dict:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n-files", type=int, default=60000)
+    ap.add_argument("--n-files", type=int, default=240000)
+    ap.add_argument("--repeat", type=int, default=512)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--cores-child", type=int, default=0)
     args = ap.parse_args()
     if args.cores_child:
-        child(args.cores_child, args.n_files)
+        child(args.cores_child, args.n_files, args.repeat)
         return 0
-    lo = run_level(2, args.n_files, args.runs)
-    hi = run_level(8, args.n_files, args.runs)
-    eff = (hi["files_per_sec"] / lo["files_per_sec"]) / 4.0
+    lo = run_level(2, args.n_files, args.repeat, args.runs)
+    hi = run_level(8, args.n_files, args.repeat, args.runs)
+    eff_hash = (hi["hash_mb_per_sec"] / lo["hash_mb_per_sec"]) / 4.0
+    eff_join = (hi["join_files_per_sec"] / lo["join_files_per_sec"]) / 4.0
     stamp = time.strftime("%Y%m%dT%H%M%S")
     report = {
         "tier": "repo_fork_pairs", "protocol":
-        f"best-of-{args.runs} fresh JVMs per level, untimed JIT warmup",
-        "local2": lo, "local8": hi, "efficiency_2_to_8": round(eff, 3),
+        f"best-of-{args.runs} fresh JVMs per level, untimed JIT warmup, "
+        f"phases timed separately",
+        "local2": lo, "local8": hi,
+        "hash_efficiency_2_to_8": round(eff_hash, 3),
+        "join_efficiency_2_to_8": round(eff_join, 3),
     }
     print(json.dumps(report))
     path = os.path.join(REPO, "BENCH", f"scaling_run_{stamp}.md")
@@ -134,12 +160,17 @@ def main() -> int:
             "# Fork-detection-tier scaling run (N=2 -> 4N=8 cores)\n\n"
             f"- corpus: {lo['n_files']} files / {N_REPOS} repos, "
             f"{lo['content_bytes'] / 1e6:.1f} MB synthesized content, "
-            f"{lo['n_pairs']} fork pairs (sha256 + relational AllPairs "
-            f"join, repo_fork_pairs end-to-end)\n"
+            f"{lo['n_pairs']} fork pairs\n"
             f"- protocol: {report['protocol']}\n"
-            f"- local[2]: {lo['wall_sec']} s ({lo['files_per_sec']} files/s)\n"
-            f"- local[8]: {hi['wall_sec']} s ({hi['files_per_sec']} files/s)\n"
-            f"- scaling efficiency: **{eff:.3f}**\n"
+            f"- hash phase (sha256 + distinct, content-proportional): "
+            f"local[2] {lo['hash_sec']} s ({lo['hash_mb_per_sec']} MB/s) "
+            f"-> local[8] {hi['hash_sec']} s ({hi['hash_mb_per_sec']} "
+            f"MB/s), efficiency **{eff_hash:.3f}**\n"
+            f"- join phase (relational AllPairs over hash rows, "
+            f"row-proportional): local[2] {lo['join_sec']} s "
+            f"({lo['join_files_per_sec']} files/s) -> local[8] "
+            f"{hi['join_sec']} s ({hi['join_files_per_sec']} files/s), "
+            f"efficiency **{eff_join:.3f}**\n"
         )
     print(f"wrote {path}")
     return 0

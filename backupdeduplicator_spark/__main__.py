@@ -463,7 +463,22 @@ def cmd_forkdetect(args) -> int:
                   f"hashes)", file=sys.stderr)
             return 2
     report: dict = {}
-    if args.granularity == "subtree":
+    if args.metric == "containment":
+        if args.granularity == "subtree":
+            # a subtree is contained in its own ancestors by definition;
+            # until a suppression story exists for that, reject rather
+            # than emit a flood of trivial rows
+            print("forkdetect: ERROR --metric containment supports "
+                  "--granularity repo only", file=sys.stderr)
+            return 2
+        from .operators.setsim import repo_containment_pairs
+
+        out = repo_containment_pairs(
+            files, threshold=args.threshold, hash_col=hash_col,
+            max_bucket=args.max_bucket, count_first=args.count_first,
+            report=report,
+        )
+    elif args.granularity == "subtree":
         out = subtree_fork_pairs(
             files, threshold=args.threshold, min_files=args.min_files,
             hash_col=hash_col, max_bucket=args.max_bucket,
@@ -688,6 +703,14 @@ def main(argv: list[str] | None = None) -> int:
                          "--input/--checkpoint)")
     fk.add_argument("--output", required=True)
     fk.add_argument("--threshold", type=float, default=0.5)
+    fk.add_argument("--metric", default="jaccard",
+                    choices=["jaccard", "containment"],
+                    help="jaccard: symmetric near-dup pairs; "
+                         "containment: directional (repo_sub, "
+                         "repo_super) rows where >= threshold of "
+                         "repo_sub's file hashes appear in repo_super "
+                         "(vendored-library detection — "
+                         "Jaccard-invisible at large size ratios)")
     fk.add_argument("--granularity", default="repo",
                     choices=["repo", "subtree"],
                     help="repo: whole-repository fork pairs; subtree: "

@@ -342,6 +342,31 @@ def q_r2_subtree_fork_pairs(d: D) -> str:
     )
 
 
+def q_r3_repo_containment_pairs(d: D) -> str:
+    """Directional repo containment: (repo_sub, repo_super) where
+    >= 0.3 of repo_sub's distinct file content hashes also appear in
+    repo_super — the vendoring-direction question Jaccard cannot
+    answer. Naive formulation; the engine twin is the SSJoin overlap
+    variant (probe-side prefix filter + full index side,
+    setsim.set_containment_join). DuckDB-dialect only (the Spark side
+    is ENGINE_BACKED)."""
+    t = 0.3
+    cont = "inter * CAST(1.0 AS DOUBLE) / n1.n"
+    return (
+        f"{_files_cte(d)}, rws AS (SELECT DISTINCT repo, "
+        f"{d.sha256('content')} AS h FROM files), "
+        f"n AS (SELECT repo, COUNT(*) AS n FROM rws GROUP BY repo), "
+        f"intr AS (SELECT a.repo AS repo_sub, b.repo AS repo_super, "
+        f"COUNT(*) AS inter FROM rws a JOIN rws b ON a.h = b.h "
+        f"AND a.repo <> b.repo GROUP BY a.repo, b.repo) "
+        f"SELECT repo_sub, repo_super, n1.n AS n_sub, n2.n AS n_super, "
+        f"inter, ROUND({cont}, 6) AS containment "
+        f"FROM intr JOIN n n1 ON intr.repo_sub = n1.repo "
+        f"JOIN n n2 ON intr.repo_super = n2.repo "
+        f"WHERE {cont} >= {t}"
+    )
+
+
 def q_x6_exact_substring_spans(d: D) -> str:
     """ExactSubstr duplicated spans (Lee et al. 2022) at L=32 over
     documents: maximal 1-based char ranges in which EVERY character is
@@ -1041,6 +1066,7 @@ SQL_QUERIES: dict[str, Callable[[D], str]] = {
     "cc2_code_clone_near": q_cc2_code_clone_near,
     "r1_repo_fork_pairs": q_r1_repo_fork_pairs,
     "r2_subtree_fork_pairs": q_r2_subtree_fork_pairs,
+    "r3_repo_containment_pairs": q_r3_repo_containment_pairs,
 }
 
 
@@ -1154,6 +1180,20 @@ def _spark_r2_subtree_fork_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return subtree_fork_pairs(
         files, threshold=0.2, min_files=3, count_first=False
     )
+
+
+def _spark_r3_repo_containment_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Engine twin for r3: setsim.repo_containment_pairs — probe-side
+    prefix + full index through the bounded kernel — vs the naive
+    DuckDB hash self-join. count_first pinned False (deterministic
+    plan)."""
+    from .operators.setsim import repo_containment_pairs
+    from .sources.tables import files_df
+
+    files = files_df(spark, sf_dir)
+    return repo_containment_pairs(files, threshold=0.3, count_first=False)
 
 
 def _spark_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1604,6 +1644,7 @@ ENGINE_BACKED["cc1_code_clone_groups"] = _spark_code_clone_groups
 ENGINE_BACKED["cc2_code_clone_near"] = _spark_code_clone_near
 ENGINE_BACKED["r1_repo_fork_pairs"] = _spark_r1_repo_fork_pairs
 ENGINE_BACKED["r2_subtree_fork_pairs"] = _spark_r2_subtree_fork_pairs
+ENGINE_BACKED["r3_repo_containment_pairs"] = _spark_r3_repo_containment_pairs
 
 # every query now has a DuckDB twin; the dict stays as the hook for
 # genuinely non-SQL-expressible future ops (custom stateful streaming)

@@ -251,6 +251,165 @@ def repo_fork_pairs(
     )
 
 
+def set_containment_join(
+    rows: DataFrame,
+    id_col: str,
+    item_col: str,
+    threshold: float,
+    max_bucket: int = 2000,
+    salt_buckets: int = 16,
+    count_first: bool | None = None,
+    report: dict | None = None,
+    materialize: bool = True,
+    min_set_size: int = 1,
+) -> DataFrame:
+    """DIRECTIONAL containment pairs: (id_sub, id_super) where
+    ``|sub ∩ super| / |sub| >= threshold`` — "sub is mostly inside
+    super". Returns (id_sub, id_super, n_sub, n_super, inter,
+    containment), containment rounded to 6 dp; both directions of a
+    near-equal pair are emitted as separate rows.
+
+    Jaccard cannot answer the vendoring-direction question: a 50-file
+    library wholly copied into a 10^5-file monorepo has J ~ 5e-4 but
+    containment 1.0. The prefix filter adapts (the SSJoin overlap
+    variant): only the PROBE (sub) side can be pruned — a candidate
+    superset must be indexed on ALL its items, because a probe's
+    rarest item may be the one a superset holds. Losslessness: if
+    ``|A ∩ B| >= ceil(t*|A|)`` then A's df-ordered prefix of length
+    ``|A| - ceil(t*|A|) + 1`` must contain an element of B (else the
+    whole intersection fits in A's suffix of length ``ceil(t*|A|)-1``),
+    and B indexes everything — so the bucket collision exists.
+
+    The full index side means corpus-wide boilerplate items DO form
+    buckets here (no df pruning can remove them); the bounded kernel's
+    cap + accounting is the safety valve, and ``report['oversized']``
+    is the honest record of what a cap dropped.
+    """
+    base = rows.select(
+        F.col(id_col).alias("id"), F.col(item_col).alias("it")
+    ).distinct()
+    if materialize:
+        base = base.persist()
+        base.count()
+    n_tab = base.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    if min_set_size > 1:
+        n_tab = n_tab.filter(F.col("n") >= min_set_size)
+    sh = base.join(n_tab, "id").select("id", "n", "it")
+    from pyspark.sql.window import Window
+
+    from .buckets import bounded_bucket_pairs
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    required = F.ceil(_guarded(F.lit(threshold) * F.col("n"))).cast("int")
+    probe = (
+        sh.join(sh.groupBy("it").agg(F.count(F.lit(1)).alias("df")), "it")
+        .withColumn(
+            "r",
+            F.row_number().over(Window.partitionBy("id").orderBy("df", "it")),
+        )
+        .filter(F.col("r") <= F.col("n") - required + F.lit(1))
+        .select("it", F.struct(
+            F.lit("p").alias("side"), F.col("id"), F.col("n")).alias("m"))
+    )
+    index = sh.select("it", F.struct(
+        F.lit("i").alias("side"), F.col("id"), F.col("n")).alias("m"))
+    buckets = index.unionByName(probe)
+    cache = None
+    if materialize:
+        cache = buckets.persist()
+        cache.count()
+        buckets = cache
+    pairs_raw, oversized = bounded_bucket_pairs(
+        buckets, ["it"], "m", max_bucket,
+        salt_buckets=salt_buckets, count_first=count_first,
+    )
+    if report is not None:
+        report["oversized"] = oversized
+    # struct order puts every 'i' member before every 'p' member, so a
+    # cross-side pair is always (m1='i' index entry, m2='p' probe entry)
+    cand = (
+        pairs_raw.filter(
+            (F.col("m1.side") == "i") & (F.col("m2.side") == "p")
+            & (F.col("m1.id") != F.col("m2.id"))
+        )
+        .select(
+            F.col("m2.id").alias("id_sub"), F.col("m2.n").alias("n_sub"),
+            F.col("m1.id").alias("id_super"),
+            F.col("m1.n").alias("n_super"),
+        )
+        .filter(
+            F.col("n_super").cast("double")
+            >= _guarded(F.lit(threshold) * F.col("n_sub"))
+        )
+        .distinct()
+    )
+    r1 = base.select(F.col("id").alias("id_sub"), "it")
+    r2 = base.select(F.col("id").alias("id_super"), "it")
+    out = (
+        cand.join(r1, "id_sub")
+        .join(r2, ["id_super", "it"])
+        .groupBy("id_sub", "id_super", "n_sub", "n_super")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .withColumn(
+            "containment",
+            F.col("inter").cast("double") / F.col("n_sub"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "id_sub", "id_super", "n_sub", "n_super", "inter",
+            F.round("containment", 6).alias("containment"),
+        )
+    )
+    if materialize:
+        out = out.localCheckpoint()
+        if report is not None:
+            report["oversized"] = report["oversized"].localCheckpoint()
+        if cache is not None:
+            cache.unpersist()
+        base.unpersist()
+    return out
+
+
+def repo_containment_pairs(
+    files: DataFrame,
+    threshold: float = 0.9,
+    repo_col: str = "repo",
+    content_col: str = "content",
+    hash_col: str | None = None,
+    max_bucket: int = 2000,
+    salt_buckets: int = 16,
+    count_first: bool | None = None,
+    report: dict | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Directional vendoring detection: (repo_sub, repo_super) where
+    >= ``threshold`` of repo_sub's distinct file content hashes also
+    appear in repo_super — e.g. a library wholly copied into a monorepo
+    (Jaccard-invisible when the sizes differ by orders of magnitude).
+    Returns (repo_sub, repo_super, n_sub, n_super, inter, containment).
+    """
+    if hash_col is not None:
+        rows = files.select(
+            F.col(repo_col).alias("repo"), F.col(hash_col).alias("h")
+        )
+    else:
+        rows = files.select(
+            F.col(repo_col).alias("repo"),
+            F.sha2(F.col(content_col).cast("binary"), 256).alias("h"),
+        )
+    out = set_containment_join(
+        rows, "repo", "h", threshold,
+        max_bucket=max_bucket, salt_buckets=salt_buckets,
+        count_first=count_first, report=report, materialize=materialize,
+    )
+    return out.select(
+        F.col("id_sub").alias("repo_sub"),
+        F.col("id_super").alias("repo_super"),
+        "n_sub", "n_super", "inter", "containment",
+    )
+
+
 _SEP = "\x1f"  # unit separator: cannot appear in repo names or paths
 
 

@@ -366,3 +366,25 @@ def test_cli_forkdetect_from_checkpoint(spark, tmp_path, capsys):
                "--output", str(tmp_path / "x"), "--cores", "4"])
     assert rc == 2
     assert "exactly one" in capsys.readouterr().err
+
+
+def test_cli_forkdetect_containment(spark, tmp_path):
+    """--metric containment finds the vendored library direction."""
+    import pandas as pd
+
+    rows = [("lib", f"src/f{i}.c", f"lib-{i}") for i in range(5)]
+    rows += [("mono", f"vendor/lib/f{i}.c", f"lib-{i}") for i in range(5)]
+    rows += [("mono", f"app/m{i}.c", f"own-{i}") for i in range(45)]
+    src = str(tmp_path / "code.parquet")
+    pd.DataFrame(rows, columns=["repo", "path", "content"]).to_parquet(src)
+    out = str(tmp_path / "contained")
+    assert main(["forkdetect", "--input", src, "--output", out,
+                 "--metric", "containment", "--threshold", "0.9",
+                 "--cores", "4"]) == 0
+    got = [(r["repo_sub"], r["repo_super"], r["inter"], r["containment"])
+           for r in spark.read.parquet(out).collect()]
+    assert got == [("lib", "mono", 5, 1.0)]
+    # containment + subtree is rejected
+    assert main(["forkdetect", "--input", src, "--output", out,
+                 "--metric", "containment", "--granularity", "subtree",
+                 "--cores", "4"]) == 2

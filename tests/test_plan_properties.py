@@ -210,3 +210,25 @@ def test_repo_fork_pairs_plan_shape(spark):
     # two-phase collect (ObjectHashAggregate); the verify stage is a
     # plain count aggregate
     assert "array_intersect" not in plan
+
+
+def test_containment_join_plan_shape(spark):
+    """Containment join (SSJoin overlap variant): fully JVM-side, no
+    CartesianProduct, one Window (probe-prefix rank only — the index
+    side must NOT be window-ranked), salted kernel underneath."""
+    import re
+
+    from backupdeduplicator_spark.operators.setsim import (
+        set_containment_join)
+
+    rows = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("b", "z")],
+        "id string, it string",
+    )
+    plan = _plan(set_containment_join(rows, "id", "it", 0.8,
+                                      materialize=False,
+                                      count_first=False))
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert "_salt" in plan

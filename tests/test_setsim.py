@@ -217,3 +217,96 @@ def test_subtree_fork_pairs_root_level_file(spark):
         rows, "repo string, path string, content string")
     got = _subtree_map(subtree_fork_pairs(files, threshold=0.9))
     assert got == {("A", "", "B", ""): (2, 2, 2, 1.0)}
+
+
+def _naive_containment(sets: dict, threshold: float) -> dict:
+    out = {}
+    for a in sets:
+        for b in sets:
+            if a == b:
+                continue
+            inter = len(sets[a] & sets[b])
+            if inter and inter / len(sets[a]) >= threshold:
+                out[(a, b)] = (len(sets[a]), len(sets[b]), inter,
+                               round(inter / len(sets[a]), 6))
+    return out
+
+
+def _containment_map(df) -> dict:
+    return {
+        (r["id_sub"], r["id_super"]):
+            (r["n_sub"], r["n_super"], r["inter"], r["containment"])
+        for r in df.collect()
+    }
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.8, 1.0])
+def test_containment_equals_naive(spark, synth_sets, synth_rows, threshold):
+    from backupdeduplicator_spark.operators.setsim import (
+        set_containment_join)
+
+    got = _containment_map(
+        set_containment_join(synth_rows, "id", "it", threshold)
+    )
+    assert got == _naive_containment(synth_sets, threshold)
+
+
+def test_containment_count_first_parity(spark, synth_sets, synth_rows):
+    from backupdeduplicator_spark.operators.setsim import (
+        set_containment_join)
+
+    salted = _containment_map(set_containment_join(
+        synth_rows, "id", "it", 0.7, count_first=False))
+    hard = _containment_map(set_containment_join(
+        synth_rows, "id", "it", 0.7, count_first=True))
+    assert salted == hard == _naive_containment(synth_sets, 0.7)
+
+
+def test_repo_containment_vendored_library(spark):
+    """The asymmetric case Jaccard cannot see: a small library wholly
+    inside a much larger monorepo."""
+    from backupdeduplicator_spark.operators.setsim import (
+        repo_containment_pairs, repo_fork_pairs)
+
+    rows = [("lib", f"src/f{i}.c", f"lib-{i}") for i in range(5)]
+    rows += [("mono", f"vendor/lib/f{i}.c", f"lib-{i}") for i in range(5)]
+    rows += [("mono", f"app/m{i}.c", f"own-{i}") for i in range(95)]
+    files = spark.createDataFrame(
+        rows, "repo string, path string, content string")
+    got = _containment_map(
+        repo_containment_pairs(files, threshold=0.9).withColumnRenamed(
+            "repo_sub", "id_sub").withColumnRenamed("repo_super", "id_super")
+    )
+    assert got == {("lib", "mono"): (5, 100, 5, 1.0)}
+    # and Jaccard at any usable threshold misses it: J = 5/100
+    assert repo_fork_pairs(files, threshold=0.3).count() == 0
+
+
+def test_containment_both_directions_when_equal(spark):
+    from backupdeduplicator_spark.operators.setsim import (
+        set_containment_join)
+
+    rows = [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"), ("b", "z")]
+    df = spark.createDataFrame(rows, "id string, it string")
+    got = _containment_map(set_containment_join(df, "id", "it", 0.6))
+    # a in b: 2/2 = 1.0; b in a: 2/3 = 0.667
+    assert got == {("a", "b"): (2, 3, 2, 1.0),
+                   ("b", "a"): (3, 2, 2, round(2 / 3, 6))}
+
+
+def test_containment_degenerate_item_capped(spark):
+    from backupdeduplicator_spark.operators.setsim import (
+        set_containment_join)
+
+    # boilerplate item in every set, cap 10: that bucket drops +
+    # accounts; the pair sharing a rare item survives
+    rows = [(f"id{i:02d}", "common") for i in range(60)]
+    rows += [("id00", "rare"), ("id01", "rare")]
+    df = spark.createDataFrame(rows, "id string, it string")
+    report = {}
+    got = _containment_map(set_containment_join(
+        df, "id", "it", 0.9, max_bucket=10, count_first=True,
+        report=report))
+    assert got == {("id00", "id01"): (2, 2, 2, 1.0),
+                   ("id01", "id00"): (2, 2, 2, 1.0)}
+    assert report["oversized"].count() >= 1

@@ -126,6 +126,17 @@ def main() -> None:
                                  count_first=False)),
     ))
 
+    from backupdeduplicator_spark.operators.setsim import (
+        repo_containment_pairs)
+
+    sections.append((
+        "repo containment pairs (SSJoin overlap variant: probe-side "
+        "prefix + full index side, directional verify)",
+        _explain(repo_containment_pairs(files, threshold=0.5,
+                                        materialize=False,
+                                        count_first=False)),
+    ))
+
     from backupdeduplicator_spark.operators.clones import code_clone_groups
 
     sections.append((
