@@ -6,13 +6,14 @@ protocol).
 (same decomposition the sigs-stage evidence uses — a composite number
 over a latency-bound tail says nothing about either phase):
 
-* **hash phase** — JVM sha256 + (repo, hash) distinct over every
-  content byte. Content-proportional: the 100 TB-dominant stage.
-* **join phase** — the relational AllPairs set join (df counts,
-  window-rank prefix, bounded buckets, join-count verify) over the
-  hash ROWS via the hash_col path; row-proportional and
-  content-size-independent (a 100 TB corpus of 10^9 files is ~30 GB
-  of hash rows here).
+* **hash phase** — JVM sha256 over every content byte, materialized
+  as (repo, path, hash) rows. Content-proportional: the 100
+  TB-dominant stage.
+* **join phase** — everything else, over hash ROWS via the hash_col
+  path: the (repo, hash) distinct, the kernel's skew probe, df
+  counts, window-rank prefix, bounded buckets, join-count verify.
+  Row-proportional and content-size-independent (a 100 TB corpus of
+  10^9 files is ~30 GB of hash rows here).
 
 Fresh subprocess per level (local-mode parallelism is fixed per JVM),
 best-of-N per level, efficiency = (thr_8 / thr_2) / 4. The corpus is
@@ -112,7 +113,10 @@ def child(cores: int, n_files: int, repeat: int) -> None:
 
 
 def run_level(cores: int, n_files: int, repeat: int, runs: int) -> dict:
-    best = None
+    """Best-of-N PER PHASE (not by combined wall): with phases timed
+    separately, one noisy phase must not pick the report's number for
+    the other."""
+    samples = []
     for _ in range(runs):
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--cores-child",
@@ -124,9 +128,16 @@ def run_level(cores: int, n_files: int, repeat: int, runs: int) -> dict:
                  if l.startswith("{")]
         if not lines:
             raise RuntimeError(f"child failed:\n{out.stdout}\n{out.stderr}")
-        r = json.loads(lines[-1])
-        if best is None or r["wall_sec"] < best["wall_sec"]:
-            best = r
+        samples.append(json.loads(lines[-1]))
+    best = dict(samples[0])
+    for r in samples[1:]:
+        if r["hash_sec"] < best["hash_sec"]:
+            best["hash_sec"] = r["hash_sec"]
+            best["hash_mb_per_sec"] = r["hash_mb_per_sec"]
+        if r["join_sec"] < best["join_sec"]:
+            best["join_sec"] = r["join_sec"]
+            best["join_files_per_sec"] = r["join_files_per_sec"]
+    best["wall_sec"] = round(best["hash_sec"] + best["join_sec"], 3)
     return best
 
 
@@ -147,8 +158,8 @@ def main() -> int:
     stamp = time.strftime("%Y%m%dT%H%M%S")
     report = {
         "tier": "repo_fork_pairs", "protocol":
-        f"best-of-{args.runs} fresh JVMs per level, untimed JIT warmup, "
-        f"phases timed separately",
+        f"best-of-{args.runs} fresh JVMs per level (per-phase bests), "
+        f"untimed JIT warmup, phases timed separately",
         "local2": lo, "local8": hi,
         "hash_efficiency_2_to_8": round(eff_hash, 3),
         "join_efficiency_2_to_8": round(eff_join, 3),
@@ -162,7 +173,8 @@ def main() -> int:
             f"{lo['content_bytes'] / 1e6:.1f} MB synthesized content, "
             f"{lo['n_pairs']} fork pairs\n"
             f"- protocol: {report['protocol']}\n"
-            f"- hash phase (sha256 + distinct, content-proportional): "
+            f"- hash phase (sha256 row materialization, "
+            f"content-proportional): "
             f"local[2] {lo['hash_sec']} s ({lo['hash_mb_per_sec']} MB/s) "
             f"-> local[8] {hi['hash_sec']} s ({hi['hash_mb_per_sec']} "
             f"MB/s), efficiency **{eff_hash:.3f}**\n"

@@ -475,8 +475,7 @@ def cmd_forkdetect(args) -> int:
 
         out = repo_containment_pairs(
             files, threshold=args.threshold, hash_col=hash_col,
-            max_bucket=args.max_bucket, count_first=args.count_first,
-            report=report,
+            max_bucket=args.max_bucket, report=report,
         )
     elif args.granularity == "subtree":
         out = subtree_fork_pairs(
@@ -497,12 +496,21 @@ def cmd_forkdetect(args) -> int:
         F.count(F.lit(1)), F.sum("bn")
     ).collect()[0]
     if dropped:
+        if args.metric == "containment":
+            detail = ("a hash whose per-side entries (index: repos "
+                      "holding it; probe: repos with it in-prefix) "
+                      "exceed --max-bucket generates no candidates "
+                      "through that hash")
+        else:
+            detail = ("a hash shared by more than --max-bucket repos "
+                      "(empty file, license boilerplate) generates no "
+                      "candidates through that hash")
         print(f"forkdetect: WARNING {dropped} oversized content-hash "
-              f"buckets dropped ({rows} member rows) — a hash shared by "
-              f"more than --max-bucket repos (empty file, license "
-              f"boilerplate) generates no candidates through that hash; "
+              f"buckets dropped ({rows} member rows) — {detail}; "
               f"raise --max-bucket to trade runtime for recall")
-    print(f"forkdetect: {n} fork pairs -> {args.output}")
+    what = ("containment rows (repo_sub, repo_super)"
+            if args.metric == "containment" else "fork pairs")
+    print(f"forkdetect: {n} {what} -> {args.output}")
     return 0
 
 

@@ -1186,14 +1186,13 @@ def _spark_r3_repo_containment_pairs(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Engine twin for r3: setsim.repo_containment_pairs — probe-side
-    prefix + full index through the bounded kernel — vs the naive
-    DuckDB hash self-join. count_first pinned False (deterministic
-    plan)."""
+    prefix + capped equi-join against the full index — vs the naive
+    DuckDB hash self-join."""
     from .operators.setsim import repo_containment_pairs
     from .sources.tables import files_df
 
     files = files_df(spark, sf_dir)
-    return repo_containment_pairs(files, threshold=0.3, count_first=False)
+    return repo_containment_pairs(files, threshold=0.3)
 
 
 def _spark_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -55,6 +55,61 @@ def _guarded(x: Column) -> Column:
     return x - F.greatest(F.lit(1e-9), x * F.lit(1e-12))
 
 
+def _check_threshold(threshold: float) -> None:
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+
+
+def _distinct_rows(
+    rows: DataFrame, id_col: str, item_col: str, materialize: bool
+) -> DataFrame:
+    """Collapse (id, item) rows to set form (sets, not bags). When
+    materialized, the persisted frame feeds the n/df counts, the
+    prefix, and both verify rejoin sides; the eager count is the AQE
+    leaf-race barrier (persisted frames consumed by concurrent leaf
+    stages compute twice)."""
+    base = rows.select(
+        F.col(id_col).alias("id"), F.col(item_col).alias("it")
+    ).distinct()
+    if materialize:
+        base = base.persist()
+        base.count()
+    return base
+
+
+def _sized_rows(base: DataFrame, min_set_size: int) -> DataFrame:
+    """(id, n, it) rows with the per-set cardinality attached; sets
+    below ``min_set_size`` drop out entirely (inner join)."""
+    n_tab = base.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    if min_set_size > 1:
+        n_tab = n_tab.filter(F.col("n") >= min_set_size)
+    return base.join(n_tab, "id").select("id", "n", "it")
+
+
+def _prefix_rows(sh: DataFrame, threshold: float) -> DataFrame:
+    """The AllPairs prefix of every set: its first ``n - ceil(t*n) + 1``
+    items in global (document frequency, item) order, as (it, m) rows
+    with m = struct(id, n). THE single home of the prefix math — both
+    the symmetric Jaccard candidate stage and the directional
+    containment probe use exactly this frame. The per-set Window rank
+    buffers one set's rows per partition; Spark's window buffer spills
+    to disk, so a monorepo set costs I/O, not memory. NULL items never
+    enter (the df inner join is null-unsafe)."""
+    from pyspark.sql.window import Window
+
+    required = F.ceil(_guarded(F.lit(threshold) * F.col("n"))).cast("int")
+    df_tab = sh.groupBy("it").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(df_tab, "it")
+        .withColumn(
+            "r",
+            F.row_number().over(Window.partitionBy("id").orderBy("df", "it")),
+        )
+        .filter(F.col("r") <= F.col("n") - required + F.lit(1))
+        .select("it", F.struct(F.col("id"), F.col("n")).alias("m"))
+    )
+
+
 def allpairs_candidates(
     sh: DataFrame,
     threshold: float,
@@ -94,23 +149,10 @@ def allpairs_candidates(
     per partition; Spark's window buffer spills to disk, so a monorepo
     set costs I/O, not memory.
     """
-    from pyspark.sql.window import Window
-
     from .buckets import bounded_bucket_pairs
 
-    if not 0.0 < threshold <= 1.0:
-        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    required = F.ceil(_guarded(F.lit(threshold) * F.col("n"))).cast("int")
-    df_tab = sh.groupBy("it").agg(F.count(F.lit(1)).alias("df"))
-    prefix = (
-        sh.join(df_tab, "it")
-        .withColumn(
-            "r",
-            F.row_number().over(Window.partitionBy("id").orderBy("df", "it")),
-        )
-        .filter(F.col("r") <= F.col("n") - required + F.lit(1))
-        .select("it", F.struct(F.col("id"), F.col("n")).alias("m"))
-    )
+    _check_threshold(threshold)
+    prefix = _prefix_rows(sh, threshold)
     cache = None
     if materialize:
         # the kernel scans its bucket table 2-3x (skew probe + salted
@@ -161,18 +203,9 @@ def set_similarity_join(
     entirely (both sides) — the subtree tier uses it to keep 1-file
     directories from flooding the output with trivial J=1 pairs.
     """
-    base = rows.select(
-        F.col(id_col).alias("id"), F.col(item_col).alias("it")
-    ).distinct()
-    if materialize:
-        # consumed by the n/df counts, the prefix, and both verify
-        # rejoin sides; eager count = the AQE leaf-race barrier
-        base = base.persist()
-        base.count()
-    n_tab = base.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    if min_set_size > 1:
-        n_tab = n_tab.filter(F.col("n") >= min_set_size)
-    sh = base.join(n_tab, "id").select("id", "n", "it")
+    _check_threshold(threshold)
+    base = _distinct_rows(rows, id_col, item_col, materialize)
+    sh = _sized_rows(base, min_set_size)
     cand, oversized, cache = allpairs_candidates(
         sh, threshold, max_bucket,
         salt_buckets=salt_buckets, count_first=count_first,
@@ -257,11 +290,9 @@ def set_containment_join(
     item_col: str,
     threshold: float,
     max_bucket: int = 2000,
-    salt_buckets: int = 16,
-    count_first: bool | None = None,
+    max_broadcast_keys: int = 4_000_000,
     report: dict | None = None,
     materialize: bool = True,
-    min_set_size: int = 1,
 ) -> DataFrame:
     """DIRECTIONAL containment pairs: (id_sub, id_super) where
     ``|sub ∩ super| / |sub| >= threshold`` — "sub is mostly inside
@@ -278,70 +309,75 @@ def set_containment_join(
     ``|A ∩ B| >= ceil(t*|A|)`` then A's df-ordered prefix of length
     ``|A| - ceil(t*|A|) + 1`` must contain an element of B (else the
     whole intersection fits in A's suffix of length ``ceil(t*|A|)-1``),
-    and B indexes everything — so the bucket collision exists.
+    and B indexes everything — so the collision exists.
 
-    The full index side means corpus-wide boilerplate items DO form
-    buckets here (no df pruning can remove them); the bounded kernel's
-    cap + accounting is the safety valve, and ``report['oversized']``
-    is the honest record of what a cap dropped.
+    Candidates come from a capped EQUI-JOIN (probe-prefix rows against
+    index rows on the item), not the pair-expansion kernel: the
+    asymmetric join needs exactly the probe × index cross rows per
+    item, and a bucket-pair expansion would also materialize the
+    Θ(df²) index-index pairs only to discard them. Both sides are
+    count-first capped independently at ``max_bucket`` rows per item
+    (no list aggregation exists anywhere in this plan, so the caps
+    bound join OUTPUT, the only blow-up surface): corpus-wide
+    boilerplate items — which no df-pruning can remove from a full
+    index side — are dropped + accounted via ``report['oversized']``
+    (columns it, bn, side). NULL items are excluded from the index
+    (the probe excludes them by construction): NULL never equi-joins,
+    so indexing it would only burn cap budget and fake recall
+    warnings.
+
+    With ``materialize=False`` (plan dumps) the caps use a lazy
+    shuffle anti-join instead of the runtime's counted
+    broadcast-or-shuffle decision — same semantics, no eager jobs.
     """
-    base = rows.select(
-        F.col(id_col).alias("id"), F.col(item_col).alias("it")
-    ).distinct()
-    if materialize:
-        base = base.persist()
-        base.count()
-    n_tab = base.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    if min_set_size > 1:
-        n_tab = n_tab.filter(F.col("n") >= min_set_size)
-    sh = base.join(n_tab, "id").select("id", "n", "it")
-    from pyspark.sql.window import Window
-
-    from .buckets import bounded_bucket_pairs
-
-    if not 0.0 < threshold <= 1.0:
-        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    required = F.ceil(_guarded(F.lit(threshold) * F.col("n"))).cast("int")
-    probe = (
-        sh.join(sh.groupBy("it").agg(F.count(F.lit(1)).alias("df")), "it")
-        .withColumn(
-            "r",
-            F.row_number().over(Window.partitionBy("id").orderBy("df", "it")),
-        )
-        .filter(F.col("r") <= F.col("n") - required + F.lit(1))
-        .select("it", F.struct(
-            F.lit("p").alias("side"), F.col("id"), F.col("n")).alias("m"))
+    _check_threshold(threshold)
+    base = _distinct_rows(rows, id_col, item_col, materialize)
+    sh = _sized_rows(base, 1)
+    probe = _prefix_rows(sh, threshold).select(
+        "it", F.col("m.id").alias("id_sub"), F.col("m.n").alias("n_sub")
     )
-    index = sh.select("it", F.struct(
-        F.lit("i").alias("side"), F.col("id"), F.col("n")).alias("m"))
-    buckets = index.unionByName(probe)
-    cache = None
-    if materialize:
-        cache = buckets.persist()
-        cache.count()
-        buckets = cache
-    pairs_raw, oversized = bounded_bucket_pairs(
-        buckets, ["it"], "m", max_bucket,
-        salt_buckets=salt_buckets, count_first=count_first,
+    index = sh.filter(F.col("it").isNotNull()).select(
+        "it", F.col("id").alias("id_super"), F.col("n").alias("n_super")
     )
+    caches = []
+    if materialize:
+        # each side is scanned twice (its own count + the anti-join);
+        # uncached, the probe scan re-runs the df join + window sort
+        probe = probe.persist()
+        probe.count()
+        index = index.persist()
+        index.count()
+        caches = [probe, index]
+
+    def _capped(side: DataFrame, side_name: str):
+        counts = side.groupBy("it").agg(F.count(F.lit(1)).alias("bn"))
+        over = counts.filter(F.col("bn") > max_bucket)
+        if materialize:
+            # materialized once, the oversized set feeds the guard
+            # count, the anti-join side, and the caller's accounting;
+            # broadcast while small, shuffle anti-join past the guard
+            # (a degenerate corpus can have 10^8+ oversized items)
+            over = over.localCheckpoint()
+            anti_side = over.select("it")
+            if over.count() <= max_broadcast_keys:
+                anti_side = F.broadcast(anti_side)
+        else:
+            anti_side = over.select("it")
+        bounded = side.join(anti_side, ["it"], "left_anti")
+        return bounded, over.withColumn("side", F.lit(side_name))
+
+    bounded_probe, over_p = _capped(probe, "probe")
+    bounded_index, over_i = _capped(index, "index")
     if report is not None:
-        report["oversized"] = oversized
-    # struct order puts every 'i' member before every 'p' member, so a
-    # cross-side pair is always (m1='i' index entry, m2='p' probe entry)
+        report["oversized"] = over_p.unionByName(over_i)
     cand = (
-        pairs_raw.filter(
-            (F.col("m1.side") == "i") & (F.col("m2.side") == "p")
-            & (F.col("m1.id") != F.col("m2.id"))
-        )
-        .select(
-            F.col("m2.id").alias("id_sub"), F.col("m2.n").alias("n_sub"),
-            F.col("m1.id").alias("id_super"),
-            F.col("m1.n").alias("n_super"),
-        )
+        bounded_probe.join(bounded_index, "it")
+        .filter(F.col("id_sub") != F.col("id_super"))
         .filter(
             F.col("n_super").cast("double")
             >= _guarded(F.lit(threshold) * F.col("n_sub"))
         )
+        .select("id_sub", "n_sub", "id_super", "n_super")
         .distinct()
     )
     r1 = base.select(F.col("id").alias("id_sub"), "it")
@@ -365,8 +401,8 @@ def set_containment_join(
         out = out.localCheckpoint()
         if report is not None:
             report["oversized"] = report["oversized"].localCheckpoint()
-        if cache is not None:
-            cache.unpersist()
+        for c in caches:
+            c.unpersist()
         base.unpersist()
     return out
 
@@ -378,8 +414,6 @@ def repo_containment_pairs(
     content_col: str = "content",
     hash_col: str | None = None,
     max_bucket: int = 2000,
-    salt_buckets: int = 16,
-    count_first: bool | None = None,
     report: dict | None = None,
     materialize: bool = True,
 ) -> DataFrame:
@@ -400,8 +434,7 @@ def repo_containment_pairs(
         )
     out = set_containment_join(
         rows, "repo", "h", threshold,
-        max_bucket=max_bucket, salt_buckets=salt_buckets,
-        count_first=count_first, report=report, materialize=materialize,
+        max_bucket=max_bucket, report=report, materialize=materialize,
     )
     return out.select(
         F.col("id_sub").alias("repo_sub"),

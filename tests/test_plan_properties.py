@@ -214,8 +214,12 @@ def test_repo_fork_pairs_plan_shape(spark):
 
 def test_containment_join_plan_shape(spark):
     """Containment join (SSJoin overlap variant): fully JVM-side, no
-    CartesianProduct, one Window (probe-prefix rank only — the index
-    side must NOT be window-ranked), salted kernel underneath."""
+    CartesianProduct — and the design's whole point: candidates come
+    from a capped EQUI-JOIN, so there is NO list aggregation anywhere
+    (no ObjectHashAggregate; the kernel's pair expansion would show
+    collect_list buffers). The probe-prefix Window appears (lazily,
+    the uncached subtree repeats across the count/anti-join scans —
+    ReusedExchange consolidates at runtime)."""
     import re
 
     from backupdeduplicator_spark.operators.setsim import (
@@ -226,9 +230,10 @@ def test_containment_join_plan_shape(spark):
         "id string, it string",
     )
     plan = _plan(set_containment_join(rows, "id", "it", 0.8,
-                                      materialize=False,
-                                      count_first=False))
+                                      materialize=False))
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" not in plan
-    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
-    assert "_salt" in plan
+    assert "ObjectHashAggregate" not in plan, (
+        "containment must not buffer member lists anywhere"
+    )
+    assert len(re.findall(r"\(\d+\) Window", plan)) >= 1

@@ -251,15 +251,17 @@ def test_containment_equals_naive(spark, synth_sets, synth_rows, threshold):
     assert got == _naive_containment(synth_sets, threshold)
 
 
-def test_containment_count_first_parity(spark, synth_sets, synth_rows):
+def test_containment_lazy_plan_parity(spark, synth_sets, synth_rows):
+    # the materialize=False shape (lazy shuffle anti-join caps, no
+    # persist/localCheckpoint) must produce identical output
     from backupdeduplicator_spark.operators.setsim import (
         set_containment_join)
 
-    salted = _containment_map(set_containment_join(
-        synth_rows, "id", "it", 0.7, count_first=False))
-    hard = _containment_map(set_containment_join(
-        synth_rows, "id", "it", 0.7, count_first=True))
-    assert salted == hard == _naive_containment(synth_sets, 0.7)
+    lazy = _containment_map(set_containment_join(
+        synth_rows, "id", "it", 0.7, materialize=False))
+    runtime = _containment_map(set_containment_join(
+        synth_rows, "id", "it", 0.7))
+    assert lazy == runtime == _naive_containment(synth_sets, 0.7)
 
 
 def test_repo_containment_vendored_library(spark):
@@ -305,8 +307,29 @@ def test_containment_degenerate_item_capped(spark):
     df = spark.createDataFrame(rows, "id string, it string")
     report = {}
     got = _containment_map(set_containment_join(
-        df, "id", "it", 0.9, max_bucket=10, count_first=True,
-        report=report))
+        df, "id", "it", 0.9, max_bucket=10, report=report))
     assert got == {("id00", "id01"): (2, 2, 2, 1.0),
                    ("id01", "id00"): (2, 2, 2, 1.0)}
-    assert report["oversized"].count() >= 1
+    over = {(r["it"], r["side"]) for r in report["oversized"].collect()}
+    # the index side holds all 60; the probe side only the 58 sets
+    # whose prefix is 'common' (id00/id01 prefix on 'rare')
+    assert over == {("common", "index"), ("common", "probe")}
+
+
+def test_containment_null_items_ignored(spark):
+    from backupdeduplicator_spark.operators.setsim import (
+        set_containment_join)
+
+    # NULL items can never match: they must not join, not count as
+    # oversized, and still count toward n (consistent with the oracle's
+    # COUNT(*) over rows whose hash may be NULL)
+    rows = [("a", "x"), ("a", None), ("b", "x"), ("b", "y")]
+    df = spark.createDataFrame(rows, "id string, it string")
+    report = {}
+    got = _containment_map(set_containment_join(
+        df, "id", "it", 0.5, max_bucket=1, report=report))
+    # 'x' bucket: 2 index entries > cap 1 -> dropped (both sides may
+    # trip); with it dropped no pair survives
+    assert got == {}
+    assert all(r["it"] is not None
+               for r in report["oversized"].collect())

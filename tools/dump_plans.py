@@ -131,10 +131,10 @@ def main() -> None:
 
     sections.append((
         "repo containment pairs (SSJoin overlap variant: probe-side "
-        "prefix + full index side, directional verify)",
+        "prefix, capped equi-join against the full index, directional "
+        "verify)",
         _explain(repo_containment_pairs(files, threshold=0.5,
-                                        materialize=False,
-                                        count_first=False)),
+                                        materialize=False)),
     ))
 
     from backupdeduplicator_spark.operators.clones import code_clone_groups
