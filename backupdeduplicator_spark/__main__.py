@@ -465,18 +465,20 @@ def cmd_forkdetect(args) -> int:
     report: dict = {}
     if args.metric == "containment":
         if args.granularity == "subtree":
-            # a subtree is contained in its own ancestors by definition;
-            # until a suppression story exists for that, reject rather
-            # than emit a flood of trivial rows
-            print("forkdetect: ERROR --metric containment supports "
-                  "--granularity repo only", file=sys.stderr)
-            return 2
-        from .operators.setsim import repo_containment_pairs
+            from .operators.setsim import subtree_containment_pairs
 
-        out = repo_containment_pairs(
-            files, threshold=args.threshold, hash_col=hash_col,
-            max_bucket=args.max_bucket, report=report,
-        )
+            out = subtree_containment_pairs(
+                files, threshold=args.threshold, min_files=args.min_files,
+                hash_col=hash_col, max_bucket=args.max_bucket,
+                report=report,
+            )
+        else:
+            from .operators.setsim import repo_containment_pairs
+
+            out = repo_containment_pairs(
+                files, threshold=args.threshold, hash_col=hash_col,
+                max_bucket=args.max_bucket, report=report,
+            )
     elif args.granularity == "subtree":
         out = subtree_fork_pairs(
             files, threshold=args.threshold, min_files=args.min_files,

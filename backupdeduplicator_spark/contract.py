@@ -367,6 +367,38 @@ def q_r3_repo_containment_pairs(d: D) -> str:
     )
 
 
+def q_r4_subtree_containment(d: D) -> str:
+    """Directional SUBTREE containment at threshold 0.4 (dirs with >= 3
+    distinct hashes; same-repo ancestor pairs suppressed): vendored
+    copies found at directory granularity even when the host tree is
+    much larger. Fixed-depth-2 ancestor expansion as in r2.
+    DuckDB-dialect only (the Spark side is ENGINE_BACKED)."""
+    t, mf = 0.4, 3
+    cont = "inter * CAST(1.0 AS DOUBLE) / n1.n"
+    return (
+        f"{_files_cte(d)}, anc AS (SELECT repo, {d.sha256('content')} AS h, "
+        f"unnest(['', split_part(path,'/',1), "
+        f"split_part(path,'/',1) || '/' || split_part(path,'/',2)]) AS dir "
+        f"FROM files), "
+        f"rws AS (SELECT DISTINCT repo, dir, h FROM anc), "
+        f"n AS (SELECT repo, dir, COUNT(*) AS n FROM rws "
+        f"GROUP BY repo, dir HAVING COUNT(*) >= {mf}), "
+        f"intr AS (SELECT a.repo AS repo_sub, a.dir AS dir_sub, "
+        f"b.repo AS repo_super, b.dir AS dir_super, COUNT(*) AS inter "
+        f"FROM rws a JOIN rws b ON a.h = b.h "
+        f"AND NOT (a.repo = b.repo AND a.dir = b.dir) GROUP BY 1, 2, 3, 4) "
+        f"SELECT repo_sub, dir_sub, repo_super, dir_super, "
+        f"n1.n AS n_sub, n2.n AS n_super, inter, "
+        f"ROUND({cont}, 6) AS containment "
+        f"FROM intr "
+        f"JOIN n n1 ON intr.repo_sub = n1.repo AND intr.dir_sub = n1.dir "
+        f"JOIN n n2 ON intr.repo_super = n2.repo AND intr.dir_super = n2.dir "
+        f"WHERE {cont} >= {t} AND NOT (repo_sub = repo_super AND "
+        f"(dir_sub = '' OR dir_super = '' OR dir_super LIKE dir_sub || '/%' "
+        f"OR dir_sub LIKE dir_super || '/%'))"
+    )
+
+
 def q_x6_exact_substring_spans(d: D) -> str:
     """ExactSubstr duplicated spans (Lee et al. 2022) at L=32 over
     documents: maximal 1-based char ranges in which EVERY character is
@@ -1067,6 +1099,7 @@ SQL_QUERIES: dict[str, Callable[[D], str]] = {
     "r1_repo_fork_pairs": q_r1_repo_fork_pairs,
     "r2_subtree_fork_pairs": q_r2_subtree_fork_pairs,
     "r3_repo_containment_pairs": q_r3_repo_containment_pairs,
+    "r4_subtree_containment": q_r4_subtree_containment,
 }
 
 
@@ -1193,6 +1226,18 @@ def _spark_r3_repo_containment_pairs(
 
     files = files_df(spark, sf_dir)
     return repo_containment_pairs(files, threshold=0.3)
+
+
+def _spark_r4_subtree_containment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Engine twin for r4: setsim.subtree_containment_pairs (ancestor
+    explode + capped probe-index equi-join + ancestor suppression)."""
+    from .operators.setsim import subtree_containment_pairs
+    from .sources.tables import files_df
+
+    files = files_df(spark, sf_dir)
+    return subtree_containment_pairs(files, threshold=0.4, min_files=3)
 
 
 def _spark_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1644,6 +1689,7 @@ ENGINE_BACKED["cc2_code_clone_near"] = _spark_code_clone_near
 ENGINE_BACKED["r1_repo_fork_pairs"] = _spark_r1_repo_fork_pairs
 ENGINE_BACKED["r2_subtree_fork_pairs"] = _spark_r2_subtree_fork_pairs
 ENGINE_BACKED["r3_repo_containment_pairs"] = _spark_r3_repo_containment_pairs
+ENGINE_BACKED["r4_subtree_containment"] = _spark_r4_subtree_containment
 
 # every query now has a DuckDB twin; the dict stays as the hook for
 # genuinely non-SQL-expressible future ops (custom stateful streaming)

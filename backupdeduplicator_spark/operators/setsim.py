@@ -293,6 +293,7 @@ def set_containment_join(
     max_broadcast_keys: int = 4_000_000,
     report: dict | None = None,
     materialize: bool = True,
+    min_set_size: int = 1,
 ) -> DataFrame:
     """DIRECTIONAL containment pairs: (id_sub, id_super) where
     ``|sub ∩ super| / |sub| >= threshold`` — "sub is mostly inside
@@ -329,10 +330,16 @@ def set_containment_join(
     With ``materialize=False`` (plan dumps) the caps use a lazy
     shuffle anti-join instead of the runtime's counted
     broadcast-or-shuffle decision — same semantics, no eager jobs.
+
+    ``min_set_size`` excludes sets below that cardinality from BOTH
+    roles — they are neither reported as contained (a 1-item set is
+    "contained" anywhere its one boilerplate item appears) nor as
+    containing. The subtree tier relies on this; leave at 1 when small
+    sets must still be findable as supersets.
     """
     _check_threshold(threshold)
     base = _distinct_rows(rows, id_col, item_col, materialize)
-    sh = _sized_rows(base, 1)
+    sh = _sized_rows(base, min_set_size)
     probe = _prefix_rows(sh, threshold).select(
         "it", F.col("m.id").alias("id_sub"), F.col("m.n").alias("n_sub")
     )
@@ -487,6 +494,27 @@ def subtree_fork_pairs(
     CONFORMANCE §2.11) — cross-repo and disjoint same-repo pairs are
     the findings.
     """
+    rows = _subtree_rows(files, repo_col, path_col, content_col, hash_col)
+    pairs = set_similarity_join(
+        rows, "node", "h", threshold,
+        max_bucket=max_bucket, salt_buckets=salt_buckets,
+        count_first=count_first, report=report, materialize=materialize,
+        min_set_size=max(min_files, 1),
+    )
+    out = _split_subtree_pair(pairs, "id1", ("repo1", "dir1"),
+                              "id2", ("repo2", "dir2"),
+                              ["n1", "n2", "inter", "jaccard"])
+    if not include_nested:
+        out = out.filter(~_nested_pair("repo1", "dir1", "repo2", "dir2"))
+    return out
+
+
+def _subtree_rows(
+    files: DataFrame, repo_col: str, path_col: str, content_col: str,
+    hash_col: str | None,
+) -> DataFrame:
+    """(node, h): each file's content hash attributed to every ancestor
+    directory, node = repo + \\x1f + dir ('' = repo root)."""
     if hash_col is not None:
         h = F.col(hash_col)
     else:
@@ -500,30 +528,88 @@ def subtree_fork_pairs(
         f"transform(sequence(0, size({dir_parts})), "
         f"i -> array_join(slice({dir_parts}, 1, i), '/'))"
     )
-    rows = files.select(
+    return files.select(
         F.col(repo_col).alias("repo"),
         F.explode(ancestors).alias("dir"),
         h.alias("h"),
     ).select(F.concat_ws(_SEP, "repo", "dir").alias("node"), "h")
-    pairs = set_similarity_join(
+
+
+def _split_subtree_pair(
+    pairs: DataFrame,
+    left: str, left_names: tuple[str, str],
+    right: str, right_names: tuple[str, str],
+    keep: list[str],
+) -> DataFrame:
+    """Split two \\x1f-composite node columns back into (repo, dir)."""
+    lr, ld = left_names
+    rr, rd = right_names
+    return pairs.select(
+        F.split_part(F.col(left), F.lit(_SEP), F.lit(1)).alias(lr),
+        F.split_part(F.col(left), F.lit(_SEP), F.lit(2)).alias(ld),
+        F.split_part(F.col(right), F.lit(_SEP), F.lit(1)).alias(rr),
+        F.split_part(F.col(right), F.lit(_SEP), F.lit(2)).alias(rd),
+        *keep,
+    )
+
+
+def _nested_pair(r1: str, d1: str, r2: str, d2: str) -> Column:
+    """Same-repo ancestor-descendant predicate: a dir always overlaps
+    its own ancestors (and any dir is fully contained in them), so
+    these pairs are structural noise, not findings — the near-dup
+    analog of the reference's parent/child dup-set suppression
+    (CONFORMANCE §2.11)."""
+    same_repo = F.col(r1) == F.col(r2)
+    nested = (
+        (F.col(d1) == "") | (F.col(d2) == "")
+        | F.col(d2).startswith(F.concat(d1, F.lit("/")))
+        | F.col(d1).startswith(F.concat(d2, F.lit("/")))
+    )
+    return same_repo & nested
+
+
+def subtree_containment_pairs(
+    files: DataFrame,
+    threshold: float = 0.9,
+    min_files: int = 2,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    content_col: str = "content",
+    hash_col: str | None = None,
+    include_nested: bool = False,
+    max_bucket: int = 2000,
+    report: dict | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Directional SUBTREE containment: (repo_sub, dir_sub) whose
+    recursive file-hash set is >= ``threshold`` contained in
+    (repo_super, dir_super)'s — "this directory's contents live
+    (almost) wholly inside that other subtree". Finds a vendored
+    library inside another repo's tree even when the host subtree is
+    orders of magnitude larger (Jaccard-invisible), at directory
+    rather than whole-repo granularity. Returns (repo_sub, dir_sub,
+    repo_super, dir_super, n_sub, n_super, inter, containment).
+
+    ``min_files`` (default 2) excludes dirs with fewer distinct hashes
+    from BOTH roles — a single-file dir is "contained" anywhere its
+    one boilerplate file appears, which is noise, and as a super it
+    can only host an equally trivial sub. ``include_nested=False``
+    suppresses same-repo ancestor-descendant pairs: a dir is always
+    100% contained in its own ancestors by construction.
+    """
+    rows = _subtree_rows(files, repo_col, path_col, content_col, hash_col)
+    pairs = set_containment_join(
         rows, "node", "h", threshold,
-        max_bucket=max_bucket, salt_buckets=salt_buckets,
-        count_first=count_first, report=report, materialize=materialize,
+        max_bucket=max_bucket, report=report, materialize=materialize,
         min_set_size=max(min_files, 1),
     )
-    out = pairs.select(
-        F.split_part(F.col("id1"), F.lit(_SEP), F.lit(1)).alias("repo1"),
-        F.split_part(F.col("id1"), F.lit(_SEP), F.lit(2)).alias("dir1"),
-        F.split_part(F.col("id2"), F.lit(_SEP), F.lit(2)).alias("dir2"),
-        F.split_part(F.col("id2"), F.lit(_SEP), F.lit(1)).alias("repo2"),
-        "n1", "n2", "inter", "jaccard",
-    ).select("repo1", "dir1", "repo2", "dir2", "n1", "n2", "inter", "jaccard")
+    out = _split_subtree_pair(
+        pairs, "id_sub", ("repo_sub", "dir_sub"),
+        "id_super", ("repo_super", "dir_super"),
+        ["n_sub", "n_super", "inter", "containment"],
+    )
     if not include_nested:
-        same_repo = F.col("repo1") == F.col("repo2")
-        nested = (
-            (F.col("dir1") == "") | (F.col("dir2") == "")
-            | F.col("dir2").startswith(F.concat("dir1", F.lit("/")))
-            | F.col("dir1").startswith(F.concat("dir2", F.lit("/")))
+        out = out.filter(
+            ~_nested_pair("repo_sub", "dir_sub", "repo_super", "dir_super")
         )
-        out = out.filter(~(same_repo & nested))
     return out

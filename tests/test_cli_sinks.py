@@ -384,7 +384,16 @@ def test_cli_forkdetect_containment(spark, tmp_path):
     got = [(r["repo_sub"], r["repo_super"], r["inter"], r["containment"])
            for r in spark.read.parquet(out).collect()]
     assert got == [("lib", "mono", 5, 1.0)]
-    # containment + subtree is rejected
-    assert main(["forkdetect", "--input", src, "--output", out,
+    # subtree granularity: the vendored dir is found INSIDE mono's
+    # tree at directory level (lib's root/src vs mono's root/vendor(/lib))
+    out2 = str(tmp_path / "contained_sub")
+    assert main(["forkdetect", "--input", src, "--output", out2,
                  "--metric", "containment", "--granularity", "subtree",
-                 "--cores", "4"]) == 2
+                 "--threshold", "0.9", "--min-files", "3",
+                 "--cores", "4"]) == 0
+    sub = {(r["repo_sub"], r["dir_sub"], r["repo_super"], r["dir_super"])
+           for r in spark.read.parquet(out2).collect()}
+    assert ("lib", "src", "mono", "vendor/lib") in sub
+    assert ("lib", "src", "mono", "") in sub
+    # every same-repo ancestor pair is suppressed
+    assert all(r != s for (r, _, s, _) in sub)

@@ -333,3 +333,56 @@ def test_containment_null_items_ignored(spark):
     assert got == {}
     assert all(r["it"] is not None
                for r in report["oversized"].collect())
+
+
+def test_subtree_containment_vendored(spark, vendored_files):
+    from backupdeduplicator_spark.operators.setsim import (
+        subtree_containment_pairs)
+
+    got = {
+        (r["repo_sub"], r["dir_sub"], r["repo_super"], r["dir_super"]):
+            (r["n_sub"], r["n_super"], r["inter"], r["containment"])
+        for r in subtree_containment_pairs(
+            vendored_files, threshold=0.6, min_files=2).collect()
+    }
+    # A:vendor(/libx) = {c1,c2,c3}; B:third(/libx) = {c1,c2,c4}:
+    # containment 2/3 each way at dir level; A:src={a1,a2} nowhere.
+    # Same-repo ancestor pairs (A vendor in A root etc.) suppressed.
+    expect = (3, 3, 2, round(2 / 3, 6))
+    cross = {k: v for k, v in got.items() if k[0] != k[2]}
+    assert cross == {
+        ("A", "vendor", "B", "third"): expect,
+        ("A", "vendor", "B", "third/libx"): expect,
+        ("A", "vendor/libx", "B", "third"): expect,
+        ("A", "vendor/libx", "B", "third/libx"): expect,
+        ("B", "third", "A", "vendor"): expect,
+        ("B", "third", "A", "vendor/libx"): expect,
+        ("B", "third/libx", "A", "vendor"): expect,
+        ("B", "third/libx", "A", "vendor/libx"): expect,
+        # cross-repo ROOT supersets are legitimate findings too (only
+        # same-repo ancestors are suppressed): A:vendor is 2/3 inside
+        # B's whole tree {c1,c2,c4,b1}, and vice versa
+        ("A", "vendor", "B", ""): (3, 4, 2, round(2 / 3, 6)),
+        ("A", "vendor/libx", "B", ""): (3, 4, 2, round(2 / 3, 6)),
+        ("B", "third", "A", ""): (3, 5, 2, round(2 / 3, 6)),
+        ("B", "third/libx", "A", ""): (3, 5, 2, round(2 / 3, 6)),
+    }
+    # and nothing same-repo survived the ancestor suppression
+    assert cross == got
+
+
+def test_subtree_containment_includes_nested_when_asked(
+    spark, vendored_files
+):
+    from backupdeduplicator_spark.operators.setsim import (
+        subtree_containment_pairs)
+
+    got = {
+        (r["repo_sub"], r["dir_sub"], r["repo_super"], r["dir_super"])
+        for r in subtree_containment_pairs(
+            vendored_files, threshold=1.0, min_files=2,
+            include_nested=True).collect()
+    }
+    # a dir is 100% contained in its own ancestors
+    assert ("A", "vendor/libx", "A", "vendor") in got
+    assert ("A", "vendor", "A", "") in got
