@@ -499,10 +499,13 @@ def cmd_forkdetect(args) -> int:
     ).collect()[0]
     if dropped:
         if args.metric == "containment":
-            detail = ("a hash whose per-side entries (index: repos "
-                      "holding it; probe: repos with it in-prefix) "
-                      "exceed --max-bucket generates no candidates "
-                      "through that hash")
+            unit = ("(repo, dir) nodes — ancestor explosion multiplies "
+                    "entries by tree depth"
+                    if args.granularity == "subtree" else "repos")
+            detail = (f"a hash whose per-side entries (index: {unit} "
+                      f"holding it; probe: those with it in-prefix) "
+                      f"exceed --max-bucket generates no candidates "
+                      f"through that hash")
         else:
             detail = ("a hash shared by more than --max-bucket repos "
                       "(empty file, license boilerplate) generates no "

@@ -190,6 +190,7 @@ def set_similarity_join(
     report: dict | None = None,
     materialize: bool = True,
     min_set_size: int = 1,
+    pair_filter=None,
 ) -> DataFrame:
     """EXACT Jaccard pairs >= ``threshold`` over sets given as exploded
     (id, item) rows. Returns (id1, id2, n1, n2, inter, jaccard) with
@@ -202,6 +203,10 @@ def set_similarity_join(
     ``min_set_size`` drops sets smaller than that from consideration
     entirely (both sides) — the subtree tier uses it to keep 1-file
     directories from flooding the output with trivial J=1 pairs.
+    ``pair_filter`` (optional, frame -> frame over id1/n1/id2/n2)
+    prunes candidates BEFORE the verify rejoins, for predicates
+    decidable from the ids alone (the subtree tier's same-repo
+    ancestor suppression).
     """
     _check_threshold(threshold)
     base = _distinct_rows(rows, id_col, item_col, materialize)
@@ -213,6 +218,8 @@ def set_similarity_join(
     )
     if report is not None:
         report["oversized"] = oversized
+    if pair_filter is not None:
+        cand = pair_filter(cand)
     r1 = base.select(F.col("id").alias("id1"), "it")
     r2 = base.select(F.col("id").alias("id2"), "it")
     out = (
@@ -294,6 +301,7 @@ def set_containment_join(
     report: dict | None = None,
     materialize: bool = True,
     min_set_size: int = 1,
+    pair_filter=None,
 ) -> DataFrame:
     """DIRECTIONAL containment pairs: (id_sub, id_super) where
     ``|sub ∩ super| / |sub| >= threshold`` — "sub is mostly inside
@@ -334,8 +342,21 @@ def set_containment_join(
     ``min_set_size`` excludes sets below that cardinality from BOTH
     roles — they are neither reported as contained (a 1-item set is
     "contained" anywhere its one boilerplate item appears) nor as
-    containing. The subtree tier relies on this; leave at 1 when small
-    sets must still be findable as supersets.
+    containing. Note the super-role exclusion is a real coverage
+    choice, not a free lunch: at thresholds < 1 a small set can
+    legitimately host a partial overlap of a larger sub (t=0.4: 2 of a
+    5-hash sub inside a 2-hash super qualifies) and is then silently
+    not reported. The driver oracle applies the same definition. Leave
+    at 1 when small sets must still be findable as supersets.
+
+    ``pair_filter`` (optional, frame -> frame over the candidate
+    columns id_sub/n_sub/id_super/n_super) prunes candidate pairs
+    BEFORE the verify rejoins — for predicates the caller can decide
+    from the ids alone. The subtree tier drops same-repo
+    ancestor-descendant pairs here: every such pair has containment
+    1.0 by construction, so unlike the Jaccard tier's length filter
+    nothing upstream ever removes them, and without this hook all
+    O(dirs × depth) of them would ride through the verify join first.
     """
     _check_threshold(threshold)
     base = _distinct_rows(rows, id_col, item_col, materialize)
@@ -387,6 +408,8 @@ def set_containment_join(
         .select("id_sub", "n_sub", "id_super", "n_super")
         .distinct()
     )
+    if pair_filter is not None:
+        cand = pair_filter(cand)
     r1 = base.select(F.col("id").alias("id_sub"), "it")
     r2 = base.select(F.col("id").alias("id_super"), "it")
     out = (
@@ -495,18 +518,22 @@ def subtree_fork_pairs(
     the findings.
     """
     rows = _subtree_rows(files, repo_col, path_col, content_col, hash_col)
+    # suppress nested pairs at the CANDIDATE stage: a near-equal
+    # parent/child pair passes the length filter, so without this the
+    # verify join rewalks every same-repo ancestor chain first
+    pf = None
+    if not include_nested:
+        def pf(cand):
+            return cand.filter(~_nested_node_pair("id1", "id2"))
     pairs = set_similarity_join(
         rows, "node", "h", threshold,
         max_bucket=max_bucket, salt_buckets=salt_buckets,
         count_first=count_first, report=report, materialize=materialize,
-        min_set_size=max(min_files, 1),
+        min_set_size=max(min_files, 1), pair_filter=pf,
     )
-    out = _split_subtree_pair(pairs, "id1", ("repo1", "dir1"),
-                              "id2", ("repo2", "dir2"),
-                              ["n1", "n2", "inter", "jaccard"])
-    if not include_nested:
-        out = out.filter(~_nested_pair("repo1", "dir1", "repo2", "dir2"))
-    return out
+    return _split_subtree_pair(pairs, "id1", ("repo1", "dir1"),
+                               "id2", ("repo2", "dir2"),
+                               ["n1", "n2", "inter", "jaccard"])
 
 
 def _subtree_rows(
@@ -553,19 +580,32 @@ def _split_subtree_pair(
     )
 
 
-def _nested_pair(r1: str, d1: str, r2: str, d2: str) -> Column:
-    """Same-repo ancestor-descendant predicate: a dir always overlaps
-    its own ancestors (and any dir is fully contained in them), so
-    these pairs are structural noise, not findings — the near-dup
-    analog of the reference's parent/child dup-set suppression
-    (CONFORMANCE §2.11)."""
-    same_repo = F.col(r1) == F.col(r2)
+def _nested_pair(r1, d1, r2, d2) -> Column:
+    """Same-repo ancestor-descendant predicate (args: column names or
+    Columns): a dir always overlaps its own ancestors (and any dir is
+    fully contained in them), so these pairs are structural noise, not
+    findings — the near-dup analog of the reference's parent/child
+    dup-set suppression (CONFORMANCE §2.11)."""
+    r1, d1, r2, d2 = (
+        F.col(c) if isinstance(c, str) else c for c in (r1, d1, r2, d2)
+    )
+    same_repo = r1 == r2
     nested = (
-        (F.col(d1) == "") | (F.col(d2) == "")
-        | F.col(d2).startswith(F.concat(d1, F.lit("/")))
-        | F.col(d1).startswith(F.concat(d2, F.lit("/")))
+        (d1 == "") | (d2 == "")
+        | d2.startswith(F.concat(d1, F.lit("/")))
+        | d1.startswith(F.concat(d2, F.lit("/")))
     )
     return same_repo & nested
+
+
+def _nested_node_pair(node1: str, node2: str) -> Column:
+    """_nested_pair over two \\x1f-composite node columns (candidate
+    frames, where repo/dir are not yet split out)."""
+    def part(col: str, i: int) -> Column:
+        return F.split_part(F.col(col), F.lit(_SEP), F.lit(i))
+
+    return _nested_pair(part(node1, 1), part(node1, 2),
+                        part(node2, 1), part(node2, 2))
 
 
 def subtree_containment_pairs(
@@ -592,24 +632,29 @@ def subtree_containment_pairs(
 
     ``min_files`` (default 2) excludes dirs with fewer distinct hashes
     from BOTH roles — a single-file dir is "contained" anywhere its
-    one boilerplate file appears, which is noise, and as a super it
-    can only host an equally trivial sub. ``include_nested=False``
-    suppresses same-repo ancestor-descendant pairs: a dir is always
-    100% contained in its own ancestors by construction.
+    one boilerplate file appears, which is noise. The super-role
+    exclusion is a coverage trade-off, not free (see
+    :func:`set_containment_join`): at thresholds < 1 a small dir can
+    legitimately host a partial overlap of a larger sub, and such
+    pairs are then not reported. ``include_nested=False`` suppresses
+    same-repo ancestor-descendant pairs: a dir is always 100%
+    contained in its own ancestors by construction — and BECAUSE the
+    containment is always 1.0, no earlier filter can remove them, so
+    the suppression runs at the candidate stage, before the verify
+    joins walk every ancestor chain.
     """
     rows = _subtree_rows(files, repo_col, path_col, content_col, hash_col)
+    pf = None
+    if not include_nested:
+        def pf(cand):
+            return cand.filter(~_nested_node_pair("id_sub", "id_super"))
     pairs = set_containment_join(
         rows, "node", "h", threshold,
         max_bucket=max_bucket, report=report, materialize=materialize,
-        min_set_size=max(min_files, 1),
+        min_set_size=max(min_files, 1), pair_filter=pf,
     )
-    out = _split_subtree_pair(
+    return _split_subtree_pair(
         pairs, "id_sub", ("repo_sub", "dir_sub"),
         "id_super", ("repo_super", "dir_super"),
         ["n_sub", "n_super", "inter", "containment"],
     )
-    if not include_nested:
-        out = out.filter(
-            ~_nested_pair("repo_sub", "dir_sub", "repo_super", "dir_super")
-        )
-    return out
