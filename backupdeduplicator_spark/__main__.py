@@ -463,6 +463,11 @@ def cmd_forkdetect(args) -> int:
                   f"hashes)", file=sys.stderr)
             return 2
     report: dict = {}
+    if args.approx and args.metric == "containment":
+        print("forkdetect: ERROR --approx supports --metric jaccard "
+              "only (MinHash estimates Jaccard; containment needs an "
+              "asymmetric sketch)", file=sys.stderr)
+        return 2
     if args.metric == "containment":
         if args.granularity == "subtree":
             from .operators.setsim import subtree_containment_pairs
@@ -480,6 +485,12 @@ def cmd_forkdetect(args) -> int:
                 max_bucket=args.max_bucket, report=report,
             )
     elif args.granularity == "subtree":
+        if args.approx:
+            print("forkdetect: ERROR --approx supports --granularity "
+                  "repo only (subtree sets change with every ancestor "
+                  "level; signature reuse across levels is future work)",
+                  file=sys.stderr)
+            return 2
         out = subtree_fork_pairs(
             files, threshold=args.threshold, min_files=args.min_files,
             hash_col=hash_col, max_bucket=args.max_bucket,
@@ -489,7 +500,7 @@ def cmd_forkdetect(args) -> int:
         out = repo_fork_pairs(
             files, threshold=args.threshold, hash_col=hash_col,
             max_bucket=args.max_bucket, count_first=args.count_first,
-            report=report,
+            report=report, approx=args.approx, num_perm=args.num_perm,
         )
     out.write.mode("overwrite").parquet(args.output)
     written = spark.read.parquet(args.output)
@@ -743,6 +754,14 @@ def main(argv: list[str] | None = None) -> int:
                     default=None, dest="count_first",
                     help="force the provable-bound count-first candidate "
                          "plan (default: auto skew probe)")
+    fk.add_argument("--approx", action="store_true",
+                    help="MinHash-signature candidates (repo granularity "
+                         "+ jaccard metric): pairs stay exactly verified, "
+                         "but a true pair can be missed with probability "
+                         "(1-J)^num-perm; the shape for corpora whose "
+                         "prefix rows are too many to shuffle")
+    fk.add_argument("--num-perm", type=int, default=128, dest="num_perm",
+                    help="MinHash permutations for --approx (default 128)")
     fk.set_defaults(fn=cmd_forkdetect)
 
     cc = sub.add_parser("codeclone", parents=[common])

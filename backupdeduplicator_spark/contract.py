@@ -367,6 +367,17 @@ def q_r3_repo_containment_pairs(d: D) -> str:
     )
 
 
+def q_r5_repo_fork_minhash(d: D) -> str:
+    """Oracle for the MinHash-approximate fork tier: the SAME exact
+    naive formulation as r1. Valid because candidates are exactly
+    verified (false positives impossible) and, at 128 single-row bands
+    with deterministic seeds, a true pair at the planted J >= 0.22 is
+    missed with probability (1-J)^128 < 2e-14 — the driver check
+    therefore asserts approx == exact, i.e. recall 1 at this scale
+    (the same argument as the s3 LSH-ANN oracle)."""
+    return q_r1_repo_fork_pairs(d)
+
+
 def q_r4_subtree_containment(d: D) -> str:
     """Directional SUBTREE containment at threshold 0.4 (dirs with >= 3
     distinct hashes; same-repo ancestor pairs suppressed): vendored
@@ -1100,6 +1111,7 @@ SQL_QUERIES: dict[str, Callable[[D], str]] = {
     "r2_subtree_fork_pairs": q_r2_subtree_fork_pairs,
     "r3_repo_containment_pairs": q_r3_repo_containment_pairs,
     "r4_subtree_containment": q_r4_subtree_containment,
+    "r5_repo_fork_minhash": q_r5_repo_fork_minhash,
 }
 
 
@@ -1226,6 +1238,21 @@ def _spark_r3_repo_containment_pairs(
 
     files = files_df(spark, sf_dir)
     return repo_containment_pairs(files, threshold=0.3)
+
+
+def _spark_r5_repo_fork_minhash(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Engine twin for r5: the approx (MinHash-candidate) path of
+    setsim.repo_fork_pairs — must equal the exact r1 result (recall-1
+    argument in q_r5's docstring). count_first pinned False."""
+    from .operators.setsim import repo_fork_pairs
+    from .sources.tables import files_df
+
+    files = files_df(spark, sf_dir)
+    return repo_fork_pairs(
+        files, threshold=0.1, approx=True, count_first=False
+    )
 
 
 def _spark_r4_subtree_containment(
@@ -1690,6 +1717,7 @@ ENGINE_BACKED["r1_repo_fork_pairs"] = _spark_r1_repo_fork_pairs
 ENGINE_BACKED["r2_subtree_fork_pairs"] = _spark_r2_subtree_fork_pairs
 ENGINE_BACKED["r3_repo_containment_pairs"] = _spark_r3_repo_containment_pairs
 ENGINE_BACKED["r4_subtree_containment"] = _spark_r4_subtree_containment
+ENGINE_BACKED["r5_repo_fork_minhash"] = _spark_r5_repo_fork_minhash
 
 # every query now has a DuckDB twin; the dict stays as the hook for
 # genuinely non-SQL-expressible future ops (custom stateful streaming)

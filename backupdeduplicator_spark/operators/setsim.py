@@ -179,6 +179,35 @@ def allpairs_candidates(
     return cand, oversized, cache
 
 
+def _verify_jaccard(
+    base: DataFrame, cand: DataFrame, threshold: float
+) -> DataFrame:
+    """EXACT Jaccard verification of candidate (id1, n1, id2, n2)
+    pairs, fully relationally: candidates rejoin the (id, it) row table
+    on id1 then (id2, it), a count aggregation yields |A ∩ B| — no
+    per-pair member list ever materializes. Shared by the AllPairs path
+    and the MinHash-approximate path (whose candidates differ but whose
+    verification is identical)."""
+    r1 = base.select(F.col("id").alias("id1"), "it")
+    r2 = base.select(F.col("id").alias("id2"), "it")
+    return (
+        cand.join(r1, "id1")
+        .join(r2, ["id2", "it"])
+        .groupBy("id1", "id2", "n1", "n2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "id1", "id2", "n1", "n2", "inter",
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
 def set_similarity_join(
     rows: DataFrame,
     id_col: str,
@@ -220,27 +249,102 @@ def set_similarity_join(
         report["oversized"] = oversized
     if pair_filter is not None:
         cand = pair_filter(cand)
-    r1 = base.select(F.col("id").alias("id1"), "it")
-    r2 = base.select(F.col("id").alias("id2"), "it")
-    out = (
-        cand.join(r1, "id1")
-        .join(r2, ["id2", "it"])
-        .groupBy("id1", "id2", "n1", "n2")
-        .agg(F.count(F.lit(1)).alias("inter"))
-        .withColumn(
-            "jaccard",
-            F.col("inter").cast("double")
-            / (F.col("n1") + F.col("n2") - F.col("inter")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select(
-            "id1", "id2", "n1", "n2", "inter",
-            F.round("jaccard", 6).alias("jaccard"),
-        )
-    )
+    out = _verify_jaccard(base, cand, threshold)
     if materialize:
         # same lifecycle as jaccard_join: truncate to the (small) pair
         # set, materialize accounting while caches are alive, release
+        out = out.localCheckpoint()
+        if report is not None:
+            report["oversized"] = report["oversized"].localCheckpoint()
+        if cache is not None:
+            cache.unpersist()
+        base.unpersist()
+    return out
+
+
+def set_similarity_join_minhash(
+    rows: DataFrame,
+    id_col: str,
+    item_col: str,
+    threshold: float,
+    num_perm: int = 128,
+    max_bucket: int = 2000,
+    salt_buckets: int = 16,
+    count_first: bool | None = None,
+    report: dict | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """The APPROXIMATE-candidate scale path for
+    :func:`set_similarity_join`: same exploded (id, item) input, same
+    output columns, same EXACT verification — only candidate
+    generation differs. Each set is summarized by ``num_perm`` MinHash
+    values (min over xxhash64(perm_seed, item) — seed FIRST, so the
+    chains are independent functions, not reparameterizations of one
+    hash); two sets collide when ANY permutation agrees (single-row
+    bands), candidates flow through the bounded kernel, and survivors
+    are verified exactly, so false positives cost work but never
+    correctness. A true pair with Jaccard J is missed with probability
+    ``(1-J)^num_perm`` — at the default 128 perms that is < 4e-13 for
+    J >= 0.2; recall is the only approximation.
+
+    Why this exists when the AllPairs path is already lossless: the
+    prefix filter still shuffles every set's prefix OCCURRENCES
+    (``(1-t)``-bounded but corpus-sized rows). Here the only
+    set-proportional work is one map-side-combinable aggregation; what
+    shuffles per set is a fixed ``num_perm × 8``-byte signature —
+    at 10^9 repos, ~1 KB/repo regardless of set size. NULL items are
+    excluded from signatures (a set of only NULLs matches nothing,
+    consistent with the exact path's null-unsafe joins) but still
+    count toward n.
+    """
+    from .buckets import bounded_bucket_pairs
+
+    _check_threshold(threshold)
+    if num_perm < 1:
+        raise ValueError(f"num_perm must be >= 1, got {num_perm}")
+    base = _distinct_rows(rows, id_col, item_col, materialize)
+    n_tab = base.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    sig_cols = [
+        F.min(F.xxhash64(F.lit(i), F.col("it"))).alias(f"_s{i}")
+        for i in range(num_perm)
+    ]
+    sigs = base.filter(F.col("it").isNotNull()).groupBy("id").agg(*sig_cols)
+    bands = sigs.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"), F.col(f"_s{i}").alias("v"))
+            for i in range(num_perm)
+        ])).alias("b"),
+    ).select("id", "b.band", "b.v")
+    buckets = bands.join(n_tab, "id").select(
+        "band", "v", F.struct(F.col("id"), F.col("n")).alias("m")
+    )
+    cache = None
+    if materialize:
+        # the kernel scans its bucket table 2-3x; uncached each scan
+        # re-runs the signature aggregation
+        cache = buckets.persist()
+        cache.count()
+        buckets = cache
+    pairs_raw, oversized = bounded_bucket_pairs(
+        buckets, ["band", "v"], "m", max_bucket,
+        salt_buckets=salt_buckets, count_first=count_first,
+    )
+    if report is not None:
+        report["oversized"] = oversized
+    cand = (
+        pairs_raw.select(
+            F.col("m1.id").alias("id1"), F.col("m1.n").alias("n1"),
+            F.col("m2.id").alias("id2"), F.col("m2.n").alias("n2"),
+        )
+        .filter(
+            F.least("n1", "n2").cast("double")
+            >= _guarded(F.lit(threshold) * F.greatest("n1", "n2"))
+        )
+        .distinct()
+    )
+    out = _verify_jaccard(base, cand, threshold)
+    if materialize:
         out = out.localCheckpoint()
         if report is not None:
             report["oversized"] = report["oversized"].localCheckpoint()
@@ -261,6 +365,8 @@ def repo_fork_pairs(
     count_first: bool | None = None,
     report: dict | None = None,
     materialize: bool = True,
+    approx: bool = False,
+    num_perm: int = 128,
 ) -> DataFrame:
     """Near-duplicate REPOSITORY pairs: repos whose sets of distinct file
     content hashes overlap with Jaccard >= ``threshold``. Returns
@@ -270,6 +376,13 @@ def repo_fork_pairs(
     (e.g. build_entries' per-file sha256) instead of re-hashing content
     — at 100 TB the content column should cross the hash kernel exactly
     once per pipeline, not once per tier.
+
+    ``approx=True`` switches candidate generation to MinHash signatures
+    (:func:`set_similarity_join_minhash`): reported pairs are still
+    exactly verified, but a true pair can be missed with probability
+    ``(1-J)^num_perm`` — the shape for corpora where even the prefix
+    occurrences are too many to shuffle (10^9 repos: a fixed ~1 KB
+    signature per repo replaces all per-item prefix rows).
     """
     if hash_col is not None:
         rows = files.select(
@@ -280,11 +393,20 @@ def repo_fork_pairs(
             F.col(repo_col).alias("repo"),
             F.sha2(F.col(content_col).cast("binary"), 256).alias("h"),
         )
-    out = set_similarity_join(
-        rows, "repo", "h", threshold,
-        max_bucket=max_bucket, salt_buckets=salt_buckets,
-        count_first=count_first, report=report, materialize=materialize,
-    )
+    if approx:
+        out = set_similarity_join_minhash(
+            rows, "repo", "h", threshold, num_perm=num_perm,
+            max_bucket=max_bucket, salt_buckets=salt_buckets,
+            count_first=count_first, report=report,
+            materialize=materialize,
+        )
+    else:
+        out = set_similarity_join(
+            rows, "repo", "h", threshold,
+            max_bucket=max_bucket, salt_buckets=salt_buckets,
+            count_first=count_first, report=report,
+            materialize=materialize,
+        )
     return out.select(
         F.col("id1").alias("repo1"), F.col("id2").alias("repo2"),
         "n1", "n2", "inter", "jaccard",

@@ -397,3 +397,30 @@ def test_cli_forkdetect_containment(spark, tmp_path):
     assert ("lib", "src", "mono", "") in sub
     # every same-repo ancestor pair is suppressed
     assert all(r != s for (r, _, s, _) in sub)
+
+
+def test_cli_forkdetect_approx(spark, tmp_path, capsys):
+    """--approx (MinHash candidates, exact verify) matches the exact
+    tier; invalid metric combos are rejected."""
+    import pandas as pd
+
+    rows = [("org/a", f"p{i}", f"content-{i}") for i in range(10)]
+    rows += [("org/b", f"q{i}", f"content-{i}") for i in range(8)]
+    rows += [("org/b", "q8", "own-1"), ("org/b", "q9", "own-2")]
+    src = str(tmp_path / "files.parquet")
+    pd.DataFrame(rows, columns=["repo", "path", "content"]).to_parquet(src)
+    out_a = str(tmp_path / "approx")
+    assert main(["forkdetect", "--input", src, "--output", out_a,
+                 "--threshold", "0.5", "--approx", "--cores", "4"]) == 0
+    out_e = str(tmp_path / "exact")
+    assert main(["forkdetect", "--input", src, "--output", out_e,
+                 "--threshold", "0.5", "--cores", "4"]) == 0
+    a = sorted(map(tuple, spark.read.parquet(out_a).collect()))
+    e = sorted(map(tuple, spark.read.parquet(out_e).collect()))
+    assert a == e and len(a) == 1
+    assert main(["forkdetect", "--input", src, "--output", out_a,
+                 "--approx", "--metric", "containment",
+                 "--cores", "4"]) == 2
+    assert main(["forkdetect", "--input", src, "--output", out_a,
+                 "--approx", "--granularity", "subtree",
+                 "--cores", "4"]) == 2

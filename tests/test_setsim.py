@@ -386,3 +386,56 @@ def test_subtree_containment_includes_nested_when_asked(
     # a dir is 100% contained in its own ancestors
     assert ("A", "vendor/libx", "A", "vendor") in got
     assert ("A", "vendor", "A", "") in got
+
+
+@pytest.mark.parametrize("threshold", [0.2, 0.5])
+def test_minhash_equals_exact(spark, synth_sets, synth_rows, threshold):
+    """128-perm single-row-band candidates: miss probability per true
+    pair is (1-J)^128 < 4e-13 at J >= 0.2; with deterministic seeds the
+    approximate path must reproduce the naive result exactly here."""
+    from backupdeduplicator_spark.operators.setsim import (
+        set_similarity_join_minhash)
+
+    got = _result_map(set_similarity_join_minhash(
+        synth_rows, "id", "it", threshold))
+    assert got == _naive_pairs(synth_sets, threshold)
+
+
+def test_minhash_identical_sets_capped(spark):
+    """A corpus of identical sets collides in EVERY band: the bucket
+    kernel caps + accounts, nothing explodes."""
+    from backupdeduplicator_spark.operators.setsim import (
+        set_similarity_join_minhash)
+
+    rows = [(f"id{i:03d}", it) for i in range(50) for it in ("x", "y")]
+    df = spark.createDataFrame(rows, "id string, it string")
+    report = {}
+    got = _result_map(set_similarity_join_minhash(
+        df, "id", "it", 0.9, num_perm=8, max_bucket=10, report=report))
+    assert got == {}  # every bucket oversized -> all candidates dropped
+    assert report["oversized"].count() == 8  # one per band
+
+
+def test_minhash_null_items(spark):
+    from backupdeduplicator_spark.operators.setsim import (
+        set_similarity_join_minhash)
+
+    # an all-NULL set matches nothing; NULLs still count toward n
+    rows = [("a", "x"), ("a", None), ("b", "x"), ("nul", None)]
+    df = spark.createDataFrame(rows, "id string, it string")
+    got = _result_map(set_similarity_join_minhash(df, "id", "it", 0.4))
+    assert got == {("a", "b"): (2, 1, 1, 0.5)}
+
+
+def test_repo_fork_pairs_approx_parity(spark):
+    from backupdeduplicator_spark.operators.setsim import repo_fork_pairs
+
+    rows = [("org/a", f"p{i}", f"content-{i}") for i in range(10)]
+    rows += [("org/b", f"q{i}", f"content-{i}") for i in range(8)]
+    rows += [("org/b", "q8", "own-1"), ("org/b", "q9", "own-2")]
+    files = spark.createDataFrame(
+        rows, "repo string, path string, content string")
+    exact = sorted(map(tuple, repo_fork_pairs(files, threshold=0.5).collect()))
+    approx = sorted(map(tuple, repo_fork_pairs(
+        files, threshold=0.5, approx=True).collect()))
+    assert exact == approx and len(exact) == 1

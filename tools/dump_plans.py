@@ -126,6 +126,14 @@ def main() -> None:
                                  count_first=False)),
     ))
 
+    sections.append((
+        "repo fork pairs — approx (MinHash signatures: one "
+        "map-side-combinable agg, fixed num_perm x 8 B per repo in the "
+        "shuffle, bounded band buckets, exact relational verify)",
+        _explain(repo_fork_pairs(files, threshold=0.5, approx=True,
+                                 materialize=False, count_first=False)),
+    ))
+
     from backupdeduplicator_spark.operators.setsim import (
         repo_containment_pairs)
 
