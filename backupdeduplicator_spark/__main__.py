@@ -427,10 +427,27 @@ def cmd_forkdetect(args) -> int:
     (at 100 TB, fork detection then moves only 32-byte hashes)."""
     from .operators.setsim import repo_fork_pairs, subtree_fork_pairs
 
+    # pure argument-compatibility checks run BEFORE any Spark session
+    # or checkpoint read is paid for
     if (args.input is None) == (args.checkpoint is None):
         print("forkdetect: ERROR pass exactly one of --input (content "
               "table) or --checkpoint (reuse a build's file_hashes "
               "snapshot)", file=sys.stderr)
+        return 2
+    if args.approx and args.metric == "containment":
+        print("forkdetect: ERROR --approx supports --metric jaccard "
+              "only (MinHash estimates Jaccard; containment needs an "
+              "asymmetric sketch)", file=sys.stderr)
+        return 2
+    if args.approx and args.granularity == "subtree":
+        print("forkdetect: ERROR --approx supports --granularity "
+              "repo only (subtree sets change with every ancestor "
+              "level; signature reuse across levels is future work)",
+              file=sys.stderr)
+        return 2
+    if args.approx and args.num_perm < 1:
+        print(f"forkdetect: ERROR --num-perm must be >= 1, got "
+              f"{args.num_perm}", file=sys.stderr)
         return 2
     spark = _spark(args)
     hash_col = args.hash_col
@@ -463,11 +480,6 @@ def cmd_forkdetect(args) -> int:
                   f"hashes)", file=sys.stderr)
             return 2
     report: dict = {}
-    if args.approx and args.metric == "containment":
-        print("forkdetect: ERROR --approx supports --metric jaccard "
-              "only (MinHash estimates Jaccard; containment needs an "
-              "asymmetric sketch)", file=sys.stderr)
-        return 2
     if args.metric == "containment":
         if args.granularity == "subtree":
             from .operators.setsim import subtree_containment_pairs
@@ -485,12 +497,6 @@ def cmd_forkdetect(args) -> int:
                 max_bucket=args.max_bucket, report=report,
             )
     elif args.granularity == "subtree":
-        if args.approx:
-            print("forkdetect: ERROR --approx supports --granularity "
-                  "repo only (subtree sets change with every ancestor "
-                  "level; signature reuse across levels is future work)",
-                  file=sys.stderr)
-            return 2
         out = subtree_fork_pairs(
             files, threshold=args.threshold, min_files=args.min_files,
             hash_col=hash_col, max_bucket=args.max_bucket,
@@ -517,11 +523,17 @@ def cmd_forkdetect(args) -> int:
                       f"holding it; probe: those with it in-prefix) "
                       f"exceed --max-bucket generates no candidates "
                       f"through that hash")
+        elif args.approx:
+            detail = ("a MinHash band bucket over --max-bucket repos "
+                      "means a CLUSTER of similar repos that large was "
+                      "dropped from candidates — unlike content-hash "
+                      "drops these are the highest-value fork groups")
         else:
             detail = ("a hash shared by more than --max-bucket repos "
                       "(empty file, license boilerplate) generates no "
                       "candidates through that hash")
-        print(f"forkdetect: WARNING {dropped} oversized content-hash "
+        kind = "signature-band" if args.approx else "content-hash"
+        print(f"forkdetect: WARNING {dropped} oversized {kind} "
               f"buckets dropped ({rows} member rows) — {detail}; "
               f"raise --max-bucket to trade runtime for recall")
     what = ("containment rows (repo_sub, repo_super)"

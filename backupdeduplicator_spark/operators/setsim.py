@@ -165,7 +165,16 @@ def allpairs_candidates(
         prefix, ["it"], "m", max_bucket,
         salt_buckets=salt_buckets, count_first=count_first,
     )
-    cand = (
+    return _length_filtered_cand(pairs_raw, threshold), oversized, cache
+
+
+def _length_filtered_cand(pairs_raw: DataFrame, threshold: float) -> DataFrame:
+    """Kernel (m1, m2) struct pairs -> distinct (id1, n1, id2, n2)
+    candidates surviving the Jaccard length filter
+    ``min(n1,n2) >= t*max(n1,n2)`` (J <= n_min/n_max). THE single home
+    of that guard — the AllPairs and MinHash candidate paths both end
+    here."""
+    return (
         pairs_raw.select(
             F.col("m1.id").alias("id1"), F.col("m1.n").alias("n1"),
             F.col("m2.id").alias("id2"), F.col("m2.n").alias("n2"),
@@ -176,7 +185,24 @@ def allpairs_candidates(
         )
         .distinct()
     )
-    return cand, oversized, cache
+
+
+def _finalize(
+    out: DataFrame, report: dict | None, caches: list, materialize: bool
+) -> DataFrame:
+    """The shared result lifecycle: truncate to the (small) pair set
+    via localCheckpoint, materialize the oversized accounting while the
+    caches are still alive, then release every cache. No-op when the
+    caller asked for a lazy plan."""
+    if not materialize:
+        return out
+    out = out.localCheckpoint()
+    if report is not None:
+        report["oversized"] = report["oversized"].localCheckpoint()
+    for c in caches:
+        if c is not None:
+            c.unpersist()
+    return out
 
 
 def _verify_jaccard(
@@ -250,16 +276,7 @@ def set_similarity_join(
     if pair_filter is not None:
         cand = pair_filter(cand)
     out = _verify_jaccard(base, cand, threshold)
-    if materialize:
-        # same lifecycle as jaccard_join: truncate to the (small) pair
-        # set, materialize accounting while caches are alive, release
-        out = out.localCheckpoint()
-        if report is not None:
-            report["oversized"] = report["oversized"].localCheckpoint()
-        if cache is not None:
-            cache.unpersist()
-        base.unpersist()
-    return out
+    return _finalize(out, report, [cache, base], materialize)
 
 
 def set_similarity_join_minhash(
@@ -303,21 +320,34 @@ def set_similarity_join_minhash(
     if num_perm < 1:
         raise ValueError(f"num_perm must be >= 1, got {num_perm}")
     base = _distinct_rows(rows, id_col, item_col, materialize)
-    n_tab = base.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    # n and all signatures in ONE aggregation — a separate n_tab would
+    # be a second set-proportional pass plus a per-id shuffle join of
+    # the exploded band table just to attach one int. NULL items hash
+    # to NULL via the when() (bare xxhash64 SKIPS null args — it would
+    # return hash(seed) and alias every all-NULL set together) and min
+    # ignores NULLs; a set of only NULLs has all-NULL signatures and is
+    # dropped (matches the exact path: NULL never equi-joins), while
+    # its rows still counted toward nothing — it can't pair anyway.
     sig_cols = [
-        F.min(F.xxhash64(F.lit(i), F.col("it"))).alias(f"_s{i}")
+        F.min(
+            F.when(F.col("it").isNotNull(), F.xxhash64(F.lit(i), F.col("it")))
+        ).alias(f"_s{i}")
         for i in range(num_perm)
     ]
-    sigs = base.filter(F.col("it").isNotNull()).groupBy("id").agg(*sig_cols)
-    bands = sigs.select(
-        "id",
+    sigs = (
+        base.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n"), *sig_cols)
+        .filter(F.col("_s0").isNotNull())
+    )
+    buckets = sigs.select(
+        "id", "n",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("band"), F.col(f"_s{i}").alias("v"))
             for i in range(num_perm)
         ])).alias("b"),
-    ).select("id", "b.band", "b.v")
-    buckets = bands.join(n_tab, "id").select(
-        "band", "v", F.struct(F.col("id"), F.col("n")).alias("m")
+    ).select(
+        F.col("b.band").alias("band"), F.col("b.v").alias("v"),
+        F.struct(F.col("id"), F.col("n")).alias("m"),
     )
     cache = None
     if materialize:
@@ -332,26 +362,9 @@ def set_similarity_join_minhash(
     )
     if report is not None:
         report["oversized"] = oversized
-    cand = (
-        pairs_raw.select(
-            F.col("m1.id").alias("id1"), F.col("m1.n").alias("n1"),
-            F.col("m2.id").alias("id2"), F.col("m2.n").alias("n2"),
-        )
-        .filter(
-            F.least("n1", "n2").cast("double")
-            >= _guarded(F.lit(threshold) * F.greatest("n1", "n2"))
-        )
-        .distinct()
-    )
+    cand = _length_filtered_cand(pairs_raw, threshold)
     out = _verify_jaccard(base, cand, threshold)
-    if materialize:
-        out = out.localCheckpoint()
-        if report is not None:
-            report["oversized"] = report["oversized"].localCheckpoint()
-        if cache is not None:
-            cache.unpersist()
-        base.unpersist()
-    return out
+    return _finalize(out, report, [cache, base], materialize)
 
 
 def repo_fork_pairs(
@@ -549,14 +562,7 @@ def set_containment_join(
             F.round("containment", 6).alias("containment"),
         )
     )
-    if materialize:
-        out = out.localCheckpoint()
-        if report is not None:
-            report["oversized"] = report["oversized"].localCheckpoint()
-        for c in caches:
-            c.unpersist()
-        base.unpersist()
-    return out
+    return _finalize(out, report, [*caches, base], materialize)
 
 
 def repo_containment_pairs(

@@ -424,3 +424,6 @@ def test_cli_forkdetect_approx(spark, tmp_path, capsys):
     assert main(["forkdetect", "--input", src, "--output", out_a,
                  "--approx", "--granularity", "subtree",
                  "--cores", "4"]) == 2
+    assert main(["forkdetect", "--input", src, "--output", out_a,
+                 "--approx", "--num-perm", "0", "--cores", "4"]) == 2
+    assert "num-perm" in capsys.readouterr().err
