@@ -427,3 +427,23 @@ def test_cli_forkdetect_approx(spark, tmp_path, capsys):
     assert main(["forkdetect", "--input", src, "--output", out_a,
                  "--approx", "--num-perm", "0", "--cores", "4"]) == 2
     assert "num-perm" in capsys.readouterr().err
+
+
+def test_cli_forkdetect_approx_band_warning(spark, tmp_path, capsys):
+    """A cluster of near-identical repos larger than --max-bucket
+    overflows every MinHash band bucket: the warning must say
+    signature-band drops (a lost fork CLUSTER), not boilerplate."""
+    import pandas as pd
+
+    rows = [(f"r{i:02d}", f"p{j}", f"shared-{j}")
+            for i in range(30) for j in range(4)]
+    src = str(tmp_path / "clones.parquet")
+    pd.DataFrame(rows, columns=["repo", "path", "content"]).to_parquet(src)
+    out = str(tmp_path / "out")
+    capsys.readouterr()
+    assert main(["forkdetect", "--input", src, "--output", out,
+                 "--threshold", "0.9", "--approx", "--num-perm", "8",
+                 "--max-bucket", "10", "--cores", "4"]) == 0
+    msg = capsys.readouterr().out
+    assert "signature-band" in msg and "CLUSTER" in msg
+    assert spark.read.parquet(out).count() == 0  # all buckets dropped
