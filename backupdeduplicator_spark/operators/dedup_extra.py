@@ -106,21 +106,12 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id1", "id2", "hamming")
     )
-    if materialize:
-        # eager + lineage-truncating: the bounded pair set is small, and
-        # materializing it here lets us release the sh cache instead of
-        # leaking one persisted table per call (blocks are freed by the
-        # ContextCleaner once the result is GC'd, unlike persist).
-        # materialize=False keeps the full lazy plan (plan inspection /
-        # caller-managed caching).
-        out = out.localCheckpoint()
-        if report is not None:
-            # materialize the (tiny) dropped-keys table while the sh
-            # cache is still alive, so caller accounting doesn't re-run
-            # the simhash kernel
-            report["oversized"] = report["oversized"].localCheckpoint()
-        sh.unpersist()
-    return out
+    # shared lifecycle (setsim._finalize): truncate to the bounded pair
+    # set, materialize the accounting while the sh cache is alive,
+    # release the cache; materialize=False keeps the full lazy plan
+    from .setsim import _finalize
+
+    return _finalize(out, report, [sh], materialize)
 
 
 def shingle_array_expr(text_col: str, k: int) -> str:
@@ -273,17 +264,9 @@ def jaccard_join(
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
     )
-    if materialize:
-        # same lifecycle as simhash_pairs: truncate to the (small) pair
-        # set, materialize the accounting while the caches are alive,
-        # then release them
-        out = out.localCheckpoint()
-        if report is not None:
-            report["oversized"] = report["oversized"].localCheckpoint()
-        if cache is not None:
-            cache.unpersist()
-        base.unpersist()
-    return out
+    from .setsim import _finalize
+
+    return _finalize(out, report, [cache, base], materialize)
 
 
 def embedding_cosine_pairs(
@@ -346,16 +329,9 @@ def embedding_cosine_pairs(
         .filter(F.col("sim") >= threshold)
         .select("id1", "id2", F.round("sim", 6).alias("sim"))
     )
-    if materialize:
-        # eager + lineage-truncating (same pattern as simhash_pairs):
-        # materialize the bounded result + the tiny dropped-keys table
-        # while the sig cache is alive, then release it — no per-call
-        # persist leak, and caller accounting never re-runs the kernel
-        out = out.localCheckpoint()
-        if report is not None:
-            report["oversized"] = report["oversized"].localCheckpoint()
-        sig.unpersist()
-    return out
+    from .setsim import _finalize
+
+    return _finalize(out, report, [sig], materialize)
 
 
 def pairs_to_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2") -> DataFrame:

@@ -316,12 +316,11 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
     )
-    if max_cell is not None:
-        # materialize the (queries x k) result and release the cell cache
-        # — same lifecycle as the other bounded tiers
-        out = out.localCheckpoint()
-        c.unpersist()
-    return out
+    # materialize the (queries x k) result and release the cell cache —
+    # shared lifecycle (setsim._finalize); only the capped path caches
+    from .setsim import _finalize
+
+    return _finalize(out, None, [c], max_cell is not None)
 
 
 def cosine_topk_lsh(
@@ -392,10 +391,9 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
     )
-    if materialize:
-        # top-k output is queries x k rows — materialize it and release
-        # the corpus bucket cache (bounded_probe_join already
-        # checkpointed `oversized`, so the report stays cheap to count)
-        out = out.localCheckpoint()
-        cb.unpersist()
-    return out
+    # top-k output is queries x k rows — shared lifecycle
+    # (setsim._finalize; bounded_probe_join already checkpointed
+    # `oversized`, so the report stays cheap to count)
+    from .setsim import _finalize
+
+    return _finalize(out, None, [cb], materialize)

@@ -126,19 +126,11 @@ def substring_duplicate_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
         .filter(F.col("shared_fingerprints") >= min_shared)
     )
-    if materialize:
-        # eager + lineage-truncating: the bounded pair set is small, and
-        # materializing it here lets us release the fps cache instead of
-        # leaking one persisted table per call. materialize=False keeps
-        # the full lazy plan (plan inspection / caller-managed caching).
-        pairs = pairs.localCheckpoint()
-        if report is not None:
-            # materialize the (tiny) dropped-fingerprints table while the
-            # fps cache is still alive, so caller accounting doesn't
-            # re-run the winnow kernel
-            report["oversized"] = report["oversized"].localCheckpoint()
-        fps.unpersist()
-    return pairs
+    # shared lifecycle (setsim._finalize): truncate, materialize the
+    # accounting while the fps cache is alive, release the cache
+    from .setsim import _finalize
+
+    return _finalize(pairs, report, [fps], materialize)
 
 
 @pandas_udf(LongType())
