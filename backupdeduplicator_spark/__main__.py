@@ -270,7 +270,7 @@ def cmd_docdedup(args) -> int:
     training-data-pipeline surface (exact / minhash+LSH clusters /
     simhash / substring-winnowing / exact n-gram jaccard). Oversized-
     bucket / boilerplate-fingerprint drops are always surfaced."""
-    from .functions.hashing import hex_hash, sha256_content
+    from .functions.hashing import sha256_hex
 
     spark = _spark(args)
     docs = spark.read.parquet(args.input)
@@ -278,7 +278,7 @@ def cmd_docdedup(args) -> int:
     if args.tier == "exact":
         out = (
             docs.select(F.col(args.id_col).alias("id"),
-                        hex_hash(sha256_content(args.text_col)).alias("hash_hex"))
+                        sha256_hex(args.text_col).alias("hash_hex"))
             .groupBy("hash_hex")
             .agg(F.count(F.lit(1)).alias("n_members"),
                  F.sort_array(F.collect_list("id")).alias("members"))

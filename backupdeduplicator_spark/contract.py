@@ -1144,16 +1144,17 @@ def _spark_bd_dup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _spark_file_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine kernel (pandas UDF) rather than builtin sha2 — same result,
-    exercises the vectorized hash path the pipeline actually uses."""
-    from .functions.hashing import content_size, hex_hash, sha256_content
+    """Engine digest via ``content_hash`` — the JVM sha2 fast path the
+    build pipeline actually uses (hashing.py), hex-encoded the same way
+    ``sinks``/``analyze`` consume it."""
+    from .functions.hashing import content_hash, content_size, hex_hash
     from .sources.tables import files_df
 
     files = files_df(spark, sf_dir)
     return files.select(
         "repo",
         "path",
-        hex_hash(sha256_content("content")).alias("hash_hex"),
+        hex_hash(content_hash("content")).alias("hash_hex"),
         content_size("content").alias("size"),
     )
 

@@ -13,9 +13,14 @@ Reference semantics reproduced here (citations into /root/reference):
     plain lowercase hex via the built-in ``hex()``; the type tag is fixed
     (sha256) engine-wide.
 
-All kernels are vectorized pandas UDFs (Arrow batches; no row-at-a-time
-Python UDFs). hashlib releases the GIL per call and has no batch API, so the
-per-element ``map`` inside the Arrow batch is the canonical vectorized form.
+SHA digests run JVM-side (``sha2``/``sha1`` built-ins — SHA intrinsics,
+whole-stage codegen, no Arrow crossing): byte-identical to hashlib over the
+UTF-8 bytes, measured ~1.2 GB/s per 2 cores in BENCH/BASELINE.md. The pandas
+kernels below remain for contexts where content already crosses Arrow anyway
+(the fused sha+MinHash near-dup kernel, operators/minhash.py) and for the
+xxh32/xxh64 reference algorithms the JVM lacks at seed 0. hashlib releases
+the GIL per call and has no batch API, so the per-element ``map`` inside the
+Arrow batch is the canonical vectorized form there.
 """
 
 from __future__ import annotations
@@ -33,6 +38,13 @@ from pyspark.sql.types import BinaryType, LongType
 def sha256_content(content: pd.Series) -> pd.Series:
     """sha256 digest (32 raw bytes) of the UTF-8 encoding of ``content``.
 
+    Arrow-batch twin of the JVM fast path in ``content_hash`` — kept for
+    parity testing and as the documented kernel shape for fused contexts
+    where content already crosses Arrow (operators/minhash.py hashes with
+    hashlib inside its mapInPandas kernel for exactly this reason). Hot
+    paths that only need the digest should use ``content_hash``/
+    ``sha256_hex`` (JVM SHA intrinsics, no Arrow crossing).
+
     Null content hashes like the reference's NULL-hash 'Other' entries
     (src/data/hash.rs:389-403): we return None so it can be filtered /
     treated as a non-joining hash downstream.
@@ -45,6 +57,15 @@ def sha256_content(content: pd.Series) -> pd.Series:
     return content.map(_h)
 
 
+def sha256_hex(content_col: str | Column) -> Column:
+    """Lowercase-hex sha256 of the UTF-8 bytes, fully JVM-side (``sha2``
+    already emits lowercase hex — no unhex/hex round-trip). Equivalent to
+    ``hex_hash(content_hash(col))`` and byte-identical to
+    ``hashlib.sha256(text.encode()).hexdigest()``; NULL propagates."""
+    col = F.col(content_col) if isinstance(content_col, str) else content_col
+    return F.sha2(col.cast("binary"), 256)
+
+
 # --------------------------------------------------------- hash registry
 # The reference's GeneralHasher plugin surface (SURVEY §2.10): hash type
 # selected by CLI string from {sha512, sha256, sha1, xxh64, xxh32, null}
@@ -52,19 +73,6 @@ def sha256_content(content: pd.Series) -> pd.Series:
 # the conformance algorithm; the others are engine options. NULL skips
 # hashing entirely (metadata-only build,
 # /root/reference/src/stages/build/cmd/worker/file.rs:48-51).
-
-
-def _hashlib_udf(algo: str):
-    @pandas_udf(BinaryType())
-    def _udf(content: pd.Series) -> pd.Series:
-        def _h(text: object) -> bytes | None:
-            if text is None:
-                return None
-            return hashlib.new(algo, str(text).encode("utf-8")).digest()
-
-        return content.map(_h)
-
-    return _udf
 
 
 # --- XXH32/XXH64, reimplemented from the public xxHash spec (Yann Collet,
@@ -186,17 +194,22 @@ def _xxh_udf(bits: int):
 
 def content_hash(content_col: str | Column, algo: str = "sha256") -> Column:
     """Pluggable content digest, reference-byte-exact for every algorithm:
-    sha* via hashlib, xxh64/xxh32 via the spec kernels above (seed 0,
-    big-endian — matching a reference-written .bdd file). 'xxh64spark' is
-    the engine-native fast path (Spark's JVM xxhash64, seed 42 — NOT
-    reference-compatible; use for engine-internal fingerprints only).
-    'null' yields NULL hashes (metadata-only build)."""
+    sha* via the JVM ``sha2``/``sha1`` intrinsics over the UTF-8 bytes
+    (byte-identical to hashlib; NULL content propagates to a NULL digest
+    like the reference's NULL-hash 'Other' entries, hash.rs:389-403),
+    xxh64/xxh32 via the spec kernels above (seed 0, big-endian — matching
+    a reference-written .bdd file). 'xxh64spark' is the engine-native fast
+    path (Spark's JVM xxhash64, seed 42 — NOT reference-compatible; use
+    for engine-internal fingerprints only). 'null' yields NULL hashes
+    (metadata-only build)."""
     col = F.col(content_col) if isinstance(content_col, str) else content_col
     algo = algo.lower()
     if algo == "sha256":
-        return sha256_content(col)
-    if algo in ("sha1", "sha512"):
-        return _hashlib_udf(algo)(col)
+        return F.unhex(F.sha2(col.cast("binary"), 256))
+    if algo == "sha1":
+        return F.unhex(F.sha1(col.cast("binary")))
+    if algo == "sha512":
+        return F.unhex(F.sha2(col.cast("binary"), 512))
     if algo == "xxh64":
         return _xxh_udf(64)(col)
     if algo == "xxh32":

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import content_size, sha256_content
+from ..functions.hashing import content_hash, content_size
 from ..functions.paths import path_depth
 
 
@@ -81,7 +81,7 @@ def file_hash_snapshot(files: DataFrame) -> DataFrame:
     return files.select(
         "repo", "path", "commit",
         content_size("content").alias("size"),
-        sha256_content("content").alias("hash"),
+        content_hash("content").alias("hash"),
     )
 
 
@@ -92,9 +92,10 @@ def incremental_file_hashes(
     token (commit) is unchanged — the sha256 kernel runs only on new or
     changed rows (reference J1 cache join + P3 validity predicate).
 
-    Left join against the prior cache on (repo, path); the UDF receives
-    NULL content for reused rows (cheap early-out inside the kernel), and
-    coalesce picks the cached digest.
+    Left join against the prior cache on (repo, path); the digest
+    expression receives NULL content for reused rows (NULL propagates
+    through the JVM sha2 — no hashing work), and the outer when() picks
+    the cached digest.
     """
     if prior is None:
         return file_hash_snapshot(files)
@@ -119,7 +120,7 @@ def incremental_file_hashes(
         .alias("size"),
         F.when(reuse, F.col("_old_hash"))
         .otherwise(
-            sha256_content(F.when(reuse, F.lit(None)).otherwise(F.col("content")))
+            content_hash(F.when(reuse, F.lit(None)).otherwise(F.col("content")))
         )
         .alias("hash"),
     )

@@ -37,7 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hex_hash, sha256_content
+from ..functions.hashing import sha256_hex
 from ..functions.shingles import LSH_BANDS, LSH_ROWS, minhash_signature
 from .components import connected_components
 
@@ -118,7 +118,7 @@ def distinct_content_signatures(
         )
     else:
         hashed = files.select(
-            hex_hash(sha256_content("content")).alias("id"), "content"
+            sha256_hex("content").alias("id"), "content"
         )
 
         def _local_reps(batches):
@@ -290,7 +290,7 @@ def near_duplicate_clusters(
     labels = connected_components(edges)  # (id=nid, component)
 
     files_ids = ids if ids is not None else files.select(
-        "repo", "path", hex_hash(sha256_content("content")).alias("id")
+        "repo", "path", sha256_hex("content").alias("id")
     )
     files_ids = files_ids.withColumn("nid", F.xxhash64("id"))
     out = files_ids.join(

@@ -13,8 +13,8 @@ import hashlib
 from pyspark.sql import functions as F
 
 from backupdeduplicator_spark.functions.hashing import (
-    content_size, hash_filepath, hash_path, hex_hash, merkle_hash,
-    sha256_content)
+    content_hash, content_size, hash_filepath, hash_path, hex_hash,
+    merkle_hash, sha256_content, sha256_hex)
 
 HELLO = "315f5bdb76d078c43b8ac0064e4a0164612b1fce77c869345bfc94c75894edd3"
 EMPTY = "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
@@ -37,6 +37,40 @@ def test_sha256_known_vectors(spark):
         hashlib.sha256("héllo ✓".encode()).hexdigest(),
         len("héllo ✓".encode()),
     )
+
+
+def test_jvm_sha_parity_with_hashlib(spark):
+    """content_hash's JVM sha2/sha1 fast path must stay byte-identical to
+    hashlib over the UTF-8 bytes (the r4 verdict's top perf item replaced
+    the Arrow kernel with these intrinsics) — including multibyte BMP,
+    astral-plane emoji, embedded NULs, empty string, and NULL content
+    (NULL digest, matching the reference's 'Other' rows and the Symlink
+    NULL-content convention)."""
+    samples = [
+        "Hello, world!", "", "héllo ✓", "汉字テスト한글",
+        "emoji \U0001f600\U0001f680 tail", "nul\x00inside", "x" * 70000,
+    ]
+    df = spark.createDataFrame(
+        [(s,) for s in samples] + [(None,)], "content: string"
+    )
+    rows = df.select(
+        "content",
+        hex_hash(content_hash("content", "sha256")).alias("h256"),
+        hex_hash(content_hash("content", "sha1")).alias("h1"),
+        hex_hash(content_hash("content", "sha512")).alias("h512"),
+        sha256_hex("content").alias("hex256"),
+        hex_hash(sha256_content("content")).alias("arrow256"),
+    ).collect()
+    for r in rows:
+        if r["content"] is None:
+            assert r["h256"] is None and r["h1"] is None and r["h512"] is None
+            assert r["hex256"] is None and r["arrow256"] is None
+            continue
+        b = r["content"].encode("utf-8")
+        assert r["h256"] == hashlib.sha256(b).hexdigest()
+        assert r["h1"] == hashlib.sha1(b).hexdigest()
+        assert r["h512"] == hashlib.sha512(b).hexdigest()
+        assert r["hex256"] == r["h256"] == r["arrow256"]
 
 
 def test_merkle_sorted_children(spark):
