@@ -697,7 +697,7 @@ def main(argv: list[str] | None = None) -> int:
                          "pairs >= this similarity")
     dd.add_argument("--count-first", action="store_const", const=True,
                     default=None, dest="count_first",
-                    help="simhash/substring tiers: force the hard-bound "
+                    help="simhash/substring/jaccard tiers: force the hard-bound "
                          "count-first bucket plan (for corpora known to be "
                          "boilerplate-heavy); default auto-selects via the "
                          "kernel's skew probe")

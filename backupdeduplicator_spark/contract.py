@@ -337,8 +337,12 @@ def q_r2_subtree_fork_pairs(d: D) -> str:
         f"ROUND({jac}, 6) AS jaccard "
         f"FROM intr JOIN n n1 ON intr.repo1 = n1.repo AND intr.dir1 = n1.dir "
         f"JOIN n n2 ON intr.repo2 = n2.repo AND intr.dir2 = n2.dir "
+        # position compare, not LIKE: '_'/'%' in a dir name would act as
+        # wildcards and silently diverge from the engine's exact startswith
         f"WHERE {jac} >= {t} AND NOT (repo1 = repo2 AND (dir1 = '' "
-        f"OR dir2 = '' OR dir2 LIKE dir1 || '/%' OR dir1 LIKE dir2 || '/%'))"
+        f"OR dir2 = '' "
+        f"OR substr(dir2, 1, length(dir1) + 1) = dir1 || '/' "
+        f"OR substr(dir1, 1, length(dir2) + 1) = dir2 || '/'))"
     )
 
 
@@ -404,9 +408,11 @@ def q_r4_subtree_containment(d: D) -> str:
         f"FROM intr "
         f"JOIN n n1 ON intr.repo_sub = n1.repo AND intr.dir_sub = n1.dir "
         f"JOIN n n2 ON intr.repo_super = n2.repo AND intr.dir_super = n2.dir "
+        # position compare, not LIKE — see q_r2's note on '_'/'%' wildcards
         f"WHERE {cont} >= {t} AND NOT (repo_sub = repo_super AND "
-        f"(dir_sub = '' OR dir_super = '' OR dir_super LIKE dir_sub || '/%' "
-        f"OR dir_sub LIKE dir_super || '/%'))"
+        f"(dir_sub = '' OR dir_super = '' "
+        f"OR substr(dir_super, 1, length(dir_sub) + 1) = dir_sub || '/' "
+        f"OR substr(dir_sub, 1, length(dir_super) + 1) = dir_super || '/'))"
     )
 
 

@@ -190,6 +190,7 @@ def bounded_probe_join(
     key_cols: list[str],
     max_bucket: int,
     max_broadcast_keys: int = 4_000_000,
+    materialize: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """(joined, oversized): the probe-join sibling of the pair kernel —
     ``probe`` (small: a query set's bucket keys, broadcastable) equi-joins
@@ -209,15 +210,22 @@ def bounded_probe_join(
     callers with a UDF-derived bucket table should persist it upstream.
 
     ``oversized`` has columns (key..., bn).
+
+    ``materialize=False`` (plan dumps / lazy composition — the same
+    convention as setsim.set_containment_join) skips the localCheckpoint
+    + eager count and caps via a plain shuffle anti-join, so building the
+    plan runs zero jobs.
     """
     hit_keys = probe.select(*key_cols).distinct()
     hit = build.join(F.broadcast(hit_keys), key_cols, "left_semi")
     counts = hit.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("bn"))
-    oversized = counts.filter(F.col("bn") > max_bucket).localCheckpoint()
-    n_over = oversized.count()
+    oversized = counts.filter(F.col("bn") > max_bucket)
     anti_side = oversized.select(*key_cols)
-    if n_over <= max_broadcast_keys:
-        anti_side = F.broadcast(anti_side)
+    if materialize:
+        oversized = oversized.localCheckpoint()
+        anti_side = oversized.select(*key_cols)
+        if oversized.count() <= max_broadcast_keys:
+            anti_side = F.broadcast(anti_side)
     bounded = hit.join(anti_side, key_cols, "left_anti")
     return probe.join(bounded, key_cols), oversized
 

@@ -569,9 +569,12 @@ def extract_frame_features(
     video row into FEATURE_DIM pooled-gray vectors via mapInPandas.
 
     Timestamps follow the plan exactly — sequence(0, meta.duration_ms,
-    every_ms) — so the output rows are 1:1 with frame_sample_plan's.
-    Rows with no meta/duration fall back to the container's own
-    duration in real mode (and a single stamp 0 in fake mode).
+    every_ms) — so for rows with a non-null meta.duration_ms the output
+    rows are 1:1 with frame_sample_plan's. Rows with no meta/duration
+    diverge from the plan by design: real mode paces stamps by the
+    container's own probed duration (the plan, which never opens the
+    payload, emits just stamp 0 for them), while fake mode matches the
+    plan's single stamp 0.
     In 'real' mode each stamp maps to a container frame index
     (min(floor(ms * fps / 1000), n_frames - 1)); indices are decoded
     ONCE per distinct frame and reused across stamps (sampling 3 frames

@@ -213,6 +213,7 @@ def cosine_topk_ivf(
     centroids: np.ndarray | None = None,
     max_cell: int | None = None,
     report: dict | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are bucketed into ``n_cells``
     Voronoi cells of a spherical-k-means coarse quantizer; each query
@@ -290,13 +291,16 @@ def cosine_topk_ivf(
     if max_cell is not None:
         from .buckets import bounded_probe_join
 
-        # persist: bounded_probe_join scans the corpus cells twice
-        # (count + join) — without the cache the cell UDF would run both
-        # times (and race under AQE's concurrent leaf submission)
-        c = c.persist()
-        c.count()
+        # persist (materialize mode): bounded_probe_join scans the corpus
+        # cells twice (count + join) — without the cache the cell UDF
+        # would run both times (and race under AQE's concurrent leaf
+        # submission). materialize=False (plan dumps; pass precomputed
+        # centroids or training still runs jobs) stays lazy + uncached.
+        if materialize:
+            c = c.persist()
+            c.count()
         hits, oversized = bounded_probe_join(
-            c, F.broadcast(q), ["cell"], max_cell
+            c, F.broadcast(q), ["cell"], max_cell, materialize=materialize
         )
         if report is not None:
             report["oversized"] = oversized
@@ -320,7 +324,7 @@ def cosine_topk_ivf(
     # shared lifecycle (setsim._finalize); only the capped path caches
     from .setsim import _finalize
 
-    return _finalize(out, None, [c], max_cell is not None)
+    return _finalize(out, None, [c], materialize and max_cell is not None)
 
 
 def cosine_topk_lsh(
@@ -371,7 +375,7 @@ def cosine_topk_lsh(
         cb.count()
     qb = rhp_buckets(q, "query_id", "qe", dim, bands, bits)
     hits, oversized = bounded_probe_join(
-        cb, qb, ["band", "bucket"], max_bucket
+        cb, qb, ["band", "bucket"], max_bucket, materialize=materialize
     )
     if report is not None:
         report["oversized"] = oversized
@@ -392,8 +396,8 @@ def cosine_topk_lsh(
         .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
     )
     # top-k output is queries x k rows — shared lifecycle
-    # (setsim._finalize; bounded_probe_join already checkpointed
-    # `oversized`, so the report stays cheap to count)
+    # (setsim._finalize; in materialize mode bounded_probe_join already
+    # checkpointed `oversized`, so the report stays cheap to count)
     from .setsim import _finalize
 
     return _finalize(out, None, [cb], materialize)

@@ -244,6 +244,27 @@ def test_bounded_probe_join_caps_build_buckets(spark):
     assert [(r["k"], r["bn"]) for r in oversized.collect()] == [(1, 3)]
 
 
+def test_bounded_probe_join_lazy_parity(spark):
+    # materialize=False (plan dumps / lazy composition) must cap through
+    # the plain anti-join with identical output and no checkpoint
+    from backupdeduplicator_spark.operators.buckets import bounded_probe_join
+
+    # range-derived inputs: the only ExistingRDD leaf a plan could have
+    # is a localCheckpoint, which lazy mode must not take
+    build = spark.range(5).selectExpr(
+        "cast(if(id < 3, 1, 2) as int) as k", "id + 10 as nbr")
+    probe = spark.range(2).selectExpr(
+        "cast(id + 1 as int) as k", "id + 900 as q")
+    lazy_joined, lazy_over = bounded_probe_join(
+        build, probe, ["k"], max_bucket=2, materialize=False)
+    assert sorted((r["q"], r["nbr"]) for r in lazy_joined.collect()) == \
+        [(901, 13), (901, 14)]
+    assert [(r["k"], r["bn"]) for r in lazy_over.collect()] == [(1, 3)]
+    # a localCheckpoint would surface as a Scan ExistingRDD leaf
+    plan = lazy_joined._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan
+
+
 def test_embedding_mega_bucket_bounded(spark):
     """VERDICT r3 #1 done-criterion: a degenerate corpus (10^4 identical
     vectors -> one RHP bucket per band) completes with bounded per-task
