@@ -154,7 +154,28 @@ def _spherical_kmeans(sample: np.ndarray, n_cells: int, seed: int,
     return cent
 
 
-_CENTROID_CACHE: dict[tuple, np.ndarray] = {}
+# (params, corpus fingerprint) -> (centroids, top_cell_share): the
+# share rides along so a cache hit still raises the collapse warning
+_CENTROID_CACHE: dict[tuple, tuple[np.ndarray, float]] = {}
+
+# quantizer-collapse threshold: one cell holding more than this share of
+# the training sample means per-query probe work is O(corpus), not
+# O(corpus/n_cells) — the degenerate-corpus regime (identical or dead
+# embeddings) where the uncapped default silently loses its complexity
+# contract
+_COLLAPSE_SHARE = 0.25
+
+
+def _top_cell_share(sample: np.ndarray, cent: np.ndarray) -> float:
+    """Share of the training sample landing in its most popular cell —
+    a driver-side probe (one matmul over rows already in memory, zero
+    Spark jobs) for quantizer collapse. Zero vectors assign to argmax of
+    zero similarities, i.e. they pile into one cell, exactly the
+    collapse this detects."""
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    x = sample / np.maximum(norms, 1e-12)
+    assign = (x @ cent.T).argmax(axis=1)
+    return float(np.bincount(assign).max() / len(sample))
 
 
 def _corpus_fingerprint(
@@ -248,14 +269,19 @@ def cosine_topk_ivf(
     queried in one session never share a quantizer (the fingerprint is
     count + xor of id hashes — one cheap scan, far cheaper than
     retraining)."""
+    top_share = None
     if centroids is not None:
+        # precomputed-quantizer path: no training sample exists to probe
+        # — quantizer quality is the caller's artifact to validate
         cent = centroids
     else:
         n_rows, xor_ids = _corpus_fingerprint(corpus, id_col, vec_col)
         key = (id_col, vec_col, dim, n_cells, seed, train_sample,
                n_rows, xor_ids)
-        cent = _CENTROID_CACHE.get(key)
-        if cent is None:
+        cached = _CENTROID_CACHE.get(key)
+        if cached is not None:
+            cent, top_share = cached
+        else:
             # ceil, not floor: a floor modulus of 1 (train_sample <
             # n_rows < 2*train_sample) would keep every row and let the
             # ordered limit reintroduce the low-id bias this filter
@@ -273,11 +299,24 @@ def cosine_topk_ivf(
             if len(sample_pdf) == 0:
                 raise ValueError("cosine_topk_ivf: empty training sample "
                                  "(empty corpus?)")
-            cent = _spherical_kmeans(
-                np.array(sample_pdf[vec_col].tolist(), dtype=np.float64),
-                n_cells, seed,
-            )
-            _CENTROID_CACHE[key] = cent
+            sample = np.array(sample_pdf[vec_col].tolist(), dtype=np.float64)
+            cent = _spherical_kmeans(sample, n_cells, seed)
+            top_share = _top_cell_share(sample, cent)
+            _CENTROID_CACHE[key] = (cent, top_share)
+    if report is not None and top_share is not None:
+        report["quantizer_top_share"] = top_share
+    if top_share is not None and top_share > _COLLAPSE_SHARE:
+        import warnings
+
+        warnings.warn(
+            f"cosine_topk_ivf: quantizer collapse — one Voronoi cell "
+            f"holds {top_share:.0%} of the training sample (threshold "
+            f"{_COLLAPSE_SHARE:.0%}); per-query probe work degrades "
+            f"toward O(corpus). The corpus likely contains many "
+            f"identical or zero embeddings — dedup/clean it, or pass "
+            f"max_cell to cap (and account) degenerate cells.",
+            RuntimeWarning, stacklevel=2,
+        )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ce")
     ).withColumn(
@@ -293,12 +332,13 @@ def cosine_topk_ivf(
 
         # persist (materialize mode): bounded_probe_join scans the corpus
         # cells twice (count + join) — without the cache the cell UDF
-        # would run both times (and race under AQE's concurrent leaf
-        # submission). materialize=False (plan dumps; pass precomputed
-        # centroids or training still runs jobs) stays lazy + uncached.
+        # would run both times. No eager count barrier: the join's first
+        # job (the oversized checkpoint) consumes the cells through a
+        # single leaf, so it fills the cache race-free.
+        # materialize=False (plan dumps; pass precomputed centroids or
+        # training still runs jobs) stays lazy + uncached.
         if materialize:
             c = c.persist()
-            c.count()
         hits, oversized = bounded_probe_join(
             c, F.broadcast(q), ["cell"], max_cell, materialize=materialize
         )
@@ -364,15 +404,16 @@ def cosine_topk_lsh(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe")
     )
-    # persisted EAGERLY (materialize mode only): bounded_probe_join scans
-    # the corpus buckets twice (count + join); a lazy plan would run the
-    # RHP kernel both times. materialize=False leaves the plan uncached
-    # (plan inspection / caller-managed caching — nothing persisted
-    # behind the caller's back).
+    # persisted (materialize mode only): bounded_probe_join scans the
+    # corpus buckets twice (count + join); an uncached plan would run the
+    # RHP kernel both times. No eager count barrier — the join's first
+    # job (the oversized checkpoint) consumes the buckets through a
+    # single leaf and fills the cache race-free. materialize=False
+    # leaves the plan uncached (plan inspection / caller-managed caching
+    # — nothing persisted behind the caller's back).
     cb = rhp_buckets(c, "neighbor_id", "ce", dim, bands, bits)
     if materialize:
         cb = cb.persist()
-        cb.count()
     qb = rhp_buckets(q, "query_id", "qe", dim, bands, bits)
     hits, oversized = bounded_probe_join(
         cb, qb, ["band", "bucket"], max_bucket, materialize=materialize

@@ -271,7 +271,7 @@ def test_ivf_cache_distinguishes_corpora(spark):
     cosine_topk_ivf(emb_b, emb_b.filter("vec_id < 2"), dim=16, n_cells=4,
                     seed=3).collect()
     assert len(S._CENTROID_CACHE) == 2, "same-params corpora must cache apart"
-    c1, c2 = list(S._CENTROID_CACHE.values())
+    c1, c2 = [cent for cent, _share in S._CENTROID_CACHE.values()]
     assert not np.allclose(c1, c2), "different corpora reused one quantizer"
 
     # precomputed-centroids path skips training and the cache entirely
@@ -280,6 +280,58 @@ def test_ivf_cache_distinguishes_corpora(spark):
                           n_cells=4, nprobe=4, seed=3, centroids=c1)
     assert out.count() > 0
     assert len(S._CENTROID_CACHE) == 0
+
+
+def test_ivf_degenerate_quantizer_warns(spark):
+    """r4 verdict item 5: a collapsed quantizer (identical/dead
+    embeddings piling into one Voronoi cell) must raise the collapse
+    warning and report the top-cell share; a clustered corpus must
+    not."""
+    import warnings
+
+    import numpy as np
+
+    from backupdeduplicator_spark.operators import similarity as S
+
+    S._CENTROID_CACHE.clear()
+    # 300 identical + 20 near-dead (tiny-magnitude) embeddings — all
+    # pile into one Voronoi cell. (Exactly-zero vectors would also trip
+    # ANSI DIVIDE_BY_ZERO in the cosine scorer itself, a separate,
+    # pre-existing property of degenerate inputs.)
+    dead = [(i, [1.0] + [0.0] * 15) for i in range(300)]
+    dead += [(1000 + i, [1e-9] + [0.0] * 15) for i in range(20)]
+    emb = spark.createDataFrame(
+        dead, "vec_id: long, embedding: array<double>")
+    report: dict = {}
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        S.cosine_topk_ivf(emb, emb.filter("vec_id < 2"), dim=16,
+                          n_cells=8, seed=3, report=report).collect()
+    msgs = [w for w in caught if "quantizer collapse" in str(w.message)]
+    assert msgs, "collapsed quantizer must warn"
+    assert report["quantizer_top_share"] > S._COLLAPSE_SHARE
+
+    # a cache hit on the same corpus still warns (share rides the cache)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        S.cosine_topk_ivf(emb, emb.filter("vec_id < 2"), dim=16,
+                          n_cells=8, seed=3).collect()
+    assert any("quantizer collapse" in str(w.message) for w in caught)
+
+    # well-spread clusters: no warning, share reported small
+    rs = np.random.RandomState(9)
+    centers = rs.normal(size=(8, 16)) * 4
+    spread = [(i, (centers[i % 8] + rs.normal(size=16)).tolist())
+              for i in range(400)]
+    emb2 = spark.createDataFrame(
+        spread, "vec_id: long, embedding: array<double>")
+    report2: dict = {}
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        S.cosine_topk_ivf(emb2, emb2.filter("vec_id < 2"), dim=16,
+                          n_cells=8, seed=3, report=report2).collect()
+    assert not any("quantizer collapse" in str(w.message) for w in caught)
+    assert report2["quantizer_top_share"] <= S._COLLAPSE_SHARE
 
 
 def test_simhash_null_text_pairs_with_empty(spark):
