@@ -1,0 +1,85 @@
+"""Interleaved q3/q4 control (r4 verdict item 2): the driver's r4 sample
+showed q3 7.5->9.3 s and q4 23.6->29.5 s vs r3 with no code-regression
+evidence (achieved parallelism also dropped 16.9->14.3). This script is
+the q1_control protocol applied to q3+q4: ONE JVM, driver bench config
+(sf0.1, mult 24), untimed 2k-row warmup, then N interleaved repeats of
+the q3 stage (duplicate_pairs on persisted entries) and the q4 stage
+(near_duplicate_clusters reusing q1 hashes as ids).
+
+Run it against any code version by pointing PYTHONPATH at that checkout
+(e.g. a `git worktree` of the r3 commit) — the harness below only uses
+APIs present since r3. Alternating fresh-JVM runs of two versions on
+the same box is the decisive code-vs-substrate test:
+
+    for i in 1 2 3; do
+      PYTHONPATH=/root/repo      python BENCH/q34_control.py 16 3
+      PYTHONPATH=/tmp/bd_r3     python BENCH/q34_control.py 16 3
+    done
+"""
+import json
+import os
+import sys
+import time
+
+cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+repo = os.environ.get("PYTHONPATH", "/root/repo").split(os.pathsep)[0]
+sys.path.insert(0, repo)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from backupdeduplicator_spark.operators.analyze import (  # noqa: E402
+    duplicate_pairs)
+from backupdeduplicator_spark.operators.build import build_entries  # noqa: E402
+from backupdeduplicator_spark.operators.minhash import (  # noqa: E402
+    near_duplicate_clusters)
+from backupdeduplicator_spark.session import get_spark  # noqa: E402
+from bench import _tree_cpu_seconds, bench_files  # noqa: E402
+
+spark = get_spark("q34-control", cores=cpus,
+                  shuffle_partitions=max(cpus * 2, 16),
+                  extra_conf={"spark.ui.showConsoleProgress": "false"})
+spark.sparkContext.setLogLevel("ERROR")
+
+files = bench_files(spark, "/root/testdata/sf0.1", 24).persist()
+n = files.count()
+
+
+def _ids(entries):
+    return entries.filter(F.col("file_type") == "File").select(
+        "repo", "path", F.lower(F.hex("hash")).alias("id"))
+
+
+# q1 once, untimed — q3/q4 input
+entries = build_entries(files).persist()
+entries.count()
+
+# untimed JIT warmup through both stages (same rationale as bench.py)
+w = files.limit(2000).persist()
+w.count()
+we = build_entries(w).persist()
+we.count()
+duplicate_pairs(we).count()
+near_duplicate_clusters(w, ids=_ids(we)).count()
+we.unpersist()
+w.unpersist()
+
+q3_times: list[float] = []
+q4_times: list[float] = []
+for i in range(reps):
+    t0 = time.monotonic()
+    duplicate_pairs(entries).count()
+    q3_times.append(round(time.monotonic() - t0, 2))
+    t0 = time.monotonic()
+    near_duplicate_clusters(files, ids=_ids(entries)).count()
+    q4_times.append(round(time.monotonic() - t0, 2))
+
+u, s = _tree_cpu_seconds()
+print(json.dumps({
+    "version_path": repo, "cpus": cpus, "rows": n,
+    "q3_times": q3_times, "q4_times": q4_times,
+    "cpu_user": round(u, 1), "cpu_sys": round(s, 1),
+    "sys_share": round(s / (u + s), 2),
+}))
+spark.stop()

@@ -1,0 +1,69 @@
+"""Driver-side job accounting for the fork-detection tiers (r4 verdict
+item 3): counts the Spark jobs one materialized run submits, plus the
+wall time of a tiny-corpus run — the corpus is small enough that nearly
+all of it is fixed sequential job latency, so the wall number IS the
+floor being cut.
+
+Usage: PYTHONPATH=<checkout> python BENCH/setsim_jobs.py [cpus]
+"""
+import json
+import os
+import sys
+import time
+
+repo = os.environ.get("PYTHONPATH", "/root/repo").split(os.pathsep)[0]
+sys.path.insert(0, repo)
+
+cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from backupdeduplicator_spark.session import get_spark  # noqa: E402
+from backupdeduplicator_spark.operators.setsim import (  # noqa: E402
+    repo_containment_pairs, repo_fork_pairs, set_similarity_join_minhash,
+    subtree_fork_pairs)
+
+spark = get_spark("setsim-jobs", cores=cpus,
+                  shuffle_partitions=max(cpus * 2, 16),
+                  extra_conf={"spark.ui.showConsoleProgress": "false"})
+spark.sparkContext.setLogLevel("ERROR")
+
+
+def n_jobs() -> int:
+    # nextJobId is the DAGScheduler's monotonically increasing counter:
+    # its current value = number of jobs submitted so far in this JVM
+    return spark._jsc.sc().dagScheduler().nextJobId()
+
+
+# tiny synthetic corpus: 40 repos x 30 files, 10 planted fork pairs
+files = spark.range(40 * 30).selectExpr(
+    "concat('repo-', cast(id % 40 as string)) as repo",
+    "concat('src/f', cast(cast(id / 40 as long) as string), '.c') as path",
+    # fork pairs: repos 2k and 2k+1 share 80% of content for k < 10
+    "concat('c-', cast(if(id % 40 < 20 and (id % 40) % 2 = 1 "
+    "and cast(id / 40 as long) < 24, (id % 40) - 1, id % 40) as string), "
+    "'-', cast(cast(id / 40 as long) as string)) as content",
+).persist()
+files.count()
+
+results = {}
+for name, fn in [
+    ("repo_fork_exact", lambda: repo_fork_pairs(files, threshold=0.5)),
+    ("repo_fork_approx", lambda: repo_fork_pairs(
+        files, threshold=0.5, approx=True)),
+    ("repo_containment", lambda: repo_containment_pairs(
+        files, threshold=0.5)),
+    ("subtree_fork", lambda: subtree_fork_pairs(files, threshold=0.5)),
+]:
+    j0, t0 = n_jobs(), time.monotonic()
+    report: dict = {}
+    out = fn()
+    n = out.count()
+    results[name] = {
+        "jobs": n_jobs() - j0,
+        "wall_sec": round(time.monotonic() - t0, 2),
+        "rows": n,
+    }
+
+print(json.dumps({"version_path": repo, "cpus": cpus, **results}))
+spark.stop()
