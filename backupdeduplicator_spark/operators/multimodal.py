@@ -173,58 +173,26 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+# Adam7 pass grid (PNG spec 4.5.2): (x0, y0, dx, dy) per pass — each
+# pass is an independent mini-image (own filter bytes, own prev-row
+# state) whose pixels scatter to out[y0::dy, x0::dx]
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """8-bit non-interlaced PNG -> (h, w) grayscale in [0, 1].
 
-    Pure stdlib: chunk walk + ``zlib`` inflate + per-scanline unfilter
-    (None/Sub/Up/Average/Paeth, the complete PNG filter set). Color
-    types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA);
-    alpha is ignored for the grayscale feature. Interlaced (Adam7) and
-    16-bit images raise NotImplementedError. The Sub/Average/Paeth
-    unfilter is a per-byte sequential recurrence (runs inside Arrow
-    batches like the hash folds); None/Up rows stay vectorized.
-    """
-    if not payload.startswith(PNG_SIG):
-        raise ValueError("not a PNG payload")
-    pos, idat, plte, hdr = 8, [], None, None
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack_from(">I", payload, pos)
-        ctype = payload[pos + 4:pos + 8]
-        data = payload[pos + 8:pos + 8 + length]
-        pos += 12 + length  # chunk header + data + CRC
-        if ctype == b"IHDR":
-            hdr = struct.unpack(">IIBBBBB", data)
-        elif ctype == b"PLTE":
-            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
-        elif ctype == b"IDAT":
-            idat.append(data)
-        elif ctype == b"IEND":
-            break
-    if hdr is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    width, height, depth, color, comp, filt, interlace = hdr
-    if depth != 8 or comp != 0 or filt != 0:
-        raise NotImplementedError(f"PNG depth={depth} compression={comp}")
-    if interlace != 0:
-        raise NotImplementedError("interlaced (Adam7) PNG not supported")
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
-    if channels is None:
-        raise ValueError(f"PNG color type {color}")
-    if color == 3 and plte is None:
-        raise ValueError("palette PNG without PLTE")
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error as e:  # surface as the standard corrupt-payload type
-        raise ValueError(f"PNG deflate stream corrupt: {e}") from e
-    stride = width * channels
-    if len(raw) < height * (1 + stride):
-        raise ValueError("PNG pixel data truncated")
+def _png_unfilter(
+    raw: bytes, offset: int, height: int, stride: int, bpp: int
+) -> np.ndarray:
+    """Unfilter one (sub-)image of ``height`` scanlines of ``stride``
+    bytes each, starting at ``offset`` in the inflated stream. The
+    Sub/Average/Paeth recurrence is per-byte sequential; None/Up rows
+    stay vectorized."""
     img = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    bpp = channels  # bytes per pixel at depth 8
     for y in range(height):
-        base = y * (1 + stride)
+        base = offset + y * (1 + stride)
         ftype = raw[base]
         line = np.frombuffer(raw, np.uint8, stride, base + 1).copy()
         if ftype == 0:
@@ -252,7 +220,73 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"PNG filter type {ftype}")
         img[y] = line
         prev = line
-    px = img.reshape(height, width, channels)
+    return img
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit PNG -> (h, w) grayscale in [0, 1].
+
+    Pure stdlib: chunk walk + ``zlib`` inflate + per-scanline unfilter
+    (None/Sub/Up/Average/Paeth, the complete PNG filter set). Color
+    types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA);
+    alpha is ignored for the grayscale feature. Both interlace methods
+    (0 = none, 1 = Adam7: seven sub-images, each with its own filter
+    bytes and prev-row state, scattered to the output grid) decode to
+    identical pixels. 16-bit images raise NotImplementedError.
+    """
+    if not payload.startswith(PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, idat, plte, hdr = 8, [], None, None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # chunk header + data + CRC
+        if ctype == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if hdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width, height, depth, color, comp, filt, interlace = hdr
+    if depth != 8 or comp != 0 or filt != 0:
+        raise NotImplementedError(f"PNG depth={depth} compression={comp}")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace}")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"PNG color type {color}")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG without PLTE")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:  # surface as the standard corrupt-payload type
+        raise ValueError(f"PNG deflate stream corrupt: {e}") from e
+    bpp = channels  # bytes per pixel at depth 8
+    if interlace == 0:
+        stride = width * channels
+        if len(raw) < height * (1 + stride):
+            raise ValueError("PNG pixel data truncated")
+        px = _png_unfilter(raw, 0, height, stride, bpp).reshape(
+            height, width, channels)
+    else:  # Adam7: seven concatenated sub-images, scattered to the grid
+        px = np.empty((height, width, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass: zero scanlines, zero bytes
+            pstride = pw * channels
+            if len(raw) < off + ph * (1 + pstride):
+                raise ValueError("PNG pixel data truncated")
+            sub = _png_unfilter(raw, off, ph, pstride, bpp)
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+            off += ph * (1 + pstride)
     if color == 3:
         rgb = plte[px[:, :, 0]]
         return rgb.astype(np.float64).mean(axis=2) / 255.0

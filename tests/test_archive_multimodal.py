@@ -266,19 +266,10 @@ def test_real_feature_extraction_and_near_dups(spark):
     assert len(out) == 1 and len(out[0]["feature"]) == 64
 
 
-def _png_encode(arr: "np.ndarray", filters: list[int]) -> bytes:
-    """Minimal PNG writer for tests: 8-bit RGB, non-interlaced, one
-    explicit filter type per row (exercises the decoder's full
-    None/Sub/Up/Average/Paeth unfilter set)."""
-    import struct
-    import zlib
-
-    import numpy as np
-
-    def chunk(t: bytes, data: bytes) -> bytes:
-        return (struct.pack(">I", len(data)) + t + data
-                + struct.pack(">I", zlib.crc32(t + data)))
-
+def _png_filter_rows(arr: "np.ndarray", filters: list[int]) -> bytearray:
+    """Filter one (sub-)image's rows: per-row filter byte + filtered
+    scanline, prev-row state starting at zero (the per-pass reset the
+    Adam7 spec requires)."""
     h, w, _ = arr.shape
     bpp = 3
     raw = bytearray()
@@ -306,7 +297,39 @@ def _png_encode(arr: "np.ndarray", filters: list[int]) -> bytes:
             out[i] = (line[i] - pred) & 0xFF
         raw += bytes([f]) + bytes(out)
         prev = line
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return raw
+
+
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_encode(
+    arr: "np.ndarray", filters: list[int], interlace: bool = False
+) -> bytes:
+    """Minimal PNG writer for tests: 8-bit RGB, one explicit filter type
+    per row (exercises the decoder's full None/Sub/Up/Average/Paeth
+    unfilter set). ``interlace=True`` writes Adam7: seven sub-images in
+    pass order, each filtered independently, empty passes omitted."""
+    import struct
+    import zlib
+
+    def chunk(t: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + t + data
+                + struct.pack(">I", zlib.crc32(t + data)))
+
+    h, w, _ = arr.shape
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raw += _png_filter_rows(sub, filters)
+    else:
+        raw = _png_filter_rows(arr, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, int(interlace))
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(bytes(raw)))
             + chunk(b"IEND", b""))
@@ -334,6 +357,49 @@ def test_png_decode_all_filters():
         decode_png(full[:40])  # missing IDAT
     with pytest.raises(ValueError):
         decode_png(b"not a png at all")
+
+
+def test_png_adam7_interlaced():
+    """r4 verdict item 6: an Adam7 interlaced encoding decodes
+    pixel-identical to its non-interlaced twin — across filter mixes
+    and dimensions that exercise empty and partial passes (1x1 has six
+    empty passes; 3x2/10x7 have partial ones)."""
+    import numpy as np
+    import pytest
+
+    from backupdeduplicator_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(11)
+    for h, w in ((10, 7), (1, 1), (3, 2), (8, 8), (17, 5), (2, 16)):
+        arr = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for filters in ([0], [4], [0, 1, 2, 3, 4]):
+            plain = decode_png(_png_encode(arr, filters))
+            inter = decode_png(_png_encode(arr, filters, interlace=True))
+            assert inter.shape == (h, w)
+            assert np.array_equal(inter, plain), (h, w, filters)
+
+    # truncated interlaced data (a cut mid-pass) is a ValueError: build
+    # the same PNG but with only half the filtered pass bytes deflated
+    import struct
+    import zlib
+
+    arr = rng.randint(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = arr[y0::dy, x0::dx]
+        if sub.shape[0] and sub.shape[1]:
+            raw += _png_filter_rows(sub, [0])
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d)))
+
+    ihdr = struct.pack(">IIBBBBB", 7, 10, 8, 2, 0, 0, 1)
+    trunc = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+             + chunk(b"IDAT", zlib.compress(bytes(raw[: len(raw) // 2])))
+             + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png(trunc)
 
 
 def test_png_feature_pipeline(spark):
