@@ -110,8 +110,11 @@ def cmd_analyze(args) -> int:
     if args.output:
         write_dupsets_jsonl(sets, args.output, algo=algo)
     total = duplicated_bytes(sets).collect()[0][0]
-    print(f"analyze: {sets.count()} duplicate sets, "
+    n_sets = sets.count()
+    print(f"analyze: {n_sets} duplicate sets, "
           f"{_fmt_bytes(total)} duplicated")  # total as in cmd.rs:194 (GiB)
+    _emit_report(args, command="analyze", duplicate_sets=n_sets,
+                 duplicated_bytes=int(total or 0))
     return 0
 
 
@@ -162,6 +165,21 @@ def _fmt_bytes(n: int) -> str:
     if n >= 1024:
         return f"{n / 1024:.2f} KiB"
     return f"{n} B"
+
+
+def _emit_report(args, **payload) -> None:
+    """--report-json: write the run's accounting (the cap/drop numbers
+    the WARNING/NOTE lines print as prose) as one machine-readable JSON
+    file, so production runs can alert on cap costs programmatically.
+    No-op when the flag is absent."""
+    path = getattr(args, "report_json", None)
+    if not path:
+        return
+    import json
+
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=2, sort_keys=True)
+        f.write("\n")
 
 
 def cmd_clean(args) -> int:
@@ -351,17 +369,22 @@ def cmd_docdedup(args) -> int:
                   f"audit minhash clusters with cluster_quality_report)")
     out.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
+    dropped = drows = 0
     if "oversized" in report:
         # single pass: count + sum in one action (the report is lazy and
         # may recompute the tier's signature kernel to answer)
-        dropped, rows = report["oversized"].agg(
+        dropped, drows = report["oversized"].agg(
             F.count(F.lit(1)), F.sum("bn")
         ).collect()[0]
+        drows = int(drows or 0)
         if dropped:
             print(f"docdedup: WARNING {dropped} oversized buckets/"
-                  f"fingerprints dropped ({rows} member rows) — raise the "
+                  f"fingerprints dropped ({drows} member rows) — raise the "
                   f"cap to trade runtime for recall")
     print(f"docdedup[{args.tier}]: {n} rows -> {args.output}")
+    _emit_report(args, command="docdedup", tier=args.tier, rows=n,
+                 output=args.output, dropped_buckets=int(dropped),
+                 dropped_member_rows=drows)
     return 0
 
 
@@ -393,13 +416,15 @@ def cmd_mediadedup(args) -> int:
     # plan would re-run the whole decode kernel per action
     written = spark.read.parquet(args.output)
     n = written.count()
+    dropped = drows = capped = 0
     if "oversized" in report:
-        dropped, rows = report["oversized"].agg(
+        dropped, drows = report["oversized"].agg(
             F.count(F.lit(1)), F.sum("bn")
         ).collect()[0]
+        drows = int(drows or 0)
         if dropped:
             print(f"mediadedup: WARNING {dropped} oversized feature "
-                  f"buckets dropped ({rows} member rows) — raise "
+                  f"buckets dropped ({drows} member rows) — raise "
                   f"--max-bucket to trade runtime for recall")
     if args.tier in ("exact", "frames"):
         capped = written.filter(
@@ -408,6 +433,9 @@ def cmd_mediadedup(args) -> int:
             print(f"mediadedup: NOTE {capped} dup sets list only their "
                   f"first {args.max_members} members (n_members is exact)")
     print(f"mediadedup[{args.tier}]: {n} rows -> {args.output}")
+    _emit_report(args, command="mediadedup", tier=args.tier, rows=n,
+                 output=args.output, dropped_buckets=int(dropped),
+                 dropped_member_rows=drows, capped_groups=int(capped))
     return 0
 
 
@@ -539,6 +567,10 @@ def cmd_forkdetect(args) -> int:
     what = ("containment rows (repo_sub, repo_super)"
             if args.metric == "containment" else "fork pairs")
     print(f"forkdetect: {n} {what} -> {args.output}")
+    _emit_report(args, command="forkdetect", metric=args.metric,
+                 granularity=args.granularity, rows=n, output=args.output,
+                 dropped_buckets=int(dropped),
+                 dropped_member_rows=int(rows or 0))
     return 0
 
 
@@ -589,13 +621,15 @@ def cmd_codeclone(args) -> int:
     out.write.mode("overwrite").parquet(args.output)
     written = spark.read.parquet(args.output)
     n = written.count()
+    dropped = drows = capped = 0
     if "oversized" in report:
-        dropped, rows = report["oversized"].agg(
+        dropped, drows = report["oversized"].agg(
             F.count(F.lit(1)), F.sum("bn")
         ).collect()[0]
+        drows = int(drows or 0)
         if dropped:
             print(f"codeclone: WARNING {dropped} oversized LSH buckets "
-                  f"dropped ({rows} member rows) — raise the cap to trade "
+                  f"dropped ({drows} member rows) — raise the cap to trade "
                   f"runtime for recall")
     if args.tier == "type2":
         capped = written.filter(
@@ -604,6 +638,9 @@ def cmd_codeclone(args) -> int:
             print(f"codeclone: NOTE {capped} clone groups list only their "
                   f"first {args.max_members} members (n_members is exact)")
     print(f"codeclone[{args.tier}]: {n} rows -> {args.output}")
+    _emit_report(args, command="codeclone", tier=args.tier, rows=n,
+                 output=args.output, dropped_buckets=int(dropped),
+                 dropped_member_rows=drows, capped_groups=int(capped))
     return 0
 
 
@@ -630,6 +667,9 @@ def cmd_pipeline(args) -> int:
               f"({lin.get('dropped_lsh_rows', 0)} member rows) — raise "
               f"max_bucket to trade runtime for recall")
     print(f"pipeline: snapshots {res.snapshot_ids}")
+    _emit_report(args, command="pipeline", snapshots=res.snapshot_ids,
+                 dropped_buckets=int(dropped),
+                 dropped_member_rows=int(lin.get("dropped_lsh_rows", 0)))
     return 0
 
 
@@ -637,6 +677,13 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="backupdeduplicator_spark")
     common = argparse.ArgumentParser(add_help=False)
     common.add_argument("--cores", type=int, default=None)
+    common.add_argument("--report-json", default=None, dest="report_json",
+                        metavar="PATH",
+                        help="also write the run's accounting (row counts "
+                             "plus the dropped-bucket/capped-member "
+                             "numbers the WARNING/NOTE lines print) as "
+                             "one JSON file — for alerting on cap costs "
+                             "programmatically")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     b = sub.add_parser("build", parents=[common])

@@ -153,6 +153,63 @@ def test_cli_docdedup_tiers(spark, tmp_path):
                for r in ex)
 
 
+def test_cli_report_json(spark, tmp_path):
+    """--report-json writes the prose accounting as machine-readable
+    JSON: row counts plus the dropped/capped numbers (r4 verdict item 8)
+    — including a forced cap so a nonzero drop count round-trips."""
+    import json
+
+    import pandas as pd
+
+    from backupdeduplicator_spark.__main__ import main
+
+    base = " ".join(f"tok{i * 37 % 101}x{i}" for i in range(60))
+    docs = pd.DataFrame({
+        "doc_id": range(6),
+        "text": [base, base, base + " x", base + " y", "unrelated", ""],
+    })
+    src = str(tmp_path / "docs.parquet")
+    docs.to_parquet(src)
+    out = str(tmp_path / "out_md")
+    rep = str(tmp_path / "report.json")
+    rc = main(["docdedup", "--input", src, "--output", out,
+               "--tier", "minhash", "--cores", "4",
+               "--report-json", rep])
+    assert rc == 0
+    got = json.load(open(rep))
+    assert got["command"] == "docdedup" and got["tier"] == "minhash"
+    assert got["rows"] == spark.read.parquet(out).count()
+    assert got["dropped_buckets"] == 0 and got["dropped_member_rows"] == 0
+
+    # forkdetect with a cap low enough to drop buckets: the JSON numbers
+    # must match the WARNING the CLI prints. Every repo carries the SAME
+    # 8 shared contents plus 2 unique ones — the shared hashes have
+    # df=6 and sit inside each repo's AllPairs prefix (prefix length
+    # 10 - ceil(0.2*10) + 1 = 9), so their buckets (size 6 > cap 3)
+    # must be dropped + accounted. (A single boilerplate item would NOT
+    # do it: df ordering pushes it past the prefix — the filter working
+    # as designed.)
+    rows = []
+    for r in range(6):
+        for j in range(8):
+            rows.append((f"r{r}", f"src/s{j}.c", f"shared content {j}"))
+        for j in range(2):
+            rows.append((f"r{r}", f"src/u{j}.c", f"unique {r}-{j}"))
+    code = pd.DataFrame(rows, columns=["repo", "path", "content"])
+    src2 = str(tmp_path / "code.parquet")
+    code.to_parquet(src2)
+    out2 = str(tmp_path / "out_fork")
+    rep2 = str(tmp_path / "fork_report.json")
+    rc = main(["forkdetect", "--input", src2, "--output", out2,
+               "--threshold", "0.2", "--max-bucket", "3", "--cores", "4",
+               "--report-json", rep2])
+    assert rc == 0
+    got2 = json.load(open(rep2))
+    assert got2["command"] == "forkdetect"
+    assert got2["dropped_buckets"] >= 1
+    assert got2["dropped_member_rows"] > got2["dropped_buckets"]
+
+
 def test_cli_docdedup_substring_lcs(spark, tmp_path):
     """--min-lcs adds the exact suffix-automaton verification stage: the
     surviving pair carries the true shared-run length."""
