@@ -67,17 +67,19 @@ def simhash_pairs(
             raise ValueError("max_hamming must be < 64")
     n_blocks = 64 // block_bits
     assert max_hamming <= n_blocks - 1, "raise block count for that radius"
-    # persisted EAGERLY (materialize mode only): the bounded kernel's
-    # count and collect passes are concurrent leaf stages (AQE submits
-    # both at once) — a lazy cache would race and run the simhash text
-    # kernel twice. materialize=False keeps the plan uncached for
+    # persisted (materialize mode only): the bounded kernel scans the
+    # block table 2-3x — uncached, each scan re-runs the simhash text
+    # kernel. No eager count barrier: the simhash values ride inside the
+    # bucket member structs (no verify rejoin of `sh`), so in every
+    # kernel mode the FIRST job consumes the cache through a single
+    # leaf (auto probe / count-first checkpoint / salted phase-1) and
+    # fills it race-free. materialize=False keeps the plan uncached for
     # inspection / caller-managed caching.
     sh = docs.select(
         F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
     )
     if materialize:
         sh = sh.persist()
-        sh.count()
     blocks = sh.select(
         F.struct("id", "sh").alias("m"),
         F.posexplode(
@@ -301,16 +303,17 @@ def embedding_cosine_pairs(
     from .buckets import bounded_bucket_pairs
 
     vecs = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    # persisted EAGERLY (materialize mode only): the kernel's probe/count
-    # and collect passes are separate consumers — a lazy cache would race
-    # under AQE's concurrent leaf-stage submission and run the RHP
-    # signature kernel twice. materialize=False skips the cache entirely
-    # (caller-managed mode: the kernel may recompute per consumer, and
-    # nothing is left persisted behind the caller's back).
+    # persisted (materialize mode only): the bounded kernel scans the
+    # bucket table 2-3x — uncached, each scan re-runs the RHP signature
+    # kernel. No eager count barrier: the verify stage rejoins `vecs`
+    # (not `sig`), so in every kernel mode the FIRST job consumes the
+    # cache through a single leaf and fills it race-free.
+    # materialize=False skips the cache entirely (caller-managed mode:
+    # the kernel may recompute per consumer, and nothing is left
+    # persisted behind the caller's back).
     sig = rhp_buckets(vecs, "id", "v", dim, bands, bits)
     if materialize:
         sig = sig.persist()
-        sig.count()
     pair_rows, oversized = bounded_bucket_pairs(
         sig, ["band", "bucket"], "id", max_bucket, count_first=count_first
     )

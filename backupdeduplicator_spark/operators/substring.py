@@ -109,12 +109,14 @@ def substring_duplicate_pairs(
         F.explode(winnow_fingerprints(F.col(text_col))).alias("fp"),
     ).distinct()
     if materialize:
-        # eager: the count pass and collect pass are concurrent leaf
-        # stages (AQE submits both at once) — a lazy cache would race and
-        # run the winnow UDF twice. materialize=False keeps the plan
-        # uncached (inspection / caller-managed caching).
+        # persisted: the bounded kernel scans the fingerprint table 2-3x
+        # — uncached, each scan re-runs the winnow UDF. No eager count
+        # barrier: the pair output aggregates kernel structs (no verify
+        # rejoin of `fps`), so in every kernel mode the FIRST job
+        # consumes the cache through a single leaf and fills it
+        # race-free. materialize=False keeps the plan uncached
+        # (inspection / caller-managed caching).
         fps = fps.persist()
-        fps.count()
     pair_rows, oversized = bounded_bucket_pairs(
         fps, ["fp"], "id", max_fingerprint_freq,
         count_first=count_first, salt_buckets=salt_buckets,
