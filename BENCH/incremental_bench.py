@@ -1,0 +1,115 @@
+"""Incremental-path evidence at bench scale (r4 verdict item 7): full
+pipeline run, mutate 1% of rows (content + commit — commit is the
+validity token, matching the reference's mtime/size cache semantics),
+re-run with the checkpoint. The unchanged 99% must skip both the
+content-hash kernel (incremental_file_hashes cache join) and the
+MinHash signature kernel (distinct_content_signatures prior reuse) —
+pinned functionally by test_checkpoint_resume; this script adds the
+wall-time number BENCH/BASELINE.md cites.
+
+Besides the pipeline-level ratio (honest but diluted: the LSH join /
+CC / Merkle / dup-set stages recompute regardless of the cache — only
+the content-proportional kernels are skippable), the script times the
+signature stage in isolation, full vs prior-seeded — the number that
+scales with content size. At 100 TB the content-proportional kernel
+dominates the pipeline, so the incremental ratio approaches the
+changed fraction; evidence that regime with a bigger --repeat
+(content bytes per file).
+
+Usage: python BENCH/incremental_bench.py [cpus] [mult] [repeat]
+"""
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+# python workers unpickle the signature pandas UDF — they resolve the
+# package via PYTHONPATH, not the driver's sys.path
+os.environ["PYTHONPATH"] = (
+    "/root/repo" + os.pathsep + os.environ.get("PYTHONPATH", "")
+).rstrip(os.pathsep)
+
+cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+mult = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+repeat = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from backupdeduplicator_spark.plans.pipeline import run_pipeline  # noqa: E402
+from backupdeduplicator_spark.session import get_spark  # noqa: E402
+from bench import _tree_cpu_seconds, bench_files  # noqa: E402
+
+spark = get_spark("incremental-bench", cores=cpus,
+                  shuffle_partitions=max(cpus * 2, 16),
+                  extra_conf={"spark.ui.showConsoleProgress": "false"})
+spark.sparkContext.setLogLevel("ERROR")
+
+v1 = bench_files(spark, "/root/testdata/sf0.1", mult, repeat=repeat).persist()
+n = v1.count()
+
+# mutate ~1% of rows: new content AND new commit (the validity token —
+# an unchanged token means "reuse the cached hash", by design)
+mutated = F.pmod(F.xxhash64("repo", "path"), F.lit(100)) == 0
+v2 = v1.select(
+    "repo", "path",
+    F.when(mutated, F.lit("1111111111111111111111111111111111111111"))
+    .otherwise(F.col("commit")).alias("commit"),
+    "lang",
+    F.when(mutated, F.concat("content", F.lit("\n// mutated")))
+    .otherwise(F.col("content")).alias("content"),
+).persist()
+n_mut = v2.filter(mutated).count()
+
+base = "/tmp/incr_bench_ck"
+for d in (f"{base}_a", f"{base}_b"):
+    shutil.rmtree(d, ignore_errors=True)
+
+# untimed JIT warmup through the full pipeline on a slice
+shutil.rmtree(f"{base}_w", ignore_errors=True)
+run_pipeline(spark, v1.limit(2000), f"{base}_w")
+shutil.rmtree(f"{base}_w", ignore_errors=True)
+
+
+def timed(fn):
+    t0 = time.monotonic()
+    fn()
+    return round(time.monotonic() - t0, 2)
+
+
+# signature stage in isolation: full vs prior-seeded on the SAME v2
+# corpus — the content-proportional number the pipeline ratio dilutes
+from backupdeduplicator_spark.operators.minhash import (  # noqa: E402
+    distinct_content_signatures)
+
+sigs_v1 = distinct_content_signatures(v1).persist()
+sigs_v1.count()
+t_sigs_full = timed(lambda: distinct_content_signatures(v2).count())
+t_sigs_incr = timed(
+    lambda: distinct_content_signatures(v2, prior=sigs_v1).count())
+sigs_v1.unpersist()
+
+t_full_v1 = timed(lambda: run_pipeline(spark, v1, f"{base}_a"))
+# incremental: v2 against v1's checkpoint (force recomputes every stage
+# but file_hashes reuses the prior cache join and signatures reuse the
+# prior snapshot)
+t_incr_v2 = timed(lambda: run_pipeline(spark, v2, f"{base}_a", force=True))
+# control: the same v2 from scratch (fresh checkpoint root)
+t_full_v2 = timed(lambda: run_pipeline(spark, v2, f"{base}_b"))
+
+u, s = _tree_cpu_seconds()
+print(json.dumps({
+    "cpus": cpus, "rows": n, "mutated_rows": n_mut, "repeat": repeat,
+    "t_sigs_full_sec": t_sigs_full,
+    "t_sigs_incremental_sec": t_sigs_incr,
+    "sigs_incremental_over_full": round(t_sigs_incr / t_sigs_full, 3),
+    "t_full_v1_sec": t_full_v1,
+    "t_incremental_v2_sec": t_incr_v2,
+    "t_full_v2_sec": t_full_v2,
+    "incremental_over_full": round(t_incr_v2 / t_full_v2, 3),
+    "cpu_user": round(u, 1), "cpu_sys": round(s, 1),
+}))
+for d in (f"{base}_a", f"{base}_b"):
+    shutil.rmtree(d, ignore_errors=True)
+spark.stop()
