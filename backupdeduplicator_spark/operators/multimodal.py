@@ -6,7 +6,8 @@ is real and tested. Decoding has three modes:
   * ``decode_fn='real'`` — REAL decoders for the formats parseable with
     the standard library alone: WAV/PCM audio (``wave`` module), 24-bit
     uncompressed BMP, binary PPM (P6), 8-bit PNG (``zlib`` inflate +
-    full None/Sub/Up/Average/Paeth unfilter — gray/RGB/palette/alpha),
+    full None/Sub/Up/Average/Paeth unfilter — gray/RGB/palette/alpha,
+    non-interlaced and Adam7),
     JPEG — baseline AND progressive SOF2 (functions/jpeg.py: Huffman +
     dequant + IDCT of the luminance channel, 4:4:4/4:2:2/4:2:0/gray,
     restart intervals, spectral selection + successive approximation),
