@@ -118,9 +118,15 @@ def _local_union_find(e: DataFrame) -> DataFrame:
     labels pointer-jump (label = label[label]) until stable; converges in
     O(log n) rounds of O(m) vector work. Replaces a per-edge Python
     union-find loop that was ~10 s flat (serial fraction) at 1M edges —
-    this is <1 s. np.unique sorts node ids ascending, so the propagated
-    minimum INDEX is the minimum id — the same component = min(member id)
-    contract as the distributed path."""
+    this is <1 s. Node ids map to dense indices via hash-based
+    ``pd.factorize(sort=True)`` rather than ``np.unique``: identical
+    output (codes ordered by the sorted uniques — verified equal), but
+    the comparison sort's random access on the freshly-materialized
+    Arrow pages paid ~3-6 s of first-touch page faults at 1M edges
+    (measured; the re-run cost is 0.4 s) while the linear hash pass
+    pays ~0.1 s. Sorted uniques keep the invariant: the propagated
+    minimum INDEX is the minimum id — the same component = min(member
+    id) contract as the distributed path."""
     import numpy as np
     import pandas as pd
 
@@ -130,7 +136,7 @@ def _local_union_find(e: DataFrame) -> DataFrame:
         return spark.createDataFrame([], schema=e.schema).toDF("id", "component")
 
     uv = np.concatenate([pdf.iloc[:, 0].to_numpy(), pdf.iloc[:, 1].to_numpy()])
-    nodes, inv = np.unique(uv, return_inverse=True)
+    inv, nodes = pd.factorize(uv, sort=True)
     m = len(pdf)
     ui, vi = inv[:m], inv[m:]
     label = np.arange(len(nodes))
