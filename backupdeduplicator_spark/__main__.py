@@ -228,12 +228,13 @@ def cmd_neardup(args) -> int:
     from .operators.minhash import distinct_content_signatures
     from .plans.pipeline import SIG_CONFIG, prior_signatures
 
-    prior = prior_signatures(ck)
+    prior = prior_signatures(ck, scheme=args.sig_scheme)
     ck.write(
-        distinct_content_signatures(files, prior=prior),
+        distinct_content_signatures(files, prior=prior,
+                                    scheme=args.sig_scheme),
         "signatures",
         lineage={"stage": "signatures", "incremental": prior is not None,
-                 **SIG_CONFIG},
+                 "scheme": args.sig_scheme, **SIG_CONFIG},
     )
     report: dict = {}
     nd = near_duplicate_clusters(
@@ -241,6 +242,7 @@ def cmd_neardup(args) -> int:
         sigs=ck.read("signatures"),
     )
     ck.write(nd, "near_dup", lineage={"stage": "near_dup",
+                                      "scheme": args.sig_scheme,
                                       "sim_threshold": args.threshold})
     dropped, rows = report["oversized"].agg(
         F.count(F.lit(1)), F.sum("bn")
@@ -311,7 +313,8 @@ def cmd_docdedup(args) -> int:
             F.col(args.text_col).alias("content"),
         )
         out = near_duplicate_clusters(
-            corpus, sim_threshold=args.threshold, report=report
+            corpus, sim_threshold=args.threshold, report=report,
+            sig_scheme=args.sig_scheme,
         ).select(F.col("path").alias("id"), "component")
     elif args.tier == "simhash":
         from .operators.dedup_extra import simhash_pairs
@@ -651,7 +654,8 @@ def cmd_pipeline(args) -> int:
     spark = _spark(args)
     files = _read_input(spark, args.input)
     res = run_pipeline(spark, files, args.checkpoint,
-                       sim_threshold=args.threshold, force=args.force)
+                       sim_threshold=args.threshold, force=args.force,
+                       sig_scheme=args.sig_scheme)
     if args.output:
         write_dupsets_jsonl(res.dup_sets, args.output)
     # no-silent-caps: the near_dup stage records what the LSH bucket cap
@@ -715,6 +719,12 @@ def main(argv: list[str] | None = None) -> int:
     n.add_argument("--input", required=True)
     n.add_argument("--checkpoint", required=True)
     n.add_argument("--threshold", type=float, default=0.55)
+    n.add_argument("--sig-scheme", default="perm128", dest="sig_scheme",
+                   choices=["perm128", "oph"],
+                   help="signature kernel: perm128 (pinned default) or "
+                        "oph (densified one-permutation hashing, ~40x "
+                        "less kernel CPU per document; incremental reuse "
+                        "only matches priors of the same scheme)")
     n.set_defaults(fn=cmd_neardup)
 
     imp = sub.add_parser("import", parents=[common])
@@ -748,6 +758,14 @@ def main(argv: list[str] | None = None) -> int:
                          "count-first bucket plan (for corpora known to be "
                          "boilerplate-heavy); default auto-selects via the "
                          "kernel's skew probe")
+    dd.add_argument("--sig-scheme", default="perm128", dest="sig_scheme",
+                    choices=["perm128", "oph"],
+                    help="minhash tier: signature kernel. perm128 = the "
+                         "pinned 128-permutation MinHash; oph = densified "
+                         "one-permutation hashing, ~40x less kernel CPU "
+                         "per document with the same unbiased estimator "
+                         "(prefer for KB+ documents; short texts get "
+                         "higher estimator variance)")
     dd.add_argument("--min-lcs", type=int, default=0, dest="min_lcs",
                     help="substring tier only: verify candidates with the "
                          "exact suffix-automaton LCS kernel and keep pairs "
@@ -878,6 +896,11 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--output", default=None)
     pl.add_argument("--threshold", type=float, default=0.55)
     pl.add_argument("--force", action="store_true")
+    pl.add_argument("--sig-scheme", default="perm128", dest="sig_scheme",
+                    choices=["perm128", "oph"],
+                    help="near-dup signature kernel (see neardup "
+                         "--sig-scheme); signature snapshots only seed "
+                         "incremental re-runs of the same scheme")
     pl.set_defaults(fn=cmd_pipeline)
 
     args = p.parse_args(argv)

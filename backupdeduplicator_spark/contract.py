@@ -786,13 +786,32 @@ def q_near_dup_clusters(d: D) -> str:
     return _near_dup_closure_sql(d, _files_cte(d), "files")
 
 
-def _near_dup_closure_sql(d: D, prelude: str, src: str) -> str:
+def q_d3_near_dup_oph(d: D) -> str:
+    """The flagship near-dup pipeline under the densified-OPH signature
+    scheme (sig_scheme='oph' — the O(shingles) kernel fast path,
+    functions/shingles.oph_from_shingles): same derived files view, same
+    banding/scoring/closure as q_near_dup_clusters, signatures from the
+    one-permutation bin-minima + rotation densification. A value match
+    here proves the vectorized numpy kernel against an independent SQL
+    re-derivation, bin arithmetic and borrow offsets included."""
+    return _near_dup_closure_sql(d, _files_cte(d), "files", scheme="oph")
+
+
+def _near_dup_closure_sql(
+    d: D, prelude: str, src: str, scheme: str = "perm128"
+) -> str:
     """The full MinHash/LSH/CC pipeline as DuckDB SQL over any source
     CTE exposing (repo, path, content) — shared by the flagship
-    near_dup_clusters oracle (src = the derived files view) and the
-    type-3 code-clone oracle cc2 (src = the normalized clone corpus).
-    ``prelude`` is the leading ``WITH ...`` chain defining ``src``."""
-    from .functions.shingles import _A, _B
+    near_dup_clusters oracle (src = the derived files view), the
+    type-3 code-clone oracle cc2 (src = the normalized clone corpus),
+    and the OPH-scheme twin d3 (scheme='oph': signatures via the
+    densified one-permutation kernel — one universal hash split into
+    (bin, value), per-bin minima, empty bins borrowing cyclically from
+    the nearest non-empty bin at-or-before them with the distance
+    folded in as t * 2^31; everything downstream of the signature CTE
+    is scheme-independent). ``prelude`` is the leading ``WITH ...``
+    chain defining ``src``."""
+    from .functions.shingles import _A, _B, _OPH_A, _OPH_B, _OPH_C
 
     perm_vals = ", ".join(
         f"({i}, {int(a)}, {int(b)})" for i, (a, b) in enumerate(zip(_A, _B))
@@ -807,6 +826,43 @@ def _near_dup_closure_sql(d: D, prelude: str, src: str) -> str:
         f"i -> CAST(ascii(substr(content, i, 1)) AS BIGINT) "
         f"* ({asc5}[length(content) - i + 1]))) % 2147483647"
     )
+    if scheme == "perm128":
+        sig_chain = f"""perms(i, a, b) AS (VALUES {perm_vals}),
+shx AS (SELECT id, unnest(hs) AS h FROM sh),
+sig AS (
+  SELECT shx.id, p.i,
+    COALESCE(MIN((p.a * shx.h + p.b) % 2147483647), 2147483647) AS v
+  FROM shx, perms p GROUP BY shx.id, p.i
+), empty_sig AS (
+  SELECT sh.id, p.i, 2147483647 AS v FROM sh, perms p WHERE len(sh.hs) = 0
+), s AS (SELECT * FROM sig UNION ALL SELECT * FROM empty_sig)"""
+    elif scheme == "oph":
+        # u = (OA*h + OB) mod p split into (bin = u mod 128, value =
+        # u div 128); per-bin minima; bin j borrows from the nearest
+        # non-empty bin at-or-before it (cyclic distance t), value
+        # offset by t * C so borrows only match same-source borrows —
+        # byte-for-byte the engine kernel (shingles.oph_from_shingles)
+        sig_chain = f"""shx AS (SELECT id, unnest(hs) AS h FROM sh),
+binmin AS (
+  SELECT id,
+    ((CAST({int(_OPH_A)} AS BIGINT) * h + {int(_OPH_B)}) % 2147483647)
+      % 128 AS bin,
+    MIN(((CAST({int(_OPH_A)} AS BIGINT) * h + {int(_OPH_B)}) % 2147483647)
+      // 128) AS v
+  FROM shx GROUP BY 1, 2
+), slots(i) AS (SELECT unnest(range(0, 128))),
+dens AS (
+  SELECT b.id, s.i, MIN(((s.i - b.bin) % 128 + 128) % 128) AS t
+  FROM binmin b CROSS JOIN slots s GROUP BY b.id, s.i
+), sig AS (
+  SELECT dn.id, dn.i, b.v + dn.t * {int(_OPH_C)} AS v
+  FROM dens dn JOIN binmin b
+    ON b.id = dn.id AND b.bin = ((dn.i - dn.t) % 128 + 128) % 128
+), empty_sig AS (
+  SELECT sh.id, s.i, 2147483647 AS v FROM sh, slots s WHERE len(sh.hs) = 0
+), s AS (SELECT * FROM sig UNION ALL SELECT * FROM empty_sig)"""
+    else:
+        raise ValueError(f"unknown scheme {scheme!r}")
     return f"""
 {prelude}, fh AS (
   SELECT repo, path, {d.sha256('content')} AS id, content FROM {src}
@@ -819,15 +875,7 @@ def _near_dup_closure_sql(d: D, prelude: str, src: str) -> str:
          ELSE list_distinct(list_transform(range(1, length(content) - 3),
               i -> ({win5}) % 2147483647)) END AS hs
   FROM contents
-), perms(i, a, b) AS (VALUES {perm_vals}),
-shx AS (SELECT id, unnest(hs) AS h FROM sh),
-sig AS (
-  SELECT shx.id, p.i,
-    COALESCE(MIN((p.a * shx.h + p.b) % 2147483647), 2147483647) AS v
-  FROM shx, perms p GROUP BY shx.id, p.i
-), empty_sig AS (
-  SELECT sh.id, p.i, 2147483647 AS v FROM sh, perms p WHERE len(sh.hs) = 0
-), s AS (SELECT * FROM sig UNION ALL SELECT * FROM empty_sig),
+), {sig_chain},
 eq AS (
   SELECT a.id AS id1, b.id AS id2, a.i AS i
   FROM s a JOIN s b ON a.i = b.i AND a.v = b.v AND a.id < b.id
@@ -1109,6 +1157,7 @@ SQL_QUERIES: dict[str, Callable[[D], str]] = {
     "x2_substring_dup_pairs": q_x2_substring_dup_pairs,
     "x6_exact_substring_spans": q_x6_exact_substring_spans,
     "near_dup_clusters": q_near_dup_clusters,
+    "d3_near_dup_oph": q_d3_near_dup_oph,
     "m1_media_exact_dups": q_m1_media_exact_dups,
     "v1_video_frame_dups": q_v1_video_frame_dups,
     "cc1_code_clone_groups": q_cc1_code_clone_groups,
@@ -1676,6 +1725,25 @@ def _spark_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 ENGINE_BACKED["x2_substring_dup_pairs"] = _spark_substring_pairs
 ENGINE_BACKED["x6_exact_substring_spans"] = _spark_exact_substring_spans
 ENGINE_BACKED["near_dup_clusters"] = _spark_near_dup_clusters
+
+
+def _spark_d3_near_dup_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine twin for d3: the same flagship pipeline as
+    _spark_near_dup_clusters with sig_scheme='oph' (the densified
+    one-permutation kernel), labels relabeled to min member content id
+    the same way."""
+    from .operators.minhash import near_duplicate_clusters
+    from .sources.tables import files_df
+
+    files = files_df(spark, sf_dir).withColumn("commit", F.lit("")).withColumn(
+        "lang", F.lit("")
+    )
+    clusters = near_duplicate_clusters(files, sig_scheme="oph")
+    lab = clusters.groupBy("component").agg(F.min("id").alias("cluster"))
+    return clusters.join(lab, "component").select("repo", "path", "id", "cluster")
+
+
+ENGINE_BACKED["d3_near_dup_oph"] = _spark_d3_near_dup_oph
 def _spark_code_clone_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clone tier end-to-end through the engine operator: the synthetic
     code corpus (shared SQL text with the oracle) flows through

@@ -32,14 +32,21 @@ SIG_CONFIG = {"k": K_SHINGLE, "perms": NUM_PERMS,
               "bands": LSH_BANDS, "rows": LSH_ROWS}
 
 
-def prior_signatures(ck: CheckpointManager) -> "DataFrame | None":
+def prior_signatures(
+    ck: CheckpointManager, scheme: str = "perm128"
+) -> "DataFrame | None":
     """The latest `signatures` snapshot, ONLY if it was produced with the
-    current shingle/signature config (lineage check) — a prior built with
-    different k/perms would silently corrupt similarity estimates."""
+    current shingle/signature config AND kernel scheme (lineage check) —
+    a prior built with different k/perms, or with the other signature
+    scheme, would silently corrupt similarity estimates. Pre-scheme
+    snapshots carry no "scheme" key and are treated as perm128 (the only
+    scheme that existed when they were written)."""
     if not ck.exists("signatures"):
         return None
     lin = ck.manifest("signatures")["lineage"]
     if {k: lin.get(k) for k in SIG_CONFIG} != SIG_CONFIG:
+        return None
+    if lin.get("scheme", "perm128") != scheme:
         return None
     return ck.read("signatures")
 
@@ -60,6 +67,7 @@ def run_pipeline(
     sim_threshold: float = 0.55,
     force: bool = False,
     incremental: bool = True,
+    sig_scheme: str = "perm128",
 ) -> PipelineResult:
     """Run (or resume) the full pipeline. ``force`` recomputes everything;
     otherwise stages with existing snapshots are skipped and, when a prior
@@ -108,12 +116,14 @@ def run_pipeline(
 
         # signature stage: its own snapshot, computed incrementally from
         # the previous one (kernel runs only on unseen content ids)
-        prior = prior_signatures(ck)
+        prior = prior_signatures(ck, scheme=sig_scheme)
         ck.write(
-            distinct_content_signatures(files, prior=prior),
+            distinct_content_signatures(files, prior=prior,
+                                        scheme=sig_scheme),
             "signatures",
             lineage={"stage": "signatures", "upstream": dict(sids),
-                     "incremental": prior is not None, **SIG_CONFIG},
+                     "incremental": prior is not None,
+                     "scheme": sig_scheme, **SIG_CONFIG},
         )
         sigs = ck.read("signatures")
         sids["signatures"] = ck.latest_snapshot_id("signatures")
@@ -139,6 +149,7 @@ def run_pipeline(
                 "stage": "near_dup",
                 "upstream": dict(sids),
                 "sim_threshold": sim_threshold,
+                "scheme": sig_scheme,
                 "dropped_lsh_buckets": int(dropped["buckets"]),
                 "dropped_lsh_rows": int(dropped["rows"]),
             },

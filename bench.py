@@ -172,13 +172,19 @@ def main() -> None:
         from backupdeduplicator_spark.operators.minhash import (
             distinct_content_signatures)
 
+        # SPARK_GRAFT_BENCH_SIG_SCHEME=oph benches the densified-OPH
+        # kernel fast path instead of the pinned perm128 default
+        scheme = os.environ.get("SPARK_GRAFT_BENCH_SIG_SCHEME", "perm128")
+
         # same JIT-warmup rationale as the e2e path below (and same
         # kill switch): without it the single timed run pays the
         # whole-stage-codegen compile cost, the exact artifact the
         # warmup exists to remove from scaling comparisons
         if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
-            distinct_content_signatures(files.limit(2000)).count()
-        timed("sigs", lambda: distinct_content_signatures(files).count())
+            distinct_content_signatures(
+                files.limit(2000), scheme=scheme).count()
+        timed("sigs", lambda: distinct_content_signatures(
+            files, scheme=scheme).count())
         total = timings["sigs"]
         wall_all = time.monotonic() - _T_START
         cpu_user, cpu_sys = _tree_cpu_seconds()

@@ -1,0 +1,178 @@
+"""Densified one-permutation hashing (OPH) signature scheme — the
+signature-stage fast path (functions/shingles.py oph_from_shingles).
+
+Gates mirror the perm128 suite (test_minhash_recall.py): the estimator
+must be accurate, the pipeline recall gate must hold at >= 0.99 on the
+same fixture, and the scheme must be isolated — cross-scheme signatures
+never mix via checkpoint lineage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from backupdeduplicator_spark import oracle
+from backupdeduplicator_spark.fixtures import generate
+from backupdeduplicator_spark.functions.shingles import (
+    _EMPTY_SIG, _OPH_A, _OPH_B, _OPH_C, _P, NUM_PERMS, oph_from_shingles,
+    shingle_hashes, sig_kernel)
+from backupdeduplicator_spark.operators.minhash import (
+    distinct_content_signatures, near_duplicate_clusters)
+
+JACCARD_DUP = 0.7
+
+
+def _oph_reference(h: np.ndarray) -> np.ndarray:
+    """Straight-line per-bin reference of the densified-OPH definition:
+    bin minima, then each empty bin borrows from the nearest non-empty
+    bin at-or-before it (cyclic), value + t * C."""
+    if h.size == 0:
+        return _EMPTY_SIG.copy()
+    u = (_OPH_A * h + _OPH_B) % _P
+    bins = (u % np.uint64(NUM_PERMS)).astype(int)
+    vals = (u // np.uint64(NUM_PERMS)).astype(int)
+    minima: dict[int, int] = {}
+    for b, v in zip(bins, vals):
+        minima[b] = min(v, minima.get(b, 1 << 62))
+    if not minima:
+        return _EMPTY_SIG.copy()
+    sig = np.empty(NUM_PERMS, dtype=np.int64)
+    for j in range(NUM_PERMS):
+        for t in range(NUM_PERMS):
+            src = (j - t) % NUM_PERMS
+            if src in minima:
+                sig[j] = minima[src] + t * int(_OPH_C)
+                break
+    return sig
+
+
+def test_oph_matches_reference_definition():
+    rng = np.random.RandomState(3)
+    for n in (1, 2, 7, 60, 127, 128, 130, 5000):
+        h = np.unique(rng.randint(0, int(_P), n).astype(np.uint64))
+        got = oph_from_shingles(h)
+        want = _oph_reference(h)
+        assert np.array_equal(got, want), n
+    # sparse extreme: a single shingle fills one bin, 127 borrows
+    h = np.array([12345], dtype=np.uint64)
+    assert np.array_equal(oph_from_shingles(h), _oph_reference(h))
+
+
+def test_oph_empty_and_identity():
+    assert np.array_equal(
+        oph_from_shingles(np.empty(0, dtype=np.uint64)), _EMPTY_SIG
+    )
+    h = shingle_hashes("some document body " * 40)
+    assert np.array_equal(oph_from_shingles(h), oph_from_shingles(h.copy()))
+
+
+def test_oph_estimates_jaccard():
+    rng = np.random.RandomState(0)
+    base = "".join(rng.choice(list("abcdefgh \n"), size=2000))
+    chars = list(base)
+    for i in rng.choice(len(chars), size=300, replace=False):
+        chars[i] = "z"
+    other = "".join(chars)
+
+    exact = oracle.jaccard(
+        oracle.char_shingles(base), oracle.char_shingles(other)
+    )
+    s1 = oph_from_shingles(shingle_hashes(base))
+    s2 = oph_from_shingles(shingle_hashes(other))
+    est = float((s1 == s2).mean())
+    assert abs(est - exact) < 0.15, (est, exact)
+
+
+def test_sig_kernel_registry():
+    assert sig_kernel("oph") is oph_from_shingles
+    with pytest.raises(ValueError, match="unknown signature scheme"):
+        sig_kernel("md5")
+
+
+@pytest.fixture(scope="module")
+def recall_fixture():
+    return generate(n_files=1500, seed=42)
+
+
+def test_oph_dup_pair_recall(spark, recall_fixture):
+    """The pipeline recall gate (>= 0.99 at true Jaccard >= 0.7) holds
+    under the OPH scheme on the same fixture as the perm128 gate."""
+    fx = recall_fixture
+    content_by_id = {
+        f"{r.repo}/{r.path}": r.content for r in fx.df.itertuples(index=False)
+    }
+    truth = []
+    for p in fx.near_dup_pairs:
+        j = oracle.jaccard(
+            oracle.char_shingles(content_by_id[p["id1"]]),
+            oracle.char_shingles(content_by_id[p["id2"]]),
+        )
+        if j >= JACCARD_DUP:
+            truth.append((p["id1"], p["id2"]))
+    assert len(truth) >= 10
+
+    clusters = near_duplicate_clusters(
+        spark.createDataFrame(fx.df).repartition(8), sig_scheme="oph"
+    ).collect()
+    comp = {f"{r['repo']}/{r['path']}": r["component"] for r in clusters}
+    hits = sum(
+        1 for (a, b) in truth if a in comp and b in comp and comp[a] == comp[b]
+    )
+    recall = hits / len(truth)
+    assert recall >= 0.99, f"recall {recall} over {len(truth)} true pairs"
+
+
+def test_oph_incremental_path_reuses_prior(spark):
+    """The chained (non-fused) incremental plan computes OPH signatures
+    for unseen ids only, and reused rows keep the prior's signature."""
+    import hashlib
+
+    rows = [("d%d" % i, "body %d " % i * 30) for i in range(8)]
+    files = spark.createDataFrame(
+        [(t,) for _, t in rows], "content string"
+    )
+    full = {
+        r["id"]: r["sig"]
+        for r in distinct_content_signatures(files, scheme="oph").collect()
+    }
+    # prior covers the first 4 contents — poison their sigs so reuse is
+    # observable (a re-run of the kernel would overwrite the poison)
+    poisoned = []
+    for _, t in rows[:4]:
+        cid = hashlib.sha256(t.encode()).hexdigest()
+        poisoned.append((cid, [int(-1)] * NUM_PERMS))
+    prior = spark.createDataFrame(poisoned, "id string, sig array<long>")
+    out = {
+        r["id"]: r["sig"]
+        for r in distinct_content_signatures(
+            files, prior=prior, scheme="oph"
+        ).collect()
+    }
+    assert set(out) == set(full)
+    for cid, _ in poisoned:
+        assert out[cid] == [-1] * NUM_PERMS, "prior row was recomputed"
+    for cid in set(full) - {c for c, _ in poisoned}:
+        assert out[cid] == full[cid], "fresh row differs from full run"
+
+
+def test_prior_signatures_scheme_isolation(spark, tmp_path):
+    """A signatures snapshot written under one scheme must not seed an
+    incremental run under the other (lineage check)."""
+    from backupdeduplicator_spark.plans.checkpoint import CheckpointManager
+    from backupdeduplicator_spark.plans.pipeline import (
+        SIG_CONFIG, prior_signatures)
+
+    ck = CheckpointManager(spark, str(tmp_path / "ck"))
+    sigs = spark.createDataFrame(
+        [("aa", 1, [0] * NUM_PERMS)], "id string, nid long, sig array<long>"
+    )
+    ck.write(sigs, "signatures",
+             lineage={"stage": "signatures", "scheme": "oph", **SIG_CONFIG})
+    assert prior_signatures(ck, scheme="oph") is not None
+    assert prior_signatures(ck, scheme="perm128") is None
+    # pre-scheme snapshots (no "scheme" key) mean perm128
+    ck.write(sigs, "signatures",
+             lineage={"stage": "signatures", **SIG_CONFIG})
+    assert prior_signatures(ck, scheme="perm128") is not None
+    assert prior_signatures(ck, scheme="oph") is None
