@@ -45,7 +45,7 @@ from pyspark.sql.types import (ArrayType, DoubleType, IntegerType, LongType,
                                StringType, StructField, StructType)
 
 from ..functions.shingles import (LSH_BANDS, LSH_ROWS, NUM_PERMS,
-                                  minhash_from_shingles, shingle_hashes)
+                                  shingle_hashes)
 
 MATCH_OUTPUT = StructType([
     StructField("repo", StringType()),
@@ -64,10 +64,19 @@ _STATE = StructType([
 ])
 
 
-def _signed(files_stream: DataFrame) -> DataFrame:
+def _signed(files_stream: DataFrame, scheme: str = "perm128") -> DataFrame:
     """(repo, path, content) -> (repo, path, id, sig): the fused
-    sha256+MinHash kernel, one Arrow crossing per row."""
+    sha256+signature kernel, one Arrow crossing per row. ``scheme`` as
+    in the batch tier (functions/shingles.sig_kernel): perm128 default,
+    oph for the O(shingles) fast path — a stream's state store must be
+    built and probed under ONE scheme (cross-scheme signatures never
+    agree), so restarting a stateful query with the other scheme
+    requires a fresh checkpoint dir."""
     import hashlib
+
+    from ..functions.shingles import sig_kernel
+
+    kernel = sig_kernel(scheme)
 
     def _kernel(batches):
         for pdf in batches:
@@ -75,7 +84,7 @@ def _signed(files_stream: DataFrame) -> DataFrame:
             for text in pdf["content"]:
                 t = "" if text is None else str(text)
                 ids.append(hashlib.sha256(t.encode("utf-8")).hexdigest())
-                sigs.append(minhash_from_shingles(shingle_hashes(t)).tolist())
+                sigs.append(kernel(shingle_hashes(t)).tolist())
             yield pd.DataFrame({
                 "repo": pdf["repo"], "path": pdf["path"],
                 "id": ids, "sig": sigs,
@@ -130,12 +139,15 @@ def streaming_near_dup_matches(
     files_stream: DataFrame,
     sim_threshold: float = 0.55,
     max_bucket: int = 128,
+    sig_scheme: str = "perm128",
 ) -> DataFrame:
     """(repo, path, content) stream -> near-dup match rows: one row per
     (arriving file, previously-seen content, shared LSH band) with the
     signature-agreement estimate — the incremental edge feed of the
-    batch near-dup tier. Consumers dedup on (id, matched_id)."""
-    signed = _signed(files_stream)
+    batch near-dup tier. Consumers dedup on (id, matched_id).
+    ``sig_scheme`` as in the batch tier; see _signed for the restart
+    caveat."""
+    signed = _signed(files_stream, scheme=sig_scheme)
     banded = signed.select(
         "repo", "path", "id", "sig",
         F.posexplode(

@@ -3,6 +3,8 @@ last-write-wins semantics."""
 
 from __future__ import annotations
 
+import pytest
+
 from backupdeduplicator_spark.fixtures import generate
 from backupdeduplicator_spark.operators.clean import file_hash_snapshot
 from backupdeduplicator_spark.plans.checkpoint import CheckpointManager
@@ -142,10 +144,12 @@ def test_streaming_dedup_co_arrival_deterministic(spark, tmp_path):
     assert sorted(v["n_seen"] for v in got.values()) == [1, 2, 3]
 
 
-def test_streaming_near_dup_matches(spark, tmp_path):
+@pytest.mark.parametrize("sig_scheme", ["perm128", "oph"])
+def test_streaming_near_dup_matches(spark, tmp_path, sig_scheme):
     """Streaming near-dup: a later arrival whose content is a near-dup of
     an earlier trigger's content emits match rows pointing at it (state
-    persists across triggers); unrelated content matches nothing."""
+    persists across triggers); unrelated content matches nothing. Both
+    signature schemes drive the same stateful matcher."""
     import hashlib
 
     from backupdeduplicator_spark.streaming.neardup import (
@@ -167,7 +171,7 @@ def test_streaming_near_dup_matches(spark, tmp_path):
             "content string"
         ).parquet(str(in_dir))
         q = (
-            streaming_near_dup_matches(src)
+            streaming_near_dup_matches(src, sig_scheme=sig_scheme)
             .writeStream.format("parquet")
             .option("path", out_dir)
             .option("checkpointLocation", sck)
