@@ -71,6 +71,21 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     effective_master = spark.sparkContext.master or ""
+    if (effective_master.startswith("local[")
+            and "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+            not in (extra_conf or {})):
+        # local mode only: AQE's 64 MB default coalesces the wide
+        # mid-pipeline shuffles (LSH pair aggregation ~600 MB at bench
+        # scale) down to ~10 partitions — fewer than the cores the box
+        # grants, so reduce stages run imbalanced. 16 MB keeps ~2-4
+        # partitions per core; measured q4 41.1 -> 37.3 s at local[8]
+        # AND 106.8 -> 99.2 s at local[2] (same-session pairs, both
+        # levels better — a throughput win, not a ratio tweak). On a
+        # real cluster the 64 MB default is right (per-partition
+        # scheduling overhead amortizes differently); runtime-settable,
+        # so spark-submit deployments are untouched.
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16MB")
     if (not effective_master.startswith("local[")
             or os.environ.get("SPARK_GRAFT_PYFILES")):
         # multi-executor masters (local-cluster / standalone / yarn): ship
