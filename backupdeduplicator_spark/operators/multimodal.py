@@ -5,7 +5,7 @@ is real and tested. Decoding has three modes:
 
   * ``decode_fn='real'`` — REAL decoders for the formats parseable with
     the standard library alone: WAV/PCM audio (``wave`` module), 24-bit
-    uncompressed BMP, binary PPM (P6), 8-bit PNG (``zlib`` inflate +
+    uncompressed BMP, binary PPM (P6, 8/16-bit), 8/16-bit PNG (``zlib`` inflate +
     full None/Sub/Up/Average/Paeth unfilter — gray/RGB/palette/alpha,
     non-interlaced and Adam7),
     JPEG — baseline AND progressive SOF2 (functions/jpeg.py: Huffman +
@@ -145,7 +145,13 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 
 
 def decode_ppm(payload: bytes) -> np.ndarray:
-    """Binary PPM (P6, maxval <= 255) -> (h, w) grayscale in [0, 1]."""
+    """Binary PPM (P6, 8- or 16-bit) -> (h, w) grayscale in [0, 1].
+
+    maxval <= 255 reads 1-byte samples; maxval <= 65535 reads 2-byte
+    big-endian samples (Netpbm "rawbits" rule). Either way the grayscale
+    is sample / maxval, so the same image carried at both depths decodes
+    to identical floats when the 16-bit samples are the 8-bit ones
+    scaled by 257 (65535 = 257 * 255)."""
     if not payload.startswith(b"P6"):
         raise ValueError("not a P6 PPM payload")
     # header: 3 whitespace-separated ints after the magic; '#' comments
@@ -164,10 +170,11 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         i = j
     i += 1  # single whitespace after maxval
     width, height, maxval = vals
-    if maxval > 255:
-        raise NotImplementedError("16-bit PPM not supported")
+    if not 0 < maxval < 65536:
+        raise ValueError(f"PPM maxval {maxval} out of range")
+    dtype = np.uint8 if maxval <= 255 else np.dtype(">u2")
     px = np.frombuffer(
-        payload, dtype=np.uint8, count=width * height * 3, offset=i
+        payload, dtype=dtype, count=width * height * 3, offset=i
     ).reshape(height, width, 3)
     return px.astype(np.float64).mean(axis=2) / maxval
 
@@ -225,7 +232,7 @@ def _png_unfilter(
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """8-bit PNG -> (h, w) grayscale in [0, 1].
+    """8- or 16-bit PNG -> (h, w) grayscale in [0, 1].
 
     Pure stdlib: chunk walk + ``zlib`` inflate + per-scanline unfilter
     (None/Sub/Up/Average/Paeth, the complete PNG filter set). Color
@@ -233,7 +240,11 @@ def decode_png(payload: bytes) -> np.ndarray:
     alpha is ignored for the grayscale feature. Both interlace methods
     (0 = none, 1 = Adam7: seven sub-images, each with its own filter
     bytes and prev-row state, scattered to the output grid) decode to
-    identical pixels. 16-bit images raise NotImplementedError.
+    identical pixels. Depth 16 stores big-endian 2-byte samples; the
+    filters still operate bytewise with the pixel offset doubled (PNG
+    spec 9.2 — bpp is in BYTES, rounded up), so the unfilter kernel is
+    shared and only the final view changes. Sub-8-bit depths (1/2/4)
+    raise NotImplementedError.
     """
     if not payload.startswith(PNG_SIG):
         raise ValueError("not a PNG payload")
@@ -254,7 +265,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     if hdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     width, height, depth, color, comp, filt, interlace = hdr
-    if depth != 8 or comp != 0 or filt != 0:
+    if depth not in (8, 16) or comp != 0 or filt != 0:
         raise NotImplementedError(f"PNG depth={depth} compression={comp}")
     if interlace not in (0, 1):
         raise ValueError(f"PNG interlace method {interlace}")
@@ -263,39 +274,52 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"PNG color type {color}")
     if color == 3 and plte is None:
         raise ValueError("palette PNG without PLTE")
+    if color == 3 and depth == 16:  # spec 11.2.2: palette is 1/2/4/8 only
+        raise ValueError("palette PNG cannot be 16-bit")
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:  # surface as the standard corrupt-payload type
         raise ValueError(f"PNG deflate stream corrupt: {e}") from e
-    bpp = channels  # bytes per pixel at depth 8
+    sample_bytes = depth // 8
+    bpp = channels * sample_bytes  # filter offset is in BYTES (spec 9.2)
+    row_bytes = width * bpp
     if interlace == 0:
-        stride = width * channels
-        if len(raw) < height * (1 + stride):
+        if len(raw) < height * (1 + row_bytes):
             raise ValueError("PNG pixel data truncated")
-        px = _png_unfilter(raw, 0, height, stride, bpp).reshape(
-            height, width, channels)
+        rows = _png_unfilter(raw, 0, height, row_bytes, bpp)
     else:  # Adam7: seven concatenated sub-images, scattered to the grid
-        px = np.empty((height, width, channels), dtype=np.uint8)
+        rows = np.empty((height, row_bytes), dtype=np.uint8)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (width - x0 + dx - 1) // dx
             ph = (height - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue  # empty pass: zero scanlines, zero bytes
-            pstride = pw * channels
+            pstride = pw * bpp
             if len(raw) < off + ph * (1 + pstride):
                 raise ValueError("PNG pixel data truncated")
             sub = _png_unfilter(raw, off, ph, pstride, bpp)
-            px[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+            # scatter whole pixels: view both sides as (rows, px, bpp)
+            rows.reshape(height, width, bpp)[y0::dy, x0::dx] = sub.reshape(
+                ph, pw, bpp)
             off += ph * (1 + pstride)
+    if depth == 8:
+        px = rows.reshape(height, width, channels).astype(np.float64)
+        maxval = 255.0
+    else:
+        px = (
+            rows.reshape(height, width * channels, 2)
+            .astype(np.float64)
+            .dot([256.0, 1.0])
+            .reshape(height, width, channels)
+        )
+        maxval = 65535.0
     if color == 3:
-        rgb = plte[px[:, :, 0]]
+        rgb = plte[px[:, :, 0].astype(np.intp)]
         return rgb.astype(np.float64).mean(axis=2) / 255.0
-    if color == 0:
-        return px[:, :, 0].astype(np.float64) / 255.0
-    if color == 4:
-        return px[:, :, 0].astype(np.float64) / 255.0
-    return px[:, :, :3].astype(np.float64).mean(axis=2) / 255.0
+    if color in (0, 4):
+        return px[:, :, 0] / maxval
+    return px[:, :, :3].mean(axis=2) / maxval
 
 
 def _gif_lzw(min_size: int, data: bytes) -> bytearray:
@@ -457,7 +481,7 @@ def _real_decode(kind: str, payload: bytes) -> np.ndarray:
     raise NotImplementedError(
         f"real decode for kind={kind!r} (magic {payload[:4]!r}) requires "
         "Pillow/ffmpeg — not available in this environment; stdlib "
-        "decoders cover WAV, 24-bit BMP, P6 PPM, 8-bit PNG, JPEG "
+        "decoders cover WAV, 24-bit BMP, P6 PPM, 8/16-bit PNG, JPEG "
         "(baseline + progressive), GIF, AVI (MJPG/DIB), and YUV4MPEG2"
     )
 

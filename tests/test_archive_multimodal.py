@@ -266,17 +266,23 @@ def test_real_feature_extraction_and_near_dups(spark):
     assert len(out) == 1 and len(out[0]["feature"]) == 64
 
 
-def _png_filter_rows(arr: "np.ndarray", filters: list[int]) -> bytearray:
+def _png_filter_rows(
+    arr: "np.ndarray", filters: list[int], depth: int = 8
+) -> bytearray:
     """Filter one (sub-)image's rows: per-row filter byte + filtered
     scanline, prev-row state starting at zero (the per-pass reset the
-    Adam7 spec requires)."""
+    Adam7 spec requires). depth 16 writes big-endian 2-byte samples and
+    doubles the filter's byte offset (bpp is in bytes, PNG spec 9.2)."""
+    import numpy as np
+
     h, w, _ = arr.shape
-    bpp = 3
+    bpp = 3 * (depth // 8)
     raw = bytearray()
     prev = bytes(w * bpp)
     for y in range(h):
         f = filters[y % len(filters)]
-        line = arr[y].tobytes()
+        line = (arr[y].astype(">u2") if depth == 16
+                else arr[y].astype(np.uint8)).tobytes()
         out = bytearray(w * bpp)
         for i in range(w * bpp):
             a = line[i - bpp] if i >= bpp else 0
@@ -307,12 +313,14 @@ _ADAM7 = (
 
 
 def _png_encode(
-    arr: "np.ndarray", filters: list[int], interlace: bool = False
+    arr: "np.ndarray", filters: list[int], interlace: bool = False,
+    depth: int = 8,
 ) -> bytes:
-    """Minimal PNG writer for tests: 8-bit RGB, one explicit filter type
-    per row (exercises the decoder's full None/Sub/Up/Average/Paeth
-    unfilter set). ``interlace=True`` writes Adam7: seven sub-images in
-    pass order, each filtered independently, empty passes omitted."""
+    """Minimal PNG writer for tests: 8- or 16-bit RGB, one explicit
+    filter type per row (exercises the decoder's full
+    None/Sub/Up/Average/Paeth unfilter set). ``interlace=True`` writes
+    Adam7: seven sub-images in pass order, each filtered independently,
+    empty passes omitted."""
     import struct
     import zlib
 
@@ -326,10 +334,10 @@ def _png_encode(
         for x0, y0, dx, dy in _ADAM7:
             sub = arr[y0::dy, x0::dx]
             if sub.shape[0] and sub.shape[1]:
-                raw += _png_filter_rows(sub, filters)
+                raw += _png_filter_rows(sub, filters, depth)
     else:
-        raw = _png_filter_rows(arr, filters)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, int(interlace))
+        raw = _png_filter_rows(arr, filters, depth)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 2, 0, 0, int(interlace))
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(bytes(raw)))
             + chunk(b"IEND", b""))
@@ -400,6 +408,75 @@ def test_png_adam7_interlaced():
              + chunk(b"IEND", b""))
     with pytest.raises(ValueError):
         decode_png(trunc)
+
+
+def test_png_16bit():
+    """A 16-bit encoding of 8-bit content (samples * 257) decodes
+    equal to its 8-bit twin (65535 = 257 * 255; 1 ulp of float
+    rounding aside), across every
+    filter type and both interlace modes; genuinely 16-bit samples
+    round-trip exactly; sub-8-bit depths stay a NotImplementedError
+    boundary."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from backupdeduplicator_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(13)
+    arr8 = rng.randint(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    arr16 = arr8.astype(np.uint16) * 257
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        for interlace in (False, True):
+            g8 = decode_png(_png_encode(arr8, filters, interlace))
+            g16 = decode_png(
+                _png_encode(arr16, filters, interlace, depth=16))
+            # mathematically equal; the /255 vs /65535 mean paths
+            # differ by 1 ulp of float rounding
+            assert np.allclose(g16, g8, rtol=0, atol=1e-12), (
+                filters, interlace)
+    # true 16-bit content (odd values that don't map to any 8-bit twin)
+    deep = rng.randint(0, 65536, size=(6, 9, 3), dtype=np.uint16)
+    got = decode_png(_png_encode(deep, [0, 1, 2, 3, 4], depth=16))
+    want = deep.astype(np.float64).mean(axis=2) / 65535.0
+    assert np.allclose(got, want, rtol=0, atol=1e-12)
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d)))
+
+    ihdr = struct.pack(">IIBBBBB", 7, 10, 4, 2, 0, 0, 0)  # depth 4
+    low = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(b"\x00" * 80))
+           + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):
+        decode_png(low)
+
+
+def test_ppm_16bit():
+    """16-bit (maxval 65535) P6 decodes; the 257-scaled twin of an
+    8-bit image equals the 8-bit decode to 1 ulp."""
+    import numpy as np
+    import pytest
+
+    from backupdeduplicator_spark.operators.multimodal import decode_ppm
+
+    rng = np.random.RandomState(17)
+    arr8 = rng.randint(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    p8 = b"P6\n4 5\n255\n" + arr8.tobytes()
+    p16 = (b"P6\n4 5\n65535\n"
+           + (arr8.astype(">u2") * 257).astype(">u2").tobytes())
+    assert np.allclose(decode_ppm(p16), decode_ppm(p8), rtol=0, atol=1e-12)
+    deep = rng.randint(0, 65536, size=(3, 6, 3), dtype=np.uint16)
+    pd16 = b"P6\n6 3\n65535\n" + deep.astype(">u2").tobytes()
+    got = decode_ppm(pd16)
+    assert np.allclose(
+        got, deep.astype(np.float64).mean(axis=2) / 65535.0,
+        rtol=0, atol=1e-12)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n70000\n" + b"\x00" * 24)
 
 
 def test_png_feature_pipeline(spark):
