@@ -6,13 +6,15 @@ Parses the 7z format per the public 7zFormat.txt specification
 standard library's raw decompressors:
 
     Copy (0x00), LZMA2 (0x21), LZMA1 (0x030101),
-    Deflate (0x040108), BZip2 (0x040202)
+    Deflate (0x040108), BZip2 (0x040202),
+    BCJ2 (0x0303011B — own range-coded x86 branch-converter decode)
 
 Both plain (kHeader) and compressed (kEncodedHeader) headers are
 supported — the encoded header is itself a one-folder stream decoded
-with the same machinery. Multi-coder folders are handled as LINEAR
-chains (every coder 1-in/1-out, wired by bind pairs); branching coders
-(BCJ2's 4-input mixer) and encrypted archives (AES-256, id 0x06f107xx)
+with the same machinery. Multi-coder folders evaluate as a general
+stream GRAPH (global in/out indices wired by bind pairs), covering
+linear chains and BCJ2's 4-input mixer — the one branching coder the
+format emits in the wild. Encrypted archives (AES-256, id 0x06f107xx)
 raise NotImplementedError — the honest stdlib boundary, matching the
 multimodal decoders' policy. CRCs are verified when present.
 
@@ -150,6 +152,88 @@ def _decode_coder(codec: bytes, props: bytes, data: bytes,
     raise NotImplementedError(f"7z: codec {codec.hex()} not supported")
 
 
+BCJ2_ID = b"\x03\x03\x01\x1b"
+
+# LZMA-style range coder constants shared by the BCJ2 bit models:
+# 11 model bits (total 2048), 5 move bits, 24-bit normalization top
+_RC_MODEL_TOTAL = 1 << 11
+_RC_MOVE_BITS = 5
+_RC_TOP = 1 << 24
+
+
+def _bcj2_decode(main: bytes, call: bytes, jump: bytes, rc: bytes,
+                 out_size: int) -> bytes:
+    """BCJ2 x86 branch-converter decode (codec 0303011B) — the one
+    multi-input coder 7z emits. Reassembles the output from four
+    streams: ``main`` (everything except branch operands), ``call`` /
+    ``jump`` (absolute 32-bit big-endian targets of converted E8 CALL
+    and E9/0F8x JMP/Jcc instructions), and ``rc`` (a range-coded bit
+    per branch opportunity: converted or not). Bit models follow the
+    LZMA range coder (11-bit probabilities, move 5): probs[0] = Jcc,
+    probs[1] = E9, probs[2 + prev_byte] = E8 — the layout of the
+    public LZMA SDK's Bcj2Dec. Absolute targets convert back to the
+    relative form ``dest - (operand_pos + 4)``, written little-endian.
+    """
+    if len(rc) < 5:
+        raise ValueError("7z: BCJ2 rc stream too short")
+    code = int.from_bytes(rc[1:5], "big")  # byte 0 is the encoder cache
+    rng = 0xFFFFFFFF
+    rc_pos = 5
+    probs = [_RC_MODEL_TOTAL >> 1] * (2 + 256)
+
+    def decode_bit(idx: int) -> int:
+        nonlocal code, rng, rc_pos
+        if rng < _RC_TOP:
+            rng = (rng << 8) & 0xFFFFFFFF
+            nxt = rc[rc_pos] if rc_pos < len(rc) else 0
+            code = ((code << 8) | nxt) & 0xFFFFFFFF
+            rc_pos += 1
+        p = probs[idx]
+        bound = (rng >> 11) * p
+        if code < bound:
+            rng = bound
+            probs[idx] = p + ((_RC_MODEL_TOTAL - p) >> _RC_MOVE_BITS)
+            return 0
+        rng -= bound
+        code -= bound
+        probs[idx] = p - (p >> _RC_MOVE_BITS)
+        return 1
+
+    out = bytearray()
+    src = 0
+    call_pos = jump_pos = 0
+    prev = 0
+    while len(out) < out_size:
+        if src >= len(main):
+            raise ValueError("7z: BCJ2 main stream exhausted")
+        b = main[src]
+        src += 1
+        out.append(b)
+        if (b & 0xFE) == 0xE8 or (prev == 0x0F and (b & 0xF0) == 0x80):
+            if b == 0xE8:
+                idx = 2 + prev
+            elif b == 0xE9:
+                idx = 1
+            else:
+                idx = 0
+            if decode_bit(idx):
+                if b == 0xE8:
+                    chunk = call[call_pos:call_pos + 4]
+                    call_pos += 4
+                else:
+                    chunk = jump[jump_pos:jump_pos + 4]
+                    jump_pos += 4
+                if len(chunk) < 4:
+                    raise ValueError("7z: BCJ2 target stream exhausted")
+                dest = int.from_bytes(chunk, "big")
+                rel = (dest - (len(out) + 4)) & 0xFFFFFFFF
+                out += rel.to_bytes(4, "little")
+                prev = (rel >> 24) & 0xFF
+                continue
+        prev = b
+    return bytes(out[:out_size])
+
+
 class _Folder:
     def __init__(self) -> None:
         self.coders: list[tuple[bytes, bytes, int, int]] = []
@@ -179,34 +263,56 @@ class _Folder:
         return self.unpack_sizes[self.final_out_index()]
 
     def decode(self, packed: list[bytes]) -> bytes:
-        """Evaluate the coder chain. Only linear (1-in/1-out per coder)
-        graphs are supported — enough for every codec this module can
-        decode (BCJ2 is the lone multi-input coder in the wild)."""
-        if any(ci != 1 or co != 1 for _, _, ci, co in self.coders):
-            raise NotImplementedError("7z: multi-stream coder graph")
+        """Evaluate the coder graph. In/out streams carry GLOBAL indices
+        (coder k's in-streams occupy [sum of earlier nin, ...), same for
+        outs — 7zFormat.txt BindPairs); a coder runs once every input is
+        available from a packed stream or a bound upstream output.
+        Handles linear chains (every stdlib codec) and the one branching
+        coder 7z emits: BCJ2's 4-input mixer (in order: main, call,
+        jump, rc). Multi-OUTPUT coders don't exist in the format's wild
+        usage and stay an explicit boundary."""
         n = len(self.coders)
+        in_off, out_off = [], []
+        ti = to = 0
+        for _, _, ci, co in self.coders:
+            in_off.append(ti)
+            out_off.append(to)
+            ti += ci
+            to += co
         bound_in = {i: o for i, o in self.bind_pairs}
-        # in-stream k of coder k (1-in/1-out => global index == coder idx)
         packed_in = self.packed_indices or [
-            k for k in range(n) if k not in bound_in
+            i for i in range(ti) if i not in bound_in
         ]
-        inputs: dict[int, bytes] = {}
+        streams: dict[int, bytes] = {}  # global in-index -> bytes
         for slot, pk in zip(packed_in, packed):
-            inputs[slot] = pk
-        outputs: dict[int, bytes] = {}
+            streams[slot] = pk
+        outputs: dict[int, bytes] = {}  # global out-index -> bytes
         remaining = set(range(n))
         while remaining:
             progressed = False
             for k in sorted(remaining):
-                if k in inputs:
-                    data = inputs[k]
-                elif k in bound_in and bound_in[k] in outputs:
-                    data = outputs[bound_in[k]]
-                else:
+                codec, props, ci, co = self.coders[k]
+                ins: list[bytes] = []
+                for j in range(in_off[k], in_off[k] + ci):
+                    if j in streams:
+                        ins.append(streams[j])
+                    elif j in bound_in and bound_in[j] in outputs:
+                        ins.append(outputs[bound_in[j]])
+                    else:
+                        break
+                if len(ins) < ci:
                     continue
-                codec, props, _, _ = self.coders[k]
-                outputs[k] = _decode_coder(
-                    codec, props, data, self.unpack_sizes[k])
+                if co != 1:
+                    raise NotImplementedError("7z: multi-output coder")
+                oi = out_off[k]
+                if ci == 1:
+                    outputs[oi] = _decode_coder(
+                        codec, props, ins[0], self.unpack_sizes[oi])
+                elif codec == BCJ2_ID and ci == 4:
+                    outputs[oi] = _bcj2_decode(*ins, self.unpack_sizes[oi])
+                else:
+                    raise NotImplementedError(
+                        f"7z: {ci}-input coder {codec.hex()}")
                 remaining.discard(k)
                 progressed = True
             if not progressed:

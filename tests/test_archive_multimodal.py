@@ -1482,6 +1482,200 @@ def test_7z_reader_all_coders():
             assert got == want, (coder, enc)
 
 
+def _bcj2_encode(data: bytes):
+    """In-test BCJ2 ENCODER (independent ground truth for the reader's
+    decoder, like the other in-test writers): split ``data`` into
+    (main, call, jump, rc) with the LZMA-SDK bit-model layout — every
+    branch opportunity with a full 4-byte operand is converted
+    (bit 1), truncated ones at EOF are left inline (bit 0)."""
+    main = bytearray()
+    call = bytearray()
+    jump = bytearray()
+    probs = [1024] * (2 + 256)
+    out = bytearray()
+    state = {"low": 0, "rng": 0xFFFFFFFF, "cache": 0, "csize": 1}
+
+    def shift_low():
+        if state["low"] < 0xFF000000 or state["low"] > 0xFFFFFFFF:
+            carry = state["low"] >> 32
+            out.append((state["cache"] + carry) & 0xFF)
+            for _ in range(state["csize"] - 1):
+                out.append((0xFF + carry) & 0xFF)
+            state["csize"] = 0
+            state["cache"] = (state["low"] >> 24) & 0xFF
+        state["csize"] += 1
+        state["low"] = (state["low"] << 8) & 0xFFFFFFFF
+
+    def encode_bit(idx, bit):
+        bound = (state["rng"] >> 11) * probs[idx]
+        if bit == 0:
+            state["rng"] = bound
+            probs[idx] += (2048 - probs[idx]) >> 5
+        else:
+            state["low"] += bound
+            state["rng"] -= bound
+            probs[idx] -= probs[idx] >> 5
+        while state["rng"] < (1 << 24):
+            state["rng"] = (state["rng"] << 8) & 0xFFFFFFFF
+            shift_low()
+
+    i, prev = 0, 0
+    while i < len(data):
+        b = data[i]
+        main.append(b)
+        i += 1
+        if (b & 0xFE) == 0xE8 or (prev == 0x0F and (b & 0xF0) == 0x80):
+            idx = 2 + prev if b == 0xE8 else (1 if b == 0xE9 else 0)
+            if i + 4 <= len(data):
+                encode_bit(idx, 1)
+                rel = int.from_bytes(data[i:i + 4], "little")
+                dest = (rel + i + 4) & 0xFFFFFFFF
+                (call if b == 0xE8 else jump).extend(dest.to_bytes(4, "big"))
+                prev = data[i + 3]
+                i += 4
+                continue
+            encode_bit(idx, 0)
+        prev = b
+    for _ in range(5):
+        shift_low()
+    return bytes(main), bytes(call), bytes(jump), bytes(out)
+
+
+def _write_7z_bcj2(files, main_coder="copy"):
+    """7z writer emitting a BCJ2 FOLDER GRAPH (from the public spec's
+    BindPairs/PackedStreams layout): the member blob runs through the
+    in-test BCJ2 encoder; the main stream is either packed raw
+    (``main_coder='copy'`` — single 4-input coder, 4 packed streams,
+    packed-index permutation exercised) or LZMA2-compressed first
+    (``'lzma2'`` — 2 coders, 1 bind pair, the shape real 7z emits)."""
+    import binascii
+    import lzma
+    import struct
+
+    def wnum(v):
+        if v < 0x80:
+            return bytes([v])
+        return b"\xff" + struct.pack("<Q", v)
+
+    reg = [(nm, c) for nm, c in files if c is not None]
+    blob = b"".join(c for _, c in reg)
+    m, c, j, rc = _bcj2_encode(blob)
+    bcj2_flags = 4 | 0x10  # 4-byte id + complex-coder bit
+    bcj2 = bytes([bcj2_flags]) + b"\x03\x03\x01\x1b" + wnum(4) + wnum(1)
+    if main_coder == "copy":
+        packs = [m, c, j, rc]
+        coders = bytes([1]) + bcj2
+        binds = b""
+        packed_idx = wnum(0) + wnum(1) + wnum(2) + wnum(3)
+        unpack_sizes = [len(blob)]
+    else:  # lzma2 on the main stream, bound into BCJ2 input 0
+        comp = lzma.LZMACompressor(
+            format=lzma.FORMAT_RAW,
+            filters=[{"id": lzma.FILTER_LZMA2, "preset": 6}])
+        lm = comp.compress(m) + comp.flush()
+        packs = [lm, c, j, rc]
+        lz = bytes([1 | 0x20]) + b"\x21" + wnum(1) + bytes([0x18])
+        coders = bytes([2]) + lz + bcj2
+        # global in-streams: 0=lzma2.in, 1..4=bcj2.(main,call,jump,rc)
+        # global outs: 0=lzma2.out, 1=bcj2.out
+        binds = wnum(1) + wnum(0)          # bcj2 main <- lzma2 out
+        packed_idx = wnum(0) + wnum(2) + wnum(3) + wnum(4)
+        unpack_sizes = [len(m), len(blob)]
+
+    s = bytearray()
+    s += wnum(0x06) + wnum(0) + wnum(len(packs))         # kPackInfo
+    s += wnum(0x09)
+    for p in packs:
+        s += wnum(len(p))
+    s += wnum(0x00)
+    s += wnum(0x07)                                      # kUnpackInfo
+    s += wnum(0x0B) + wnum(1) + b"\x00"                  # kFolder ext=0
+    s += coders + binds + packed_idx
+    s += wnum(0x0C)                                      # kCodersUnpackSize
+    for z in unpack_sizes:
+        s += wnum(z)
+    s += wnum(0x00)                                      # kEnd UnpackInfo
+    s += wnum(0x08)                                      # kSubStreamsInfo
+    s += wnum(0x0D) + wnum(len(reg))
+    s += wnum(0x09)
+    for _, cont in reg[:-1]:
+        s += wnum(len(cont))
+    s += wnum(0x00) + wnum(0x00)                         # kEnd x2
+
+    hdr = bytearray()
+    hdr += wnum(0x01) + wnum(0x04) + s                   # kHeader, kMain..
+    hdr += wnum(0x05) + wnum(len(files))                 # kFilesInfo
+    names = b"".join((nm.replace("/", "\\") + "\x00").encode("utf-16-le")
+                     for nm, _ in files)
+    hdr += wnum(0x11) + wnum(len(names) + 1) + b"\x00" + names
+    hdr += wnum(0x00) + wnum(0x00)
+    hdr = bytes(hdr)
+
+    body = b"".join(packs)
+    nh_off, nh_size = len(body), len(hdr)
+    nh_crc = binascii.crc32(hdr) & 0xFFFFFFFF
+    tail = struct.pack("<QQI", nh_off, nh_size, nh_crc)
+    start_crc = binascii.crc32(tail) & 0xFFFFFFFF
+    return (b"7z\xbc\xaf\x27\x1c" + b"\x00\x04"
+            + struct.pack("<I", start_crc) + tail + body + hdr)
+
+
+def _x86ish(seed: int, n: int) -> bytes:
+    """Deterministic pseudo-x86 byte stream: random filler dense with
+    E8 CALL / E9 JMP / 0F 8x Jcc opportunities, including back-to-back
+    branches and operand bytes that themselves look like opcodes."""
+    import random
+
+    rng = random.Random(seed)
+    out = bytearray()
+    while len(out) < n:
+        r = rng.random()
+        if r < 0.25:
+            op = rng.choice([b"\xe8", b"\xe9", b"\x0f" + bytes([0x80 + rng.randrange(16)])])
+            out += op + rng.randbytes(4)
+        elif r < 0.30:
+            out += b"\xe8"  # branch byte with whatever follows
+        else:
+            out += rng.randbytes(rng.randrange(1, 7))
+    return bytes(out[:n])
+
+
+def test_bcj2_kernel_roundtrip():
+    """The reader's BCJ2 decoder inverts the in-test encoder exactly —
+    across branch-dense data, branch-free data, truncated trailing
+    branches, and every Jcc opcode."""
+    from backupdeduplicator_spark.functions.sevenzip import _bcj2_decode
+
+    cases = [
+        _x86ish(1, 5000), _x86ish(2, 313),
+        b"no branches at all, plain text " * 40,
+        b"\xe8\x01\x02",                 # E8 at EOF: operand truncated
+        b"\x0f\x85\xff\xff\xff\xff tail",
+        b"".join(b"\xe8" + i.to_bytes(4, "little") for i in range(600)),
+        b"",
+    ]
+    for data in cases:
+        m, c, j, rc = _bcj2_encode(data)
+        assert _bcj2_decode(m, c, j, rc, len(data)) == data, data[:16]
+
+
+def test_7z_bcj2_folder_graph():
+    """A 7z archive whose folder is the real BCJ2 4-stream graph
+    extracts member-exactly — both the all-packed single-coder shape
+    (packed-index permutation) and the LZMA2-bound two-coder shape
+    real 7z emits."""
+    from backupdeduplicator_spark.functions.sevenzip import extract_7z
+
+    files = [
+        ("bin/tool.exe", _x86ish(7, 4096)),
+        ("bin/lib.so", _x86ish(8, 1500)),
+        ("readme.txt", b"not code at all\n" * 10),
+    ]
+    for main_coder in ("copy", "lzma2"):
+        payload = _write_7z_bcj2(files, main_coder=main_coder)
+        assert extract_7z(payload) == files, main_coder
+
+
 def test_7z_corrupt_and_unsupported():
     import pytest as _pytest
 
