@@ -1,5 +1,5 @@
-"""JPEG luminance decoder — baseline (SOF0/SOF1) AND progressive (SOF2),
-pure stdlib + numpy.
+"""JPEG luminance decoder — baseline (SOF0/SOF1), progressive (SOF2),
+AND lossless (SOF3), pure stdlib + numpy.
 
 The multimodal tier (operators/multimodal.py) needs grayscale pixels for
 its pooled-gray feature, so this decoder reconstructs the Y (luminance)
@@ -15,8 +15,14 @@ per-component block arrays — DC-first (interleaved, diff << Al),
 DC-refinement (one appended bit per block), AC-first (single-component
 band [Ss, Se] with EOB-run codes), and AC-refinement (correction bits on
 nonzero history + newly significant ±1<<Al insertions) — then dequant +
-IDCT run once at the end for Y. Arithmetic coding and hierarchical
-(SOF3+) frames raise NotImplementedError — the honest boundary.
+IDCT run once at the end for Y.
+
+Lossless decoding (SOF3, Annex H): no DCT at all — per-sample Huffman
+category + appended bits give prediction differences against one of the
+seven spatial predictors (or the 2^(P-1-Al) default at scan/restart
+starts), reconstructed modulo 2^16 at 2-16 bit precision. Arithmetic
+coding, hierarchical (SOF5+) frames, and subsampled lossless raise
+NotImplementedError — the honest boundary.
 
 The per-symbol Huffman walk is an inherently-sequential Python loop (the
 same Arrow-batch fold pattern as functions/hashing.py); the IDCT is a
@@ -160,6 +166,8 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, _Huff] = {}
     frame = None
     progressive = False
+    lossless = False
+    precision = 8
     completed_scans = 0
     coefs: dict[int, np.ndarray] = {}  # cid -> (bh, bw, 64) zigzag coeffs
     restart_interval = 0
@@ -198,16 +206,24 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
                     symbols = seg[i + 17:i + 17 + n]
                     (huff_ac if tc else huff_dc)[th] = _Huff(counts, symbols)
                     i += 17 + n
-            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progr.
+            elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1/2 + lossless
                 prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
-                if prec != 8:
-                    raise NotImplementedError("only 8-bit JPEG")
+                if marker == 0xC3:
+                    lossless = True
+                    if not 2 <= prec <= 16:
+                        raise ValueError(f"SOF3 precision {prec}")
+                elif prec != 8:
+                    raise NotImplementedError("only 8-bit DCT JPEG")
                 comps = []
                 for c in range(nc):
                     cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
                     comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
                                   "tq": tq})
+                if marker == 0xC3 and any(
+                        c["h"] != 1 or c["v"] != 1 for c in comps):
+                    raise NotImplementedError("subsampled lossless JPEG")
                 frame = (h, w, comps)
+                precision = prec
                 if marker == 0xC2:
                     progressive = True
                     hmax = max(c["h"] for c in comps)
@@ -218,7 +234,7 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
                         coefs[c["id"]] = np.zeros(
                             (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32
                         )
-            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                             0xCD, 0xCE, 0xCF):
                 raise NotImplementedError(f"JPEG SOF marker {marker:#x}")
             elif marker == 0xDD:  # DRI
@@ -233,6 +249,14 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
                     cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                     scan_tables[cs] = (tt >> 4, tt & 0xF)
                     scan_comps.append(cs)
+                if lossless:
+                    # Ss = predictor selector, Al = point transform (H.1)
+                    pred_sel = seg[1 + 2 * ns]
+                    al = seg[3 + 2 * ns] & 0xF
+                    return _decode_lossless_scan(
+                        payload, pos, frame, precision, scan_comps,
+                        scan_tables, huff_dc, restart_interval,
+                        pred_sel, al)
                 if not progressive:
                     return _decode_scan(payload, pos, frame, scan_tables, qt,
                                         huff_dc, huff_ac, restart_interval)
@@ -258,6 +282,72 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
         # like real decoders render partial progressive data
         return _reconstruct_y(frame, coefs, qt)
     raise ValueError("no SOS segment found")
+
+
+_LL_PREDICT = {
+    # T.81 table H.1: a = left, b = above, c = above-left
+    1: lambda a, b, c: a,
+    2: lambda a, b, c: b,
+    3: lambda a, b, c: c,
+    4: lambda a, b, c: a + b - c,
+    5: lambda a, b, c: a + ((b - c) >> 1),
+    6: lambda a, b, c: b + ((a - c) >> 1),
+    7: lambda a, b, c: (a + b) >> 1,
+}
+
+
+def _decode_lossless_scan(payload, pos, frame, prec, scan_comps,
+                          scan_tables, huff_dc, restart_interval,
+                          predictor, al) -> np.ndarray:
+    """Lossless (SOF3) scan — T.81 Annex H. Per sample and component:
+    a DC-style Huffman category SSSS + appended bits give the
+    prediction difference (SSSS=16 is the special 32768 difference, no
+    appended bits); samples reconstruct modulo 2^16 (H.2.1). Prediction:
+    the very first sample — and the first sample after every restart
+    marker (H.2.4) — predicts 2^(P-1-Al); the rest of the first line
+    predicts from the left, a line's first sample predicts from above,
+    everything else uses the scan's selected predictor over
+    (left, above, above-left). Only non-subsampled (1x1) components are
+    supported (enforced at SOF3); the grayscale output is the component
+    mean shifted back by the point transform and scaled by 2^P - 1."""
+    h, w, comps = frame
+    nc = len(scan_comps)
+    if predictor not in _LL_PREDICT:
+        raise ValueError(f"lossless predictor {predictor}")
+    pred_fn = _LL_PREDICT[predictor]
+    default = 1 << (prec - 1 - al)
+    reader = _BitReader(payload, pos)
+    img = np.zeros((h, w, nc), dtype=np.int64)
+    tables = [huff_dc[scan_tables[cs][0]] for cs in scan_comps]
+    count = 0
+    fresh = True  # next sample predicts the default (scan start / RST)
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and count and count % restart_interval == 0:
+                reader.restart_align()
+                fresh = True
+            for ci in range(nc):
+                ssss = reader.decode(tables[ci])
+                if ssss == 16:
+                    diff = 32768
+                elif ssss:
+                    diff = _extend(reader.bits(ssss), ssss)
+                else:
+                    diff = 0
+                if fresh:
+                    p = default
+                elif y == 0:
+                    p = img[y, x - 1, ci]
+                elif x == 0:
+                    p = img[y - 1, x, ci]
+                else:
+                    p = pred_fn(img[y, x - 1, ci], img[y - 1, x, ci],
+                                img[y - 1, x - 1, ci])
+                img[y, x, ci] = (int(p) + diff) & 0xFFFF
+            fresh = False
+            count += 1
+    out = img.astype(np.float64).mean(axis=2) * (1 << al)
+    return np.clip(out / ((1 << prec) - 1), 0.0, 1.0)
 
 
 def _decode_scan(payload, pos, frame, scan_tables, qt, huff_dc, huff_ac,

@@ -1482,6 +1482,170 @@ def test_7z_reader_all_coders():
             assert got == want, (coder, enc)
 
 
+def _jpeg_encode_lossless(img, prec=8, predictor=1, al=0, restart=0):
+    """In-test LOSSLESS (SOF3) JPEG encoder — Annex H from the spec,
+    independent of the decoder: per-sample prediction differences modulo
+    2^16, DC-style category coding (SSSS=16 => the special 32768
+    difference, no appended bits), one-length canonical Huffman table
+    per component, optional restart markers (prediction resets to
+    2^(P-1-Al) after each, H.2.4). ``img`` is (h, w) or (h, w, ncomp)
+    integer samples at full ``prec`` range; ``al`` point-transforms
+    (>> al) before coding like a real encoder."""
+    import struct
+
+    import numpy as np
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, nc = img.shape
+    samples = (img.astype(np.int64) >> al)
+    default = 1 << (prec - 1 - al)
+
+    def cat16(diff):
+        if diff == 32768:
+            return 16, 0, 0
+        s = int(diff if diff >= 0 else -diff).bit_length()
+        bits = diff if diff >= 0 else diff + (1 << s) - 1
+        return s, bits, s
+
+    pred_fn = {
+        1: lambda a, b, c: a, 2: lambda a, b, c: b, 3: lambda a, b, c: c,
+        4: lambda a, b, c: a + b - c, 5: lambda a, b, c: a + ((b - c) >> 1),
+        6: lambda a, b, c: b + ((a - c) >> 1), 7: lambda a, b, c: (a + b) >> 1,
+    }[predictor]
+    seq = []  # ('rst',) | (ci, ssss, bits, nbits)
+    syms = [set() for _ in range(nc)]
+    count = 0
+    fresh = True
+    for y in range(h):
+        for x in range(w):
+            if restart and count and count % restart == 0:
+                seq.append(("rst",))
+                fresh = True
+            for ci in range(nc):
+                if fresh:
+                    p = default
+                elif y == 0:
+                    p = samples[y, x - 1, ci]
+                elif x == 0:
+                    p = samples[y - 1, x, ci]
+                else:
+                    p = pred_fn(int(samples[y, x - 1, ci]),
+                                int(samples[y - 1, x, ci]),
+                                int(samples[y - 1, x - 1, ci]))
+                diff = (int(samples[y, x, ci]) - int(p)) & 0xFFFF
+                if diff > 32768:
+                    diff -= 65536
+                s, bits, nbits = cat16(diff)
+                syms[ci].add(s)
+                seq.append((ci, s, bits, nbits))
+            fresh = False
+            count += 1
+
+    def table(symset):
+        ss = sorted(symset) or [0]
+        length = max(2, (len(ss) + 1).bit_length())
+        counts = [0] * 16
+        counts[length - 1] = len(ss)
+        return bytes(counts), bytes(ss), {v: (length, i)
+                                          for i, v in enumerate(ss)}
+
+    tabs = [table(syms[ci]) for ci in range(nc)]
+
+    class BW:
+        def __init__(self):
+            self.out = bytearray()
+            self.acc = 0
+            self.n = 0
+
+        def put(self, val, nbits):
+            for i in range(nbits - 1, -1, -1):
+                self.acc = (self.acc << 1) | ((val >> i) & 1)
+                self.n += 1
+                if self.n == 8:
+                    self.out.append(self.acc)
+                    if self.acc == 0xFF:
+                        self.out.append(0x00)
+                    self.acc, self.n = 0, 0
+
+        def pad(self):
+            while self.n:
+                self.put(1, 1)
+
+    bw = BW()
+    rst_n = 0
+    for item in seq:
+        if item[0] == "rst":
+            bw.pad()
+            bw.out += bytes([0xFF, 0xD0 + (rst_n % 8)])
+            rst_n += 1
+            continue
+        ci, s, bits, nbits = item
+        ln, code = tabs[ci][2][s]
+        bw.put(code, ln)
+        if nbits:
+            bw.put(bits, nbits)
+    bw.pad()
+
+    out = bytearray(b"\xff\xd8")
+    for ci, (counts, symbols, _) in enumerate(tabs):
+        seg = bytes([ci]) + counts + symbols  # DC-class table id=ci
+        out += b"\xff\xc4" + struct.pack(">H", len(seg) + 2) + seg
+    sof = bytes([prec]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += b"\xff\xc3" + struct.pack(">H", len(sof) + 2) + sof
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, ci << 4])
+    sos += bytes([predictor, 0, al])  # Ss=predictor, Se=0, Ah<<4|Al
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += bw.out + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_lossless_sof3():
+    """SOF3 lossless decode is EXACT: gray and RGB, every predictor,
+    8/12/16-bit precision, point transform, restart markers, and the
+    SSSS=16 special difference — all against the independent in-test
+    Annex-H encoder."""
+    import numpy as np
+
+    from backupdeduplicator_spark.functions.jpeg import decode_jpeg
+
+    rng = np.random.RandomState(23)
+    gray = rng.randint(0, 256, size=(9, 13), dtype=np.int64)
+    for predictor in range(1, 8):
+        got = decode_jpeg(_jpeg_encode_lossless(gray, predictor=predictor))
+        assert np.array_equal(got * 255.0, gray), predictor
+
+    rgb = rng.randint(0, 256, size=(7, 5, 3), dtype=np.int64)
+    got = decode_jpeg(_jpeg_encode_lossless(rgb, predictor=4))
+    assert np.allclose(got, rgb.mean(axis=2) / 255.0, rtol=0, atol=1e-12)
+
+    deep = rng.randint(0, 1 << 12, size=(6, 6), dtype=np.int64)
+    got = decode_jpeg(_jpeg_encode_lossless(deep, prec=12, predictor=7))
+    assert np.allclose(got, deep / ((1 << 12) - 1), rtol=0, atol=1e-12)
+
+    # 16-bit with worst-case differences exercises SSSS=16 / mod-2^16:
+    # alternating extremes make successive diffs hit +-(2^16 - 1)
+    extreme = np.zeros((4, 8), dtype=np.int64)
+    extreme[:, 1::2] = 65535
+    got = decode_jpeg(_jpeg_encode_lossless(extreme, prec=16, predictor=1))
+    assert np.allclose(got, extreme / 65535.0, rtol=0, atol=1e-12)
+
+    # point transform: decoder scales back by << Al (lossy in the low
+    # bits, exact in the transformed domain)
+    got = decode_jpeg(_jpeg_encode_lossless(gray, al=2, predictor=2))
+    assert np.array_equal(got * 255.0, (gray >> 2).astype(np.int64) << 2)
+
+    # restart markers: prediction resets to the default at each interval
+    got = decode_jpeg(_jpeg_encode_lossless(gray, predictor=5, restart=7))
+    assert np.array_equal(got * 255.0, gray)
+
+
 def _bcj2_encode(data: bytes):
     """In-test BCJ2 ENCODER (independent ground truth for the reader's
     decoder, like the other in-test writers): split ``data`` into
