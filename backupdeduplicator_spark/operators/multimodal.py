@@ -5,7 +5,8 @@ is real and tested. Decoding has three modes:
 
   * ``decode_fn='real'`` — REAL decoders for the formats parseable with
     the standard library alone: WAV/PCM audio (``wave`` module), 24-bit
-    uncompressed BMP, binary PPM (P6, 8/16-bit), 8/16-bit PNG (``zlib`` inflate +
+    uncompressed BMP, binary PPM (P6, 8/16-bit), PNG at every legal
+    bit depth (1/2/4/8/16; ``zlib`` inflate +
     full None/Sub/Up/Average/Paeth unfilter — gray/RGB/palette/alpha,
     non-interlaced and Adam7),
     JPEG — baseline AND progressive SOF2 (functions/jpeg.py: Huffman +
@@ -243,8 +244,9 @@ def decode_png(payload: bytes) -> np.ndarray:
     identical pixels. Depth 16 stores big-endian 2-byte samples; the
     filters still operate bytewise with the pixel offset doubled (PNG
     spec 9.2 — bpp is in BYTES, rounded up), so the unfilter kernel is
-    shared and only the final view changes. Sub-8-bit depths (1/2/4)
-    raise NotImplementedError.
+    shared and only the final view changes. Sub-byte depths (1/2/4,
+    gray or palette) filter at the spec's 1-byte offset and unpack
+    MSB-first per scanline — per PASS scanline under Adam7.
     """
     if not payload.startswith(PNG_SIG):
         raise ValueError("not a PNG payload")
@@ -265,13 +267,15 @@ def decode_png(payload: bytes) -> np.ndarray:
     if hdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     width, height, depth, color, comp, filt, interlace = hdr
-    if depth not in (8, 16) or comp != 0 or filt != 0:
+    if depth not in (1, 2, 4, 8, 16) or comp != 0 or filt != 0:
         raise NotImplementedError(f"PNG depth={depth} compression={comp}")
     if interlace not in (0, 1):
         raise ValueError(f"PNG interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise ValueError(f"PNG color type {color}")
+    if depth < 8 and color not in (0, 3):  # spec 11.2.2 depth/type grid
+        raise ValueError(f"PNG depth {depth} invalid for color {color}")
     if color == 3 and plte is None:
         raise ValueError("palette PNG without PLTE")
     if color == 3 and depth == 16:  # spec 11.2.2: palette is 1/2/4/8 only
@@ -280,29 +284,56 @@ def decode_png(payload: bytes) -> np.ndarray:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:  # surface as the standard corrupt-payload type
         raise ValueError(f"PNG deflate stream corrupt: {e}") from e
-    sample_bytes = depth // 8
-    bpp = channels * sample_bytes  # filter offset is in BYTES (spec 9.2)
-    row_bytes = width * bpp
+
+    def unpack_bits(rows_u8: np.ndarray, n_px: int) -> np.ndarray:
+        """(h, row_bytes) packed MSB-first sub-byte samples -> (h, n_px)."""
+        per = 8 // depth
+        shifts = np.arange(per - 1, -1, -1, dtype=np.uint8) * depth
+        mask = (1 << depth) - 1
+        expanded = (rows_u8[:, :, None] >> shifts[None, None, :]) & mask
+        return expanded.reshape(rows_u8.shape[0], -1)[:, :n_px]
+
+    if depth < 8:
+        # sub-byte depths: gray or palette only => 1 channel; the filter
+        # offset is ceil(bpp_bits / 8) = 1 byte (spec 9.2)
+        bpp = 1
+        row_bytes = (width * depth + 7) // 8
+    else:
+        sample_bytes = depth // 8
+        bpp = channels * sample_bytes  # filter offset in BYTES (spec 9.2)
+        row_bytes = width * bpp
     if interlace == 0:
         if len(raw) < height * (1 + row_bytes):
             raise ValueError("PNG pixel data truncated")
         rows = _png_unfilter(raw, 0, height, row_bytes, bpp)
+        if depth < 8:
+            samples = unpack_bits(rows, width)
     else:  # Adam7: seven concatenated sub-images, scattered to the grid
         rows = np.empty((height, row_bytes), dtype=np.uint8)
+        if depth < 8:
+            samples = np.empty((height, width), dtype=np.uint8)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (width - x0 + dx - 1) // dx
             ph = (height - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue  # empty pass: zero scanlines, zero bytes
-            pstride = pw * bpp
+            pstride = ((pw * depth + 7) // 8 if depth < 8 else pw * bpp)
             if len(raw) < off + ph * (1 + pstride):
                 raise ValueError("PNG pixel data truncated")
             sub = _png_unfilter(raw, off, ph, pstride, bpp)
-            # scatter whole pixels: view both sides as (rows, px, bpp)
-            rows.reshape(height, width, bpp)[y0::dy, x0::dx] = sub.reshape(
-                ph, pw, bpp)
+            if depth < 8:  # bit-packed per PASS row: unpack, then scatter
+                samples[y0::dy, x0::dx] = unpack_bits(sub, pw)
+            else:
+                # scatter whole pixels: view both sides as (rows, px, bpp)
+                rows.reshape(height, width, bpp)[y0::dy, x0::dx] = (
+                    sub.reshape(ph, pw, bpp))
             off += ph * (1 + pstride)
+    if depth < 8:
+        if color == 3:
+            rgb = plte[samples.astype(np.intp)]
+            return rgb.astype(np.float64).mean(axis=2) / 255.0
+        return samples.astype(np.float64) / ((1 << depth) - 1)
     if depth == 8:
         px = rows.reshape(height, width, channels).astype(np.float64)
         maxval = 255.0
@@ -481,7 +512,7 @@ def _real_decode(kind: str, payload: bytes) -> np.ndarray:
     raise NotImplementedError(
         f"real decode for kind={kind!r} (magic {payload[:4]!r}) requires "
         "Pillow/ffmpeg — not available in this environment; stdlib "
-        "decoders cover WAV, 24-bit BMP, P6 PPM, 8/16-bit PNG, JPEG "
+        "decoders cover WAV, 24-bit BMP, P6 PPM, PNG, JPEG "
         "(baseline + progressive), GIF, AVI (MJPG/DIB), and YUV4MPEG2"
     )
 

@@ -410,13 +410,128 @@ def test_png_adam7_interlaced():
         decode_png(trunc)
 
 
+def _png_encode_lowdepth(samples, depth, color=0, palette=None,
+                         filters=(0,), interlace=False):
+    """PNG writer for sub-byte depths (1/2/4-bit gray color 0 or palette
+    color 3): samples (h, w) ints < 2^depth, packed MSB-first per row,
+    filtered with the 1-byte offset the spec prescribes for sub-byte
+    pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = samples.shape
+
+    def pack_rows(arr):
+        ph, pw = arr.shape
+        per = 8 // depth
+        row_bytes = (pw * depth + 7) // 8
+        padded = np.zeros((ph, row_bytes * per), dtype=np.uint8)
+        padded[:, :pw] = arr
+        shifts = np.arange(per - 1, -1, -1, dtype=np.uint8) * depth
+        groups = padded.reshape(ph, row_bytes, per)
+        return (groups << shifts[None, None, :]).sum(axis=2).astype(np.uint8)
+
+    def filter_rows(arr):
+        packed = pack_rows(arr)
+        ph, rb = packed.shape
+        raw = bytearray()
+        prev = bytes(rb)
+        for y in range(ph):
+            f = filters[y % len(filters)]
+            line = packed[y].tobytes()
+            out = bytearray(rb)
+            for i in range(rb):
+                a = line[i - 1] if i >= 1 else 0
+                b = prev[i]
+                c = prev[i - 1] if i >= 1 else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c)
+                out[i] = (line[i] - pred) & 0xFF
+            raw += bytes([f]) + bytes(out)
+            prev = line
+        return raw
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d)))
+
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = samples[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raw += filter_rows(sub)
+    else:
+        raw = filter_rows(samples)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, int(interlace))
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if color == 3:
+        out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    return (out + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_subbyte_depths():
+    """1/2/4-bit gray and palette PNGs decode exactly — all filters,
+    both interlace modes (bit-packing is per PASS row under Adam7),
+    ragged widths that leave padding bits in the last byte."""
+    import numpy as np
+
+    from backupdeduplicator_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(31)
+    for depth in (1, 2, 4):
+        for h, w in ((10, 7), (3, 1), (5, 9), (1, 1)):
+            gray = rng.randint(0, 1 << depth, size=(h, w))
+            want = gray / ((1 << depth) - 1)
+            for filters in ((0,), (4,), (0, 1, 2, 3, 4)):
+                for inter in (False, True):
+                    payload = _png_encode_lowdepth(
+                        gray, depth, filters=filters, interlace=inter)
+                    got = decode_png(payload)
+                    assert got.shape == (h, w)
+                    assert np.allclose(got, want, rtol=0, atol=1e-12), (
+                        depth, h, w, filters, inter)
+    # palette at depth 2: indices -> PLTE rows -> mean/255
+    pal = rng.randint(0, 256, size=(4, 3))
+    idx = rng.randint(0, 4, size=(6, 11))
+    payload = _png_encode_lowdepth(idx, 2, color=3, palette=pal,
+                                   filters=(0, 1, 2, 3, 4), interlace=True)
+    got = decode_png(payload)
+    assert np.allclose(got, pal[idx].mean(axis=2) / 255.0, rtol=0,
+                       atol=1e-12)
+    # depth 4 RGB is out of the spec's depth/type grid
+    import pytest
+    bad = bytearray(_png_encode_lowdepth(idx, 4))
+    bad[24] = 2  # color type RGB
+    import struct as _s
+    import zlib as _z
+    crc = _z.crc32(bytes(bad[12:29])) & 0xFFFFFFFF
+    bad[29:33] = _s.pack(">I", crc)
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
+
+
 def test_png_16bit():
     """A 16-bit encoding of 8-bit content (samples * 257) decodes
     equal to its 8-bit twin (65535 = 257 * 255; 1 ulp of float
     rounding aside), across every
     filter type and both interlace modes; genuinely 16-bit samples
-    round-trip exactly; sub-8-bit depths stay a NotImplementedError
-    boundary."""
+    round-trip exactly; an off-grid depth/color combination is a
+    ValueError."""
     import struct
     import zlib
 
@@ -447,11 +562,11 @@ def test_png_16bit():
         return (struct.pack(">I", len(d)) + t + d
                 + struct.pack(">I", zlib.crc32(t + d)))
 
-    ihdr = struct.pack(">IIBBBBB", 7, 10, 4, 2, 0, 0, 0)  # depth 4
+    ihdr = struct.pack(">IIBBBBB", 7, 10, 4, 2, 0, 0, 0)  # depth-4 RGB
     low = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
            + chunk(b"IDAT", zlib.compress(b"\x00" * 80))
            + chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_png(low)
 
 
