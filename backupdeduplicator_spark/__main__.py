@@ -391,6 +391,49 @@ def cmd_docdedup(args) -> int:
     return 0
 
 
+def cmd_decontaminate(args) -> int:
+    """Benchmark decontamination: flag training docs sharing >=
+    --min-shared n-token n-grams with any benchmark doc
+    (operators/contamination.py). Output = one row per contaminated
+    (corpus_doc, bench_doc) pair with shared/total gram counts; pipe
+    the distinct corpus_doc set into a filter to actually drop them."""
+    spark = _spark(args)
+    if args.gram_tokens < 1:
+        print("decontaminate: --gram-tokens must be >= 1")
+        return 2
+    from .operators.contamination import contamination_pairs
+
+    corpus = spark.read.parquet(args.input)
+    bench = spark.read.parquet(args.benchmark)
+    report: dict = {}
+    out = contamination_pairs(
+        corpus, bench,
+        corpus_id=args.id_col, corpus_text=args.text_col,
+        bench_id=args.bench_id_col, bench_text=args.bench_text_col,
+        gram_tokens=args.gram_tokens, min_shared=args.min_shared,
+        max_gram_freq=args.max_gram_freq, report=report,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    n = written.count()
+    n_docs = written.select("corpus_doc").distinct().count()
+    dropped, drows = report["oversized"].agg(
+        F.count(F.lit(1)), F.sum("bn")
+    ).collect()[0]
+    drows = int(drows or 0)
+    if dropped:
+        print(f"decontaminate: WARNING {dropped} benchmark grams exceeded "
+              f"--max-gram-freq in the corpus ({drows} corpus rows "
+              f"dropped) — boilerplate grams; matches through them are "
+              f"not counted. Raise the cap to include them")
+    print(f"decontaminate: {n} contaminated pairs over {n_docs} corpus "
+          f"docs -> {args.output}")
+    _emit_report(args, command="decontaminate", rows=n,
+                 contaminated_docs=n_docs, output=args.output,
+                 dropped_grams=int(dropped), dropped_gram_rows=drows)
+    return 0
+
+
 def cmd_mediadedup(args) -> int:
     """Media dedup tiers over a (id, kind, payload[, meta]) parquet table
     — exact (payload sha256, capped member lists), near (decoded feature
@@ -772,6 +815,30 @@ def main(argv: list[str] | None = None) -> int:
                          "whose longest shared run is >= this many UTF-8 "
                          "bytes")
     dd.set_defaults(fn=cmd_docdedup)
+
+    dc = sub.add_parser("decontaminate", parents=[common])
+    dc.add_argument("--input", required=True,
+                    help="parquet corpus of (id, text) training docs")
+    dc.add_argument("--benchmark", required=True,
+                    help="parquet table of (id, text) benchmark docs")
+    dc.add_argument("--output", required=True)
+    dc.add_argument("--id-col", default="doc_id", dest="id_col")
+    dc.add_argument("--text-col", default="text", dest="text_col")
+    dc.add_argument("--bench-id-col", default="doc_id", dest="bench_id_col")
+    dc.add_argument("--bench-text-col", default="text",
+                    dest="bench_text_col")
+    dc.add_argument("--gram-tokens", type=int, default=13,
+                    dest="gram_tokens",
+                    help="n-gram length in whitespace tokens (13 = the "
+                         "GPT-3 decontamination standard)")
+    dc.add_argument("--min-shared", type=int, default=1, dest="min_shared",
+                    help="minimum shared distinct grams to flag a pair")
+    dc.add_argument("--max-gram-freq", type=int, default=100000,
+                    dest="max_gram_freq",
+                    help="drop (and account) benchmark grams appearing in "
+                         "more corpus docs than this — boilerplate-gram "
+                         "skew guard")
+    dc.set_defaults(fn=cmd_decontaminate)
 
     md = sub.add_parser("mediadedup", parents=[common])
     md.add_argument("--input", required=True,

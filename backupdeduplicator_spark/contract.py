@@ -786,6 +786,47 @@ def q_near_dup_clusters(d: D) -> str:
     return _near_dup_closure_sql(d, _files_cte(d), "files")
 
 
+def q_ct1_contamination(d: D) -> str:
+    """Benchmark decontamination (operators/contamination.py): the
+    benchmark is a planted 25-token slice (tokens 4..28) of every 13th
+    document, so each benchmark doc is contaminated by its source (and
+    by any doc sharing the slice). The oracle recomputes 13-token gram
+    overlap on gram STRINGS; the engine joins on xxhash64 of the same
+    strings — equal counts barring 64-bit collisions (the same argument
+    as the near-dup band oracle). DuckDB dialect only; the Spark side
+    runs the real operator (ENGINE_BACKED)."""
+    return """
+WITH bench AS (
+  SELECT doc_id + 3000000 AS doc_id,
+    array_to_string(list_slice(
+      regexp_split_to_array(trim(text), '\\s+'), 4, 28), ' ') AS text
+  FROM documents
+  WHERE doc_id % 13 = 0
+    AND len(regexp_split_to_array(trim(text), '\\s+')) >= 28
+), cg AS (
+  SELECT DISTINCT doc_id AS corpus_doc, gram FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(t) - 11),
+      i -> array_to_string(t[i:i+12], ' '))) AS gram
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+          FROM documents WHERE length(trim(text)) > 0)
+    WHERE len(t) >= 13)
+), bg AS (
+  SELECT DISTINCT doc_id AS bench_doc, gram FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(t) - 11),
+      i -> array_to_string(t[i:i+12], ' '))) AS gram
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+          FROM bench WHERE length(trim(text)) > 0)
+    WHERE len(t) >= 13)
+), tot AS (
+  SELECT bench_doc, COUNT(*) AS bench_grams FROM bg GROUP BY 1
+)
+SELECT c.corpus_doc, b.bench_doc,
+  COUNT(*) AS shared_grams, MIN(t.bench_grams) AS bench_grams
+FROM cg c JOIN bg b USING (gram) JOIN tot t ON t.bench_doc = b.bench_doc
+GROUP BY 1, 2
+"""
+
+
 def q_d3_near_dup_oph(d: D) -> str:
     """The flagship near-dup pipeline under the densified-OPH signature
     scheme (sig_scheme='oph' — the O(shingles) kernel fast path,
@@ -1158,6 +1199,7 @@ SQL_QUERIES: dict[str, Callable[[D], str]] = {
     "x6_exact_substring_spans": q_x6_exact_substring_spans,
     "near_dup_clusters": q_near_dup_clusters,
     "d3_near_dup_oph": q_d3_near_dup_oph,
+    "ct1_contamination": q_ct1_contamination,
     "m1_media_exact_dups": q_m1_media_exact_dups,
     "v1_video_frame_dups": q_v1_video_frame_dups,
     "cc1_code_clone_groups": q_cc1_code_clone_groups,
@@ -1744,6 +1786,31 @@ def _spark_d3_near_dup_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ENGINE_BACKED["d3_near_dup_oph"] = _spark_d3_near_dup_oph
+
+
+def _spark_ct1_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine twin for ct1: contamination_pairs over documents vs the
+    planted 25-token-slice benchmark, built with the exact token
+    expressions the oracle uses (split(trim, \\s+); Spark slice takes
+    (start, LENGTH) where DuckDB list_slice takes an inclusive stop —
+    (4, 25) == [4:28])."""
+    from .operators.contamination import contamination_pairs
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    bench = (
+        docs.filter((F.col("doc_id") % 13 == 0) & (F.size(toks) >= 28))
+        .select(
+            (F.col("doc_id") + 3000000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(toks, 4, 25)).alias("text"),
+        )
+    )
+    return contamination_pairs(docs, bench)
+
+
+ENGINE_BACKED["ct1_contamination"] = _spark_ct1_contamination
 def _spark_code_clone_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clone tier end-to-end through the engine operator: the synthetic
     code corpus (shared SQL text with the oracle) flows through

@@ -1,0 +1,115 @@
+"""Benchmark decontamination: train/test n-gram overlap detection.
+
+The standard LLM-pipeline hygiene pass (GPT-3 appendix C / PaLM /
+Llama data cards): a training document is CONTAMINATED by a benchmark
+document when they share at least one n-token n-gram (13 tokens is the
+de-facto standard). Not in the reference (which only dedups within one
+corpus) — this is the cross-corpus sibling of the exact-substring tier
+(operators/substring.py), token- instead of character-denominated.
+
+Shape at 100 TB:
+
+  * Both sides explode to DISTINCT (doc, gram-hash) rows with the gram
+    built JVM-side (split -> transform/slice/concat_ws -> xxhash64) —
+    no Python, no content after the gram projection, 8-byte gram keys.
+  * The benchmark side is small by definition (benchmarks are MBs, the
+    corpus is the 100 TB side), so the join is probe-shaped:
+    ``buckets.bounded_probe_join`` counts corpus gram frequencies ONLY
+    for grams the benchmark actually contains (broadcast semi first),
+    and drops + accounts grams more frequent than ``max_gram_freq`` —
+    a degenerate boilerplate gram ("0 0 0 ...") would otherwise emit
+    O(corpus) rows for one benchmark hit. Dropped grams are surfaced,
+    never silent.
+  * Output aggregates to one row per (corpus doc, benchmark doc) pair
+    with the shared-gram count — linear in true contamination, never
+    quadratic in corpus size.
+
+Tokens are whitespace tokens (split on \\s+ of the trimmed text — the
+same definition as functions/text.token_count and its t1 oracle), so a
+gram is insensitive to whitespace style but exact on content.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _gram_rows(df: DataFrame, id_col: str, text_col: str, out_id: str,
+               gram_tokens: int) -> DataFrame:
+    """DISTINCT (out_id, gram) rows: xxhash64 of each run of
+    ``gram_tokens`` consecutive whitespace tokens joined by one space.
+    Documents with fewer tokens than the gram length contribute
+    nothing (they cannot be contaminated at this gram size)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    with_toks = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col).alias(out_id), toks.alias("_toks"))
+        .filter(F.size("_toks") >= gram_tokens)
+    )
+    grams = F.expr(
+        f"transform(sequence(0, size(_toks) - {gram_tokens}), "
+        f"i -> xxhash64(concat_ws(' ', slice(_toks, i + 1, {gram_tokens}))))"
+    )
+    return with_toks.select(
+        out_id, F.explode(grams).alias("gram")
+    ).distinct()
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    bench: DataFrame,
+    corpus_id: str = "doc_id",
+    corpus_text: str = "text",
+    bench_id: str = "doc_id",
+    bench_text: str = "text",
+    gram_tokens: int = 13,
+    min_shared: int = 1,
+    max_gram_freq: int = 100_000,
+    report: dict | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """(corpus_doc, bench_doc, shared_grams, bench_grams) — one row per
+    contaminated pair: corpus document sharing >= ``min_shared``
+    distinct ``gram_tokens``-token n-grams with a benchmark document.
+    ``bench_grams`` is the benchmark document's total distinct gram
+    count, so ``shared_grams / bench_grams`` is the contaminated
+    fraction (1.0 = the whole benchmark doc appears verbatim).
+
+    ``max_gram_freq`` caps corpus-side gram buckets (counted only for
+    grams the benchmark hits); dropped grams land in
+    ``report['oversized']`` (gram, bn) — the no-silent-caps rule. A
+    dropped gram can only LOWER shared counts for docs containing
+    ultra-common grams; raise the cap to trade runtime for those.
+
+    ``materialize=False`` builds a job-free plan (dumps / caller-managed
+    caching), at the cost of the probe join's shuffle anti-join shape.
+    """
+    if gram_tokens < 1:
+        raise ValueError("gram_tokens must be >= 1")
+    from .buckets import bounded_probe_join
+
+    cg = _gram_rows(corpus, corpus_id, corpus_text, "corpus_doc",
+                    gram_tokens)
+    bg = _gram_rows(bench, bench_id, bench_text, "bench_doc", gram_tokens)
+    if materialize:
+        # the probe join scans the benchmark grams twice (hit-key semi +
+        # join) and the totals join reads them once more — cache the
+        # small side. Single-leaf first job: race-free lazy fill.
+        bg = bg.persist()
+    totals = bg.groupBy("bench_doc").agg(
+        F.count(F.lit(1)).alias("bench_grams")
+    )
+    joined, oversized = bounded_probe_join(
+        cg, bg, ["gram"], max_gram_freq, materialize=materialize
+    )
+    if report is not None:
+        report["oversized"] = oversized
+    pairs = (
+        joined.groupBy("corpus_doc", "bench_doc")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .filter(F.col("shared_grams") >= min_shared)
+        .join(F.broadcast(totals), "bench_doc")
+        .select("corpus_doc", "bench_doc", "shared_grams", "bench_grams")
+    )
+    return pairs

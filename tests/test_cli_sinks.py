@@ -153,6 +153,46 @@ def test_cli_docdedup_tiers(spark, tmp_path):
                for r in ex)
 
 
+def test_cli_decontaminate(spark, tmp_path, capsys):
+    """decontaminate CLI: planted benchmark slice flagged, counts in the
+    output parquet, --report-json accounting, bad args exit 2."""
+    import json
+
+    import pandas as pd
+
+    from backupdeduplicator_spark.__main__ import main
+
+    corpus = pd.DataFrame({
+        "doc_id": range(6),
+        "text": [" ".join(f"c{i}w{j}" for j in range(40))
+                 for i in range(6)],
+    })
+    t2 = corpus["text"][2].split()
+    bench = pd.DataFrame({
+        "doc_id": [500, 501],
+        "text": [" ".join(t2[5:26]),                     # planted slice
+                 " ".join(f"b{j}" for j in range(30))],  # clean
+    })
+    src = str(tmp_path / "corpus.parquet")
+    bsrc = str(tmp_path / "bench.parquet")
+    out = str(tmp_path / "contam")
+    rep = str(tmp_path / "rep.json")
+    corpus.to_parquet(src)
+    bench.to_parquet(bsrc)
+    rc = main(["decontaminate", "--input", src, "--benchmark", bsrc,
+               "--output", out, "--cores", "4", "--report-json", rep])
+    assert rc == 0
+    rows = spark.read.parquet(out).collect()
+    assert [(r["corpus_doc"], r["bench_doc"], r["shared_grams"],
+             r["bench_grams"]) for r in rows] == [(2, 500, 9, 9)]
+    j = json.loads(open(rep).read())
+    assert j["command"] == "decontaminate"
+    assert j["rows"] == 1 and j["contaminated_docs"] == 1
+    assert j["dropped_grams"] == 0
+    assert main(["decontaminate", "--input", src, "--benchmark", bsrc,
+                 "--output", out, "--gram-tokens", "0"]) == 2
+
+
 def test_cli_report_json(spark, tmp_path):
     """--report-json writes the prose accounting as machine-readable
     JSON: row counts plus the dropped/capped numbers (r4 verdict item 8)

@@ -446,3 +446,71 @@ def test_ivf_degenerate_cell_capped(spark):
     assert out == []  # the only populated cell was dropped
     over = report["oversized"].collect()
     assert over and sum(r["bn"] for r in over) == 5_000
+
+
+# ------------------------------------------------- decontamination tier
+
+def test_contamination_planted_slice(spark):
+    """A benchmark doc that is a verbatim 21-token slice of one corpus
+    doc is flagged against exactly that doc, with exact gram counts
+    (21 tokens -> 9 distinct 13-grams, all shared); an unrelated
+    benchmark doc and a too-short one match nothing."""
+    from backupdeduplicator_spark.operators.contamination import (
+        contamination_pairs)
+
+    corpus_rows = [
+        (i, " ".join(f"c{i}w{j}" for j in range(40))) for i in range(20)
+    ]
+    t3 = corpus_rows[3][1].split()
+    bench = spark.createDataFrame(
+        [
+            (100, " ".join(t3[10:31])),                       # planted
+            (101, " ".join(f"zz{j}" for j in range(30))),     # clean
+            (102, " ".join(f"c3w{j}" for j in range(12))),    # < 13 tokens
+        ],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    out = contamination_pairs(corpus, bench).collect()
+    assert {(r["corpus_doc"], r["bench_doc"]) for r in out} == {(3, 100)}
+    row = out[0]
+    assert row["bench_grams"] == 21 - 13 + 1
+    assert row["shared_grams"] == 9
+
+    # min_shared prunes below the threshold
+    strict = contamination_pairs(corpus, bench, min_shared=10).collect()
+    assert strict == []
+
+
+def test_contamination_gram_freq_cap(spark):
+    """A boilerplate gram present in more corpus docs than
+    max_gram_freq is dropped AND accounted — matches through it are
+    not emitted silently."""
+    from pyspark.sql import functions as F
+
+    from backupdeduplicator_spark.operators.contamination import (
+        contamination_pairs)
+
+    boiler = " ".join(f"same{j}" for j in range(13))
+    corpus = spark.createDataFrame(
+        [(i, f"u{i}a u{i}b {boiler} u{i}c") for i in range(5)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(900, boiler)], "doc_id long, text string")
+    report: dict = {}
+    out = contamination_pairs(
+        corpus, bench, max_gram_freq=3, report=report).collect()
+    assert out == []
+    over = report["oversized"].collect()
+    assert len(over) == 1 and over[0]["bn"] == 5
+    # with the cap lifted the same pair set comes back: 5 pairs, the
+    # bench doc's single gram shared with every corpus doc
+    report2: dict = {}
+    out2 = contamination_pairs(
+        corpus, bench, max_gram_freq=100, report=report2).collect()
+    assert {(r["corpus_doc"], r["bench_doc"]) for r in out2} == {
+        (i, 900) for i in range(5)}
+    assert all(r["shared_grams"] == 1 and r["bench_grams"] == 1
+               for r in out2)
+    assert report2["oversized"].count() == 0
