@@ -434,6 +434,57 @@ def cmd_decontaminate(args) -> int:
     return 0
 
 
+def cmd_docstats(args) -> int:
+    """Per-document repetition/quality signal vector — the Gopher-filter
+    feature pass (operators/repetition.py, Rae et al. 2021 Table A1).
+    One zero-shuffle projection per corpus; --keep-expr appends a boolean
+    'keep' column (SQL over the signal columns) and reports the kept
+    fraction without a second pass."""
+    spark = _spark(args)
+    from .operators.repetition import repetition_signals
+
+    try:
+        top_ns = tuple(int(x) for x in args.top_ns.split(",") if x.strip())
+        dup_ns = tuple(int(x) for x in args.dup_ns.split(",") if x.strip())
+    except ValueError:
+        print("docstats: --top-ns/--dup-ns must be comma-separated ints")
+        return 2
+    docs = spark.read.parquet(args.input)
+    carry = []
+    if args.quality:
+        from .functions.text import bpe_ish_token_count, quality_features
+
+        carry = quality_features(F.col(args.text_col)) + [
+            bpe_ish_token_count(F.col(args.text_col)).alias("n_bpe_tokens")
+        ]
+    sig = repetition_signals(
+        docs, id_col=args.id_col, text_col=args.text_col,
+        top_ns=top_ns, dup_ns=dup_ns, carry=carry,
+    )
+    if args.keep_expr:
+        sig = sig.withColumn(
+            "keep", F.coalesce(F.expr(args.keep_expr).cast("boolean"),
+                               F.lit(False))
+        )
+    sig.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    if args.keep_expr:
+        n, kept = written.agg(
+            F.count(F.lit(1)), F.sum(F.col("keep").cast("long"))
+        ).collect()[0]
+        kept = int(kept or 0)
+        print(f"docstats: {n} docs -> {args.output}; keep-expr retains "
+              f"{kept} ({kept / max(n, 1):.1%})")
+        _emit_report(args, command="docstats", rows=int(n), kept=kept,
+                     keep_expr=args.keep_expr, output=args.output)
+    else:
+        n = written.count()
+        print(f"docstats: {n} docs -> {args.output}")
+        _emit_report(args, command="docstats", rows=int(n),
+                     output=args.output)
+    return 0
+
+
 def cmd_mediadedup(args) -> int:
     """Media dedup tiers over a (id, kind, payload[, meta]) parquet table
     — exact (payload sha256, capped member lists), near (decoded feature
@@ -839,6 +890,27 @@ def main(argv: list[str] | None = None) -> int:
                          "more corpus docs than this — boilerplate-gram "
                          "skew guard")
     dc.set_defaults(fn=cmd_decontaminate)
+
+    ds = sub.add_parser("docstats", parents=[common])
+    ds.add_argument("--input", required=True,
+                    help="parquet table of (id, text) docs")
+    ds.add_argument("--output", required=True)
+    ds.add_argument("--id-col", default="doc_id", dest="id_col")
+    ds.add_argument("--text-col", default="text", dest="text_col")
+    ds.add_argument("--top-ns", default="2,3,4", dest="top_ns",
+                    help="top-n-gram char-fraction signal sizes")
+    ds.add_argument("--dup-ns", default="5,10", dest="dup_ns",
+                    help="duplicated-n-gram char-fraction signal sizes")
+    ds.add_argument("--quality", action="store_true",
+                    help="append the quality-feature columns (length/"
+                         "alpha/punct/ws ratios, token counts) in the "
+                         "same zero-shuffle projection")
+    ds.add_argument("--keep-expr", default=None, dest="keep_expr",
+                    help="SQL boolean over the signal columns; adds a "
+                         "'keep' column and reports the kept fraction, "
+                         "e.g. \"dup_line_frac < 0.3 AND "
+                         "top2gram_char_frac < 0.2\"")
+    ds.set_defaults(fn=cmd_docstats)
 
     md = sub.add_parser("mediadedup", parents=[common])
     md.add_argument("--input", required=True,

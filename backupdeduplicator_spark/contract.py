@@ -827,6 +827,69 @@ GROUP BY 1, 2
 """
 
 
+def q_rp1_repetition_signals(d: D) -> str:
+    """Gopher-style repetition signals (operators/repetition.py): per-doc
+    duplicate-line fractions, top-{2,3,4}-gram character fractions and
+    duplicated-{5,10}-gram character fractions (Rae et al. 2021 Table A1;
+    definitions in the operator docstring). The engine computes everything
+    row-locally with one aggregate() run-scan per sorted array (zero
+    shuffle); this oracle re-derives the same statistics relationally
+    (unnest -> group -> window/sum -> join back) — an independent
+    formulation of the same math, tie-break pinned to the
+    lexicographically smallest gram on both sides. DuckDB dialect only;
+    the Spark side runs the real operator (ENGINE_BACKED)."""
+
+    def gcte(n: int) -> str:
+        return f"""
+g{n} AS (SELECT doc_id, unnest(CASE WHEN len(tk) < {n} THEN CAST([] AS VARCHAR[])
+  ELSE list_transform(generate_series(1, len(tk) - {n} + 1),
+    i -> array_to_string(tk[i:i+{n}-1], ' ')) END) AS g FROM prep),
+g{n}c AS (SELECT doc_id, g, COUNT(*) AS c FROM g{n} GROUP BY doc_id, g),
+g{n}t AS (SELECT doc_id, c, g FROM (SELECT doc_id, c, g,
+  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) rn
+  FROM g{n}c) WHERE rn = 1),
+g{n}d AS (SELECT doc_id, SUM(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END)
+  AS dc FROM g{n}c GROUP BY doc_id)"""
+
+    def topfrac(n: int) -> str:
+        return (f"ROUND(LEAST(coalesce(g{n}t.c * length(g{n}t.g), 0) "
+                f"* CAST(1.0 AS DOUBLE) / GREATEST(p.nc, 1), 1.0), 6) "
+                f"AS top{n}gram_char_frac")
+
+    def dupfrac(n: int) -> str:
+        return (f"ROUND(LEAST(coalesce(g{n}d.dc, 0) * CAST(1.0 AS DOUBLE) "
+                f"/ GREATEST(p.nc, 1), 1.0), 6) AS dup{n}gram_char_frac")
+
+    return f"""
+WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+prep AS (SELECT doc_id, length(t) AS nc,
+  list_filter(list_transform(string_split(t, chr(10)), s -> trim(s)),
+    s -> s <> '') AS lns,
+  CASE WHEN length(trim(t)) = 0 THEN CAST([] AS VARCHAR[])
+    ELSE regexp_split_to_array(trim(t), '\\s+') END AS tk
+  FROM base),
+lx AS (SELECT doc_id, unnest(lns) AS ln FROM prep),
+lc AS (SELECT doc_id, ln, COUNT(*) AS c FROM lx GROUP BY doc_id, ln),
+lagg AS (SELECT doc_id, SUM(c) AS n_lines, SUM(c * length(ln)) AS line_chars,
+  SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_occ,
+  SUM(CASE WHEN c >= 2 THEN c * length(ln) ELSE 0 END) AS dup_chars
+  FROM lc GROUP BY doc_id),
+{','.join(gcte(n) for n in (2, 3, 4, 5, 10))}
+SELECT p.doc_id,
+  CAST(coalesce(la.n_lines, 0) AS BIGINT) AS n_lines,
+  ROUND(coalesce(la.dup_occ, 0) * CAST(1.0 AS DOUBLE)
+    / GREATEST(coalesce(la.n_lines, 0), 1), 6) AS dup_line_frac,
+  ROUND(coalesce(la.dup_chars, 0) * CAST(1.0 AS DOUBLE)
+    / GREATEST(coalesce(la.line_chars, 0), 1), 6) AS dup_line_char_frac,
+  {topfrac(2)}, {topfrac(3)}, {topfrac(4)},
+  {dupfrac(5)}, {dupfrac(10)}
+FROM prep p LEFT JOIN lagg la USING (doc_id)
+  LEFT JOIN g2t USING (doc_id) LEFT JOIN g3t USING (doc_id)
+  LEFT JOIN g4t USING (doc_id)
+  LEFT JOIN g5d USING (doc_id) LEFT JOIN g10d USING (doc_id)
+"""
+
+
 def q_d3_near_dup_oph(d: D) -> str:
     """The flagship near-dup pipeline under the densified-OPH signature
     scheme (sig_scheme='oph' — the O(shingles) kernel fast path,
@@ -1200,6 +1263,7 @@ SQL_QUERIES: dict[str, Callable[[D], str]] = {
     "near_dup_clusters": q_near_dup_clusters,
     "d3_near_dup_oph": q_d3_near_dup_oph,
     "ct1_contamination": q_ct1_contamination,
+    "rp1_repetition_signals": q_rp1_repetition_signals,
     "m1_media_exact_dups": q_m1_media_exact_dups,
     "v1_video_frame_dups": q_v1_video_frame_dups,
     "cc1_code_clone_groups": q_cc1_code_clone_groups,
@@ -1811,6 +1875,22 @@ def _spark_ct1_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ENGINE_BACKED["ct1_contamination"] = _spark_ct1_contamination
+
+
+def _spark_rp1_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine twin for rp1: repetition_signals over documents — the
+    zero-shuffle run-scan projection, compared against the oracle's
+    relational re-derivation."""
+    from .operators.repetition import repetition_signals
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return repetition_signals(spark.table("documents"))
+
+
+ENGINE_BACKED["rp1_repetition_signals"] = _spark_rp1_repetition
+
+
 def _spark_code_clone_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clone tier end-to-end through the engine operator: the synthetic
     code corpus (shared SQL text with the oracle) flows through

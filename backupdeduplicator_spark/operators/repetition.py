@@ -1,0 +1,195 @@
+"""Gopher-style repetition signals: per-document quality features for
+LLM training-data filtering (Rae et al. 2021, "Scaling Language Models",
+Table A1 "repetition removal").
+
+Not in the reference (which dedups across documents, never within one) —
+this is the within-document sibling of the dedup tiers: a document that
+repeats itself (boilerplate headers, scraped nav bars, generated filler)
+is low-quality even when it is globally unique. Signals:
+
+  * ``dup_line_frac``        — fraction of (trimmed, non-empty) line
+                               occurrences whose line value appears >= 2
+                               times in the document.
+  * ``dup_line_char_frac``   — fraction of line characters inside those
+                               duplicated lines.
+  * ``top{n}gram_char_frac`` — fraction of document characters covered by
+                               the most frequent word n-gram (n = 2, 3, 4
+                               by default), occurrence-weighted
+                               (count x gram length / document length,
+                               capped at 1.0 — overlapping occurrences can
+                               overcount, exactly like the published
+                               implementations; the cap keeps the value a
+                               fraction).
+  * ``dup{n}gram_char_frac`` — fraction of document characters inside word
+                               n-grams that occur >= 2 times (n = 5, 10 by
+                               default), occurrence-weighted and capped the
+                               same way.
+
+Ties for the most frequent n-gram break to the lexicographically smallest
+gram, so every signal is deterministic.
+
+Shape at 100 TB: every signal is a pure per-row computation — there is no
+cross-document state at all — so the whole operator is a single projection
+with ZERO shuffles and ZERO Python. The naive relational form (explode
+grams -> groupBy (doc, gram) -> groupBy doc -> join back, once per n)
+would shuffle ~n_tokens x |dup_ns + top_ns| rows per document; the naive
+higher-order form (count each element by rescanning the array) is
+O(tokens^2) per document. Instead each family sorts its per-row array once
+and extracts every statistic (max run, duplicated-run occurrence and
+character sums) in ONE ``aggregate`` run-length scan over the sorted
+array: O(m log m) per document, all inside whole-stage codegen. Tokens are
+whitespace tokens (split on \\s+ of the trimmed text, the same definition
+as functions/text.token_count and the contamination tier), lines are
+trimmed non-empty '\\n' segments.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: run-scan result fields (see _run_scan)
+_SCAN_FIELDS = ("best_cnt", "best_g", "dup_occ", "dup_chars")
+
+
+def _run_scan(sorted_arr: str) -> str:
+    """SQL expr: one aggregate() pass over an ASCENDING-sorted string array
+    returning struct(best_cnt, best_g, dup_occ, dup_chars):
+
+      best_cnt / best_g — the longest run (= the most frequent value) and
+                          its value; ties keep the FIRST maximal run, i.e.
+                          the lexicographically smallest value (the array
+                          is sorted and replacement is strictly-greater).
+      dup_occ           — total occurrences inside runs of length >= 2.
+      dup_chars         — sum of length(value) over those occurrences.
+
+    The accumulator carries the current run (cur, prev); a run is closed
+    when the value changes and once more by the finisher. An empty array
+    yields (0, '', 0, 0)."""
+    close = (
+        "'best_cnt', CASE WHEN acc.cur > acc.best_cnt THEN acc.cur "
+        "ELSE acc.best_cnt END, "
+        "'best_g', CASE WHEN acc.cur > acc.best_cnt THEN acc.prev "
+        "ELSE acc.best_g END, "
+        "'dup_occ', acc.dup_occ + CASE WHEN acc.cur >= 2 THEN acc.cur "
+        "ELSE CAST(0 AS BIGINT) END, "
+        "'dup_chars', acc.dup_chars + CASE WHEN acc.cur >= 2 "
+        "THEN acc.cur * length(acc.prev) ELSE CAST(0 AS BIGINT) END"
+    )
+    return (
+        f"aggregate({sorted_arr}, "
+        "named_struct("
+        "'best_cnt', CAST(0 AS BIGINT), 'best_g', '', "
+        "'dup_occ', CAST(0 AS BIGINT), 'dup_chars', CAST(0 AS BIGINT), "
+        "'cur', CAST(0 AS BIGINT), 'prev', CAST(NULL AS STRING)), "
+        "(acc, x) -> CASE WHEN acc.cur > 0 AND x = acc.prev THEN "
+        "named_struct("
+        "'best_cnt', acc.best_cnt, 'best_g', acc.best_g, "
+        "'dup_occ', acc.dup_occ, 'dup_chars', acc.dup_chars, "
+        "'cur', acc.cur + CAST(1 AS BIGINT), 'prev', x) "
+        f"ELSE named_struct({close}, 'cur', CAST(1 AS BIGINT), 'prev', x) "
+        "END, "
+        f"acc -> named_struct({close}))"
+    )
+
+
+def _grams_expr(tokens: str, n: int) -> str:
+    """SQL expr: the word n-grams of a token array, each gram the n
+    consecutive tokens joined by one space (identical construction to
+    operators/contamination._gram_rows). Fewer than n tokens -> empty."""
+    return (
+        f"CASE WHEN size({tokens}) < {n} THEN CAST(array() AS array<string>) "
+        f"ELSE transform(sequence(1, size({tokens}) - {n} + 1), "
+        f"i -> concat_ws(' ', slice({tokens}, i, {n}))) END"
+    )
+
+
+def _frac(num: Column, den: Column, cap: bool = False) -> Column:
+    """round(num / max(den,1), 6), optionally capped at 1.0 (see module
+    docstring on occurrence-weighted overlap)."""
+    ratio = num * F.lit(1.0) / F.greatest(den, F.lit(1))
+    if cap:
+        ratio = F.least(ratio, F.lit(1.0))
+    return F.round(ratio, 6)
+
+
+def repetition_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: Sequence[int] = (2, 3, 4),
+    dup_ns: Sequence[int] = (5, 10),
+    carry: Sequence[Column] = (),
+) -> DataFrame:
+    """Per-document repetition signal vector (module docstring for the
+    definitions). NULL text is treated as empty (all signals 0).
+
+    One row in, one row out; no shuffle, no Python — a chain of three
+    fused projections (text -> arrays -> run-scans -> fractions).
+    ``carry``: extra ALIASED columns evaluated against the input row
+    (e.g. functions/text.quality_features) and carried through to the
+    output, so one projection yields the whole per-doc feature vector."""
+    for n in (*top_ns, *dup_ns):
+        if n < 1:
+            raise ValueError(f"n-gram size must be >= 1, got {n}")
+
+    lines = (
+        "filter(transform(split(_t, '\\n'), s -> trim(s)), s -> s != '')"
+    )
+    tokens = (
+        "CASE WHEN length(trim(_t)) = 0 THEN CAST(array() AS array<string>) "
+        "ELSE split(trim(_t), '\\\\s+') END"
+    )
+
+    step = docs.select(
+        F.col(id_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+        *carry,
+    )
+    carry_names = [c for c in step.columns if c not in (id_col, "_t")]
+    step = step.select(
+        id_col,
+        F.expr("length(_t)").alias("_nc"),
+        F.expr(lines).alias("_lines"),
+        F.expr(tokens).alias("_toks"),
+        *carry_names,
+    )
+
+    scans = [
+        F.size("_lines").cast("long").alias("_n_lines"),
+        F.expr(
+            "aggregate(_lines, CAST(0 AS BIGINT), (a, s) -> a + length(s))"
+        ).alias("_line_chars"),
+        F.expr(_run_scan("array_sort(_lines)")).alias("_lscan"),
+    ]
+    for n in dict.fromkeys((*top_ns, *dup_ns)):  # ordered unique
+        scans.append(
+            F.expr(_run_scan(f"array_sort({_grams_expr('_toks', n)})"))
+            .alias(f"_g{n}")
+        )
+    step = step.select(id_col, "_nc", *scans, *carry_names)
+
+    out = [
+        F.col(id_col),
+        F.col("_n_lines").alias("n_lines"),
+        _frac(F.col("_lscan.dup_occ"), F.col("_n_lines"))
+        .alias("dup_line_frac"),
+        _frac(F.col("_lscan.dup_chars"), F.col("_line_chars"))
+        .alias("dup_line_char_frac"),
+    ]
+    for n in top_ns:
+        out.append(
+            _frac(
+                F.col(f"_g{n}.best_cnt") * F.length(F.col(f"_g{n}.best_g")),
+                F.col("_nc"),
+                cap=True,
+            ).alias(f"top{n}gram_char_frac")
+        )
+    for n in dup_ns:
+        out.append(
+            _frac(F.col(f"_g{n}.dup_chars"), F.col("_nc"), cap=True)
+            .alias(f"dup{n}gram_char_frac")
+        )
+    return step.select(*out, *carry_names)

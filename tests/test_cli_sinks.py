@@ -193,6 +193,44 @@ def test_cli_decontaminate(spark, tmp_path, capsys):
                  "--output", out, "--gram-tokens", "0"]) == 2
 
 
+def test_cli_docstats(spark, tmp_path, capsys):
+    """docstats CLI: signal columns, --quality carry-through, --keep-expr
+    kept-fraction accounting in --report-json, bad --top-ns exits 2."""
+    import json
+
+    import pandas as pd
+
+    from backupdeduplicator_spark.__main__ import main
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["a a a a",                      # repetitive
+                 "nav\nnav\nnav\ncontent here",  # duplicated lines
+                 " ".join(f"w{i}" for i in range(30))],  # clean
+    })
+    src = str(tmp_path / "docs.parquet")
+    out = str(tmp_path / "stats")
+    rep = str(tmp_path / "dsrep.json")
+    docs.to_parquet(src)
+    rc = main(["docstats", "--input", src, "--output", out, "--cores", "4",
+               "--quality", "--keep-expr",
+               "dup_line_frac < 0.5 AND top2gram_char_frac < 0.5",
+               "--report-json", rep])
+    assert rc == 0
+    got = {r["doc_id"]: r.asDict()
+           for r in spark.read.parquet(out).collect()}
+    assert got[0]["top2gram_char_frac"] == 1.0 and not got[0]["keep"]
+    assert got[1]["dup_line_frac"] == 0.75 and not got[1]["keep"]
+    assert got[2]["keep"]
+    assert got[2]["n_tokens"] == 30          # --quality carried through
+    assert "alpha_ratio" in got[2] and "n_bpe_tokens" in got[2]
+    j = json.loads(open(rep).read())
+    assert j["command"] == "docstats"
+    assert j["rows"] == 3 and j["kept"] == 1
+    assert main(["docstats", "--input", src, "--output", out,
+                 "--top-ns", "2,x"]) == 2
+
+
 def test_cli_report_json(spark, tmp_path):
     """--report-json writes the prose accounting as machine-readable
     JSON: row counts plus the dropped/capped numbers (r4 verdict item 8)

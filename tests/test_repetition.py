@@ -1,0 +1,92 @@
+"""Gopher-style repetition signals (operators/repetition.py): hand-computed
+expectations for every signal family, the 1.0 cap on overlapping grams, the
+deterministic tie-break, and NULL/empty handling. The relational oracle
+equality runs in test_entry_contract (rp1_repetition_signals)."""
+
+from __future__ import annotations
+
+import pytest
+
+from backupdeduplicator_spark.operators.repetition import repetition_signals
+
+ROWS = [
+    (0, "a a a a"),
+    (1, "x\n\n y \nx\nx"),
+    (2, None),
+    (3, ""),
+    (4, "one two three four five one two three four five extra"),
+    (5, "single"),
+    (6, "line1\nline1\nline2\nline2\nline2\nuniq"),
+]
+
+
+@pytest.fixture(scope="module")
+def sig(spark):
+    docs = spark.createDataFrame(ROWS, "doc_id long, text string")
+    rows = repetition_signals(docs).orderBy("doc_id").collect()
+    return {r.doc_id: r.asDict() for r in rows}
+
+
+def test_overlapping_grams_capped(sig):
+    # "a a a a": 2-gram "a a" occurs 3x overlapping -> 9 chars of a 7-char
+    # doc; occurrence weighting overcounts by design, the cap pins it.
+    r = sig[0]
+    assert r["top2gram_char_frac"] == 1.0
+    assert r["top3gram_char_frac"] == 1.0  # 2 * 5 = 10 / 7, capped
+    assert r["top4gram_char_frac"] == 1.0  # exactly the whole doc
+    assert r["dup5gram_char_frac"] == 0.0  # only 4 tokens
+    assert r["n_lines"] == 1 and r["dup_line_frac"] == 0.0
+
+
+def test_duplicate_lines(sig):
+    # lines trim to [x, y, x, x]: 3 of 4 occurrences are duplicated,
+    # 3 of 4 line characters.
+    r = sig[1]
+    assert r["n_lines"] == 4
+    assert r["dup_line_frac"] == 0.75
+    assert r["dup_line_char_frac"] == 0.75
+    # tokens [x, y, x, x]; every 2-gram unique; tie at count 1 breaks to
+    # the lexicographically smallest gram "x x" (3 chars of 10).
+    assert r["top2gram_char_frac"] == 0.3
+
+    r = sig[6]  # [line1 x2, line2 x3, uniq]
+    assert r["n_lines"] == 6
+    assert r["dup_line_frac"] == round(5 / 6, 6)
+    assert r["dup_line_char_frac"] == round(25 / 29, 6)  # "uniq" is 4 chars
+
+
+def test_duplicated_ngrams(sig):
+    # doc 4 (53 chars): the 5-gram "one two three four five" (23 chars)
+    # occurs twice among 7; all other 5-grams once.
+    r = sig[4]
+    assert r["dup5gram_char_frac"] == round(2 * 23 / 53, 6)
+    assert r["dup10gram_char_frac"] == 0.0  # 11 tokens -> 2 distinct 10-grams
+    # top-2-gram tie at count 2 breaks to "four five" (9 chars).
+    assert r["top2gram_char_frac"] == round(2 * 9 / 53, 6)
+
+
+def test_null_empty_and_single(sig):
+    for doc_id in (2, 3):
+        r = sig[doc_id]
+        assert r["n_lines"] == 0
+        assert all(
+            v == 0.0 for k, v in r.items()
+            if k not in ("doc_id", "n_lines")
+        )
+    r = sig[5]
+    assert r["n_lines"] == 1
+    assert r["top2gram_char_frac"] == 0.0  # one token, no 2-grams
+
+
+def test_zero_shuffle_plan(spark):
+    """The scale claim: the whole operator is a projection — no Exchange
+    anywhere in the optimized plan."""
+    docs = spark.createDataFrame(ROWS, "doc_id long, text string")
+    plan = repetition_signals(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Exchange" not in plan and "Repartition" not in plan
+
+
+def test_bad_n_rejected(spark):
+    docs = spark.createDataFrame(ROWS, "doc_id long, text string")
+    with pytest.raises(ValueError):
+        repetition_signals(docs, top_ns=(0,))
