@@ -434,6 +434,47 @@ def cmd_decontaminate(args) -> int:
     return 0
 
 
+def cmd_secrets(args) -> int:
+    """Secret/credential scan over a (.., content) table
+    (operators/secrets.py): default output = per-row counts per pattern
+    family; --redact instead rewrites the corpus with every match
+    replaced by <SECRET:kind>. Either way the per-family corpus totals
+    are printed (and land in --report-json)."""
+    spark = _spark(args)
+    from .operators.secrets import (redact_secrets, secret_counts,
+                                    secret_summary)
+
+    df = _read_input(spark, args.input)
+    keep = tuple(c.strip() for c in args.id_cols.split(",") if c.strip())
+    missing = [c for c in (*keep, args.text_col) if c not in df.columns]
+    if missing:
+        print(f"secrets: input lacks column(s) {missing}")
+        return 2
+    counts = secret_counts(df, text_col=args.text_col, keep_cols=keep)
+    if args.redact:
+        out = df.withColumn(args.text_col, redact_secrets(args.text_col))
+        out.write.mode("overwrite").parquet(args.output)
+    else:
+        counts.write.mode("overwrite").parquet(args.output)
+        counts = spark.read.parquet(args.output)  # reuse the written scan
+    summ = secret_summary(counts).collect()
+    n_rows = counts.count()
+    total = sum(r["n_matches"] for r in summ)
+    affected = {r["kind"]: [r["n_matches"], r["n_rows_affected"]]
+                for r in summ}
+    mode = "redacted" if args.redact else "counted"
+    print(f"secrets: {mode} {n_rows} rows, {total} matches -> "
+          f"{args.output}")
+    for r in summ:
+        if r["n_matches"]:
+            print(f"secrets:   {r['kind']}: {r['n_matches']} matches in "
+                  f"{r['n_rows_affected']} rows")
+    _emit_report(args, command="secrets", rows=int(n_rows),
+                 matches=int(total), by_kind=affected, redact=args.redact,
+                 output=args.output)
+    return 0
+
+
 def cmd_docstats(args) -> int:
     """Per-document repetition/quality signal vector — the Gopher-filter
     feature pass (operators/repetition.py, Rae et al. 2021 Table A1).
@@ -890,6 +931,20 @@ def main(argv: list[str] | None = None) -> int:
                          "more corpus docs than this — boilerplate-gram "
                          "skew guard")
     dc.set_defaults(fn=cmd_decontaminate)
+
+    sc = sub.add_parser("secrets", parents=[common])
+    sc.add_argument("--input", required=True,
+                    help="(.., content) table — parquet dir, .jsonl/.csv, "
+                         "or Iceberg identifier")
+    sc.add_argument("--output", required=True)
+    sc.add_argument("--text-col", default="content", dest="text_col")
+    sc.add_argument("--id-cols", default="repo,path", dest="id_cols",
+                    help="comma list of columns to carry into the "
+                         "counts output")
+    sc.add_argument("--redact", action="store_true",
+                    help="write the corpus with every match replaced by "
+                         "<SECRET:kind> instead of the counts table")
+    sc.set_defaults(fn=cmd_secrets)
 
     ds = sub.add_parser("docstats", parents=[common])
     ds.add_argument("--input", required=True,

@@ -1,0 +1,100 @@
+"""Secret / credential detection and redaction for source-code corpora.
+
+The standard code-pipeline hygiene pass (BigCode/StarCoder data cards,
+"PII redaction"; GitHub secret-scanning pattern families): a training
+corpus of scraped repositories must not teach the model real
+credentials. Not in the reference (which never looks inside file
+content beyond hashing) — this is the content-inspection sibling of the
+hash tiers, over the same (repo, path, content) tables.
+
+Pattern families (module constant ``SECRET_PATTERNS``): AWS access-key
+ids, GitHub tokens (classic + fine-grained prefixes), Slack tokens, PEM
+private-key headers, JWTs, emails, and IPv4 literals. Every pattern is
+written in the common Java-regex / RE2 subset — no lookarounds, no
+backreferences — so the DuckDB oracle evaluates the IDENTICAL pattern
+text (pinned by the sc1 contract query).
+
+Shape at 100 TB: detection is a pure per-row projection
+(``regexp_extract_all`` + ``size`` per family, all whole-stage codegen)
+— zero shuffles, zero Python, content never leaves the JVM. Redaction
+is a chain of ``regexp_replace`` in one projection. Aggregate corpus
+accounting is ONE partial-aggregated sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: (kind, pattern) — Java-regex AND RE2 compatible (shared subset).
+SECRET_PATTERNS: tuple[tuple[str, str], ...] = (
+    # AWS access key id: fixed 4-char prefix family + 16 uppercase/digit
+    ("aws_access_key", r"\b(AKIA|ASIA|ABIA|ACCA|AGPA|AIDA|AROA|ANPA)[A-Z0-9]{16}\b"),
+    # GitHub tokens: ghp_ (classic PAT), gho_/ghu_/ghs_/ghr_ (app), 36+ base62
+    ("github_token", r"\bgh[pousr]_[A-Za-z0-9]{36,255}\b"),
+    # fine-grained PAT
+    ("github_pat", r"\bgithub_pat_[A-Za-z0-9_]{82}\b"),
+    ("slack_token", r"\bxox[baprs]-[A-Za-z0-9-]{10,48}\b"),
+    ("private_key", r"-----BEGIN [A-Z ]*PRIVATE KEY-----"),
+    # JWT: three dot-separated base64url segments, header always 'eyJ'
+    ("jwt", r"\beyJ[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{5,}"),
+    ("email", r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+)
+
+_KINDS = tuple(k for k, _ in SECRET_PATTERNS)
+
+
+def secret_counts(
+    df: DataFrame,
+    text_col: str = "content",
+    keep_cols: tuple[str, ...] = ("repo", "path"),
+) -> DataFrame:
+    """Per-row secret counts: one ``n_<kind>`` column per pattern family
+    plus ``n_secrets`` (their sum) — a single zero-shuffle projection.
+    NULL text counts as clean."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+        .cast("long").alias(f"n_{kind}")
+        for kind, pat in SECRET_PATTERNS
+    ]
+    out = df.select(*keep_cols, *counts)
+    total = None
+    for kind in _KINDS:
+        c = F.col(f"n_{kind}")
+        total = c if total is None else total + c
+    return out.withColumn("n_secrets", total)
+
+
+def redact_secrets(col: str | Column, token: str = "<SECRET:{kind}>") -> Column:
+    """Replace every match of every pattern family with
+    ``token.format(kind=...)`` — one chained-``regexp_replace``
+    projection, order = SECRET_PATTERNS order (specific token families
+    before the generic email/ipv4 ones, so a credential inside an email
+    local part redacts as the credential)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for kind, pat in SECRET_PATTERNS:
+        c = F.regexp_replace(c, pat, token.format(kind=kind))
+    return c
+
+
+def secret_summary(counts: DataFrame) -> DataFrame:
+    """Corpus accounting over a ``secret_counts`` result: one row per
+    pattern family with the total match count and the number of
+    affected rows. One partial-aggregated job (the stack is a literal
+    8xN expansion, not a shuffle per family)."""
+    pairs = ", ".join(f"'{k}', named_struct('n', n_{k}, "
+                      f"'hit', CASE WHEN n_{k} > 0 THEN 1 ELSE 0 END)"
+                      for k in _KINDS)
+    exploded = counts.select(
+        F.explode(F.expr(f"map({pairs})")).alias("kind", "s")
+    )
+    return (
+        exploded.groupBy("kind")
+        .agg(
+            F.sum("s.n").alias("n_matches"),
+            F.sum("s.hit").alias("n_rows_affected"),
+        )
+        .orderBy("kind")
+    )
