@@ -293,6 +293,9 @@ def cmd_docdedup(args) -> int:
     from .functions.hashing import sha256_hex
 
     spark = _spark(args)
+    if args.decisions and args.tier != "minhash":
+        print("docdedup: --decisions applies to --tier minhash only")
+        return 2
     docs = spark.read.parquet(args.input)
     report: dict = {}
     if args.tier == "exact":
@@ -312,10 +315,32 @@ def cmd_docdedup(args) -> int:
             F.col(args.id_col).cast("string").alias("path"),
             F.col(args.text_col).alias("content"),
         )
-        out = near_duplicate_clusters(
+        clusters = near_duplicate_clusters(
             corpus, sim_threshold=args.threshold, report=report,
             sig_scheme=args.sig_scheme,
-        ).select(F.col("path").alias("id"), "component")
+        )
+        if args.decisions:
+            # keep-best canonicalization: one surviving row per
+            # near-dup cluster / exact-dup group (argmax text length,
+            # deterministic id tie-break) — the actionable corpus edit
+            from .operators.dedup_extra import dedup_decisions
+
+            lab = clusters.groupBy("component").agg(
+                F.min("id").alias("cluster"))
+            relabeled = clusters.join(lab, "component").select(
+                "id", "cluster")
+            with_ids = docs.select(
+                F.col(args.id_col),
+                sha256_hex(args.text_col).alias("_hash"),
+                F.col(args.text_col),
+            )
+            out = dedup_decisions(
+                with_ids, relabeled,
+                quality=f"coalesce(length({args.text_col}), -1)",
+                id_col="_hash", key_cols=(args.id_col,),
+            ).withColumnRenamed("id", "hash_hex")
+        else:
+            out = clusters.select(F.col("path").alias("id"), "component")
     elif args.tier == "simhash":
         from .operators.dedup_extra import simhash_pairs
 
@@ -384,10 +409,15 @@ def cmd_docdedup(args) -> int:
             print(f"docdedup: WARNING {dropped} oversized buckets/"
                   f"fingerprints dropped ({drows} member rows) — raise the "
                   f"cap to trade runtime for recall")
+    kept = None
+    if args.decisions:
+        kept = int(spark.read.parquet(args.output)
+                   .agg(F.sum("keep")).collect()[0][0] or 0)
+        print(f"docdedup: decisions keep {kept}/{n} rows")
     print(f"docdedup[{args.tier}]: {n} rows -> {args.output}")
     _emit_report(args, command="docdedup", tier=args.tier, rows=n,
                  output=args.output, dropped_buckets=int(dropped),
-                 dropped_member_rows=drows)
+                 dropped_member_rows=drows, kept=kept)
     return 0
 
 
@@ -472,6 +502,77 @@ def cmd_secrets(args) -> int:
     _emit_report(args, command="secrets", rows=int(n_rows),
                  matches=int(total), by_kind=affected, redact=args.redact,
                  output=args.output)
+    return 0
+
+
+def cmd_sample(args) -> int:
+    """Deterministic selection over any (key, ...) table
+    (operators/sampling.py): --splits appends a stable hash-boundary
+    train/val/test assignment; --cap N --stratify-cols c1,c2 appends
+    in_cap (the N smallest hash draws per stratum). Both are pure
+    functions of (key, salt) — rerunning on any cluster size, after any
+    repartition, reproduces the byte-identical selection."""
+    spark = _spark(args)
+    from .operators.sampling import split_assign, stratified_cap
+
+    df = _read_input(spark, args.input)
+    if args.key_col not in df.columns:
+        print(f"sample: input lacks key column '{args.key_col}'")
+        return 2
+    splits: dict[str, float] = {}
+    if args.splits:
+        try:
+            for part in args.splits.split(","):
+                name, _, w = part.partition("=")
+                splits[name.strip()] = float(w)
+        except ValueError:
+            print(f"sample: cannot parse --splits '{args.splits}' "
+                  f"(want name=weight,name=weight,...)")
+            return 2
+    strata = [c.strip() for c in args.stratify_cols.split(",") if c.strip()]
+    if args.cap and not strata:
+        print("sample: --cap requires --stratify-cols")
+        return 2
+    if not splits and not args.cap:
+        print("sample: nothing to do — give --splits and/or "
+              "--cap + --stratify-cols")
+        return 2
+    missing = [c for c in strata if c not in df.columns]
+    if missing:
+        print(f"sample: input lacks stratify column(s) {missing}")
+        return 2
+    out = df
+    if splits:
+        try:
+            out = split_assign(out, args.key_col, splits,
+                               salt=f"{args.salt}split")
+        except ValueError as e:
+            print(f"sample: {e}")
+            return 2
+    if args.cap:
+        out = stratified_cap(
+            out, strata, args.cap, args.key_col, salt=f"{args.salt}cap",
+            approx_threshold=args.approx_threshold or None,
+        )
+    out.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    if args.cap:
+        aggs.append(F.sum("in_cap").alias("kept"))
+    stats = written.agg(*aggs).collect()[0]
+    by_split = {}
+    if splits:
+        by_split = {r["split"]: r["n"] for r in written.groupBy("split")
+                    .agg(F.count(F.lit(1)).alias("n")).collect()}
+        print(f"sample: split counts {by_split}")
+    if args.cap:
+        print(f"sample: quota kept {stats['kept']}/{stats['rows']} rows "
+              f"(cap {args.cap} per {'+'.join(strata)})")
+    print(f"sample: {stats['rows']} rows -> {args.output}")
+    _emit_report(args, command="sample", rows=int(stats["rows"]),
+                 by_split=by_split,
+                 kept=int(stats["kept"]) if args.cap else None,
+                 cap=args.cap or None, output=args.output)
     return 0
 
 
@@ -906,6 +1007,11 @@ def main(argv: list[str] | None = None) -> int:
                          "exact suffix-automaton LCS kernel and keep pairs "
                          "whose longest shared run is >= this many UTF-8 "
                          "bytes")
+    dd.add_argument("--decisions", action="store_true",
+                    help="minhash tier: emit keep-best canonicalization "
+                         "decisions (one keep=1 row per near-dup cluster "
+                         "/ exact-dup group, argmax text length) instead "
+                         "of the raw cluster table")
     dd.set_defaults(fn=cmd_docdedup)
 
     dc = sub.add_parser("decontaminate", parents=[common])
@@ -945,6 +1051,33 @@ def main(argv: list[str] | None = None) -> int:
                     help="write the corpus with every match replaced by "
                          "<SECRET:kind> instead of the counts table")
     sc.set_defaults(fn=cmd_secrets)
+
+    sa = sub.add_parser("sample", parents=[common])
+    sa.add_argument("--input", required=True,
+                    help="any keyed table — parquet dir, .jsonl/.csv, or "
+                         "Iceberg identifier")
+    sa.add_argument("--output", required=True)
+    sa.add_argument("--key-col", default="doc_id", dest="key_col",
+                    help="row-identity column the hash draws derive from")
+    sa.add_argument("--splits", default="",
+                    help="stable split assignment: name=weight comma "
+                         "list summing to 1, e.g. "
+                         "train=0.8,val=0.1,test=0.1")
+    sa.add_argument("--stratify-cols", default="", dest="stratify_cols",
+                    help="comma list of stratum columns for --cap")
+    sa.add_argument("--cap", type=int, default=0,
+                    help="keep at most N rows per stratum (the N "
+                         "smallest hash draws; in_cap column)")
+    sa.add_argument("--approx-threshold", type=int, default=0,
+                    dest="approx_threshold",
+                    help="mega-stratum prefilter: strata above this row "
+                         "count are hash-thresholded before the quota "
+                         "rank (see operators/sampling.py for the "
+                         "exactness bound)")
+    sa.add_argument("--salt", default="",
+                    help="prefix folded into both hash salts — a new "
+                         "salt is a fresh independent draw")
+    sa.set_defaults(fn=cmd_sample)
 
     ds = sub.add_parser("docstats", parents=[common])
     ds.add_argument("--input", required=True,

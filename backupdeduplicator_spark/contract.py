@@ -786,6 +786,64 @@ def q_near_dup_clusters(d: D) -> str:
     return _near_dup_closure_sql(d, _files_cte(d), "files")
 
 
+def q_d4_dedup_keep_best(d: D) -> str:
+    """Keep-best canonicalization (dedup_extra.dedup_decisions) over the
+    flagship near-dup clustering: every file joins its cluster label
+    (else its own content id), and within each group exactly one row
+    survives — argmax quality (= content length), ties to the
+    lexicographically greatest (repo, path). The oracle re-derives the
+    FULL pipeline (shingles → 128-perm signatures → banding → closure)
+    via _near_dup_closure_sql and applies the decision rule as a window;
+    the engine twin runs the real operator, whose skew-safe
+    max(struct)-argmax must agree with the window formulation row for
+    row. DuckDB dialect only; the Spark side is ENGINE_BACKED."""
+    tail = """, decisions_base AS (
+  SELECT fh.repo, fh.path, fh.id,
+    COALESCE(l.cluster, fh.id) AS grp_id,
+    CAST(COALESCE(length(fh.content), -1) AS BIGINT) AS quality
+  FROM fh LEFT JOIN labels l ON fh.id = l.id
+), ranked AS (
+  SELECT repo, path, id, grp_id,
+    ROW_NUMBER() OVER (PARTITION BY grp_id
+      ORDER BY quality DESC, repo DESC, path DESC) AS rn,
+    COUNT(*) OVER (PARTITION BY grp_id) AS nm
+  FROM decisions_base
+)
+SELECT repo, path, id, grp_id, CAST(nm AS BIGINT) AS n_members,
+  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS keep
+FROM ranked"""
+    return _near_dup_closure_sql(d, _files_cte(d), "files", tail=tail)
+
+
+def q_sp1_split_stratified(d: D) -> str:
+    """Deterministic corpus split + per-source quota
+    (operators/sampling.py): split by the first 8 hex chars of
+    md5(doc_id ':split') against cumulative-weight thresholds
+    (train/val/test = .8/.1/.1), quota = the 50 smallest
+    md5(doc_id ':cap') draws per source. Both engines agree on md5's
+    hex output byte for byte, so the oracle evaluates the same
+    expressions — any mismatch is a real selection-semantics bug.
+    DuckDB dialect only; the Spark side runs the real operators
+    (ENGINE_BACKED)."""
+    from .operators.sampling import _hex32
+
+    t_train, t_val = _hex32(0.8), _hex32(0.9)
+    return f"""
+WITH h AS (
+  SELECT doc_id, source,
+    substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8) AS hs,
+    substr(md5(CAST(doc_id AS VARCHAR) || ':cap'), 1, 8) AS hc
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN hs < '{t_train}' THEN 'train'
+       WHEN hs < '{t_val}' THEN 'val' ELSE 'test' END AS split,
+  CAST(CASE WHEN ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY hc, doc_id) <= 50
+    THEN 1 ELSE 0 END AS INT) AS in_cap
+FROM h
+"""
+
+
 def q_ct1_contamination(d: D) -> str:
     """Benchmark decontamination (operators/contamination.py): the
     benchmark is a planted 25-token slice (tokens 4..28) of every 13th
@@ -943,7 +1001,8 @@ def q_d3_near_dup_oph(d: D) -> str:
 
 
 def _near_dup_closure_sql(
-    d: D, prelude: str, src: str, scheme: str = "perm128"
+    d: D, prelude: str, src: str, scheme: str = "perm128",
+    tail: str | None = None,
 ) -> str:
     """The full MinHash/LSH/CC pipeline as DuckDB SQL over any source
     CTE exposing (repo, path, content) — shared by the flagship
@@ -1008,6 +1067,9 @@ dens AS (
 ), s AS (SELECT * FROM sig UNION ALL SELECT * FROM empty_sig)"""
     else:
         raise ValueError(f"unknown scheme {scheme!r}")
+    if tail is None:
+        tail = ("SELECT fh.repo, fh.path, fh.id, l.cluster "
+                "FROM fh JOIN labels l ON fh.id = l.id")
     return f"""
 {prelude}, fh AS (
   SELECT repo, path, {d.sha256('content')} AS id, content FROM {src}
@@ -1048,7 +1110,7 @@ eq AS (
 ), labels AS (
   SELECT a AS id, LEAST(a, MIN(b)) AS cluster FROM closure GROUP BY a
 )
-SELECT fh.repo, fh.path, fh.id, l.cluster FROM fh JOIN labels l ON fh.id = l.id
+{tail}
 """
 
 
@@ -1303,6 +1365,8 @@ SQL_QUERIES: dict[str, Callable[[D], str]] = {
     "x6_exact_substring_spans": q_x6_exact_substring_spans,
     "near_dup_clusters": q_near_dup_clusters,
     "d3_near_dup_oph": q_d3_near_dup_oph,
+    "d4_dedup_keep_best": q_d4_dedup_keep_best,
+    "sp1_split_stratified": q_sp1_split_stratified,
     "ct1_contamination": q_ct1_contamination,
     "rp1_repetition_signals": q_rp1_repetition_signals,
     "sc1_secret_counts": q_sc1_secret_counts,
@@ -1873,6 +1937,53 @@ def _spark_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 ENGINE_BACKED["x2_substring_dup_pairs"] = _spark_substring_pairs
 ENGINE_BACKED["x6_exact_substring_spans"] = _spark_exact_substring_spans
 ENGINE_BACKED["near_dup_clusters"] = _spark_near_dup_clusters
+
+
+def _spark_d4_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine twin for d4: the real near-dup pipeline feeding the real
+    dedup_decisions operator — its two-phase max(struct) argmax (no
+    windows, mega-group-safe) must agree with the oracle's
+    row_number-window formulation exactly."""
+    from .operators.dedup_extra import dedup_decisions
+    from .operators.minhash import near_duplicate_clusters
+    from .sources.tables import files_df
+
+    files = files_df(spark, sf_dir).withColumn("commit", F.lit("")).withColumn(
+        "lang", F.lit("")
+    )
+    from .functions.hashing import sha256_hex
+
+    clusters = near_duplicate_clusters(files)
+    lab = clusters.groupBy("component").agg(F.min("id").alias("cluster"))
+    relabeled = clusters.join(lab, "component").select("id", "cluster")
+    with_ids = files.select(
+        "repo", "path", sha256_hex("content").alias("id"), "content"
+    )
+    return dedup_decisions(with_ids, relabeled)
+
+
+ENGINE_BACKED["d4_dedup_keep_best"] = _spark_d4_dedup_keep_best
+
+
+def _spark_sp1_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine twin for sp1: split_assign + stratified_cap over the raw
+    documents table — md5-hex bucketing evaluated by Spark's JVM md5,
+    checked byte-for-byte against DuckDB's."""
+    from .operators.sampling import split_assign, stratified_cap
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    out = split_assign(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    out = stratified_cap(out, ["source"], cap=50, key_col="doc_id")
+    return out.select(
+        "doc_id", "split", F.col("in_cap").cast("int").alias("in_cap")
+    )
+
+
+ENGINE_BACKED["sp1_split_stratified"] = _spark_sp1_split_stratified
 
 
 def _spark_d3_near_dup_oph(spark: SparkSession, sf_dir: str) -> DataFrame:

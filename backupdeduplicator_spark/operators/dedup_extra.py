@@ -466,3 +466,65 @@ def cluster_quality_report(
         .select("cluster", "n_members", "n_checked_pairs",
                 "min_jaccard", "avg_jaccard")
     )
+
+
+def dedup_decisions(
+    files: DataFrame,
+    clusters: DataFrame,
+    quality: str = "coalesce(length(content), -1)",
+    id_col: str = "id",
+    key_cols: tuple[str, ...] = ("repo", "path"),
+) -> DataFrame:
+    """Keep-best canonicalization — the decision step that turns a
+    clustering into an actionable corpus edit (the last stage of every
+    near-dedup pipeline: Lee et al. 2022 keep one member per cluster;
+    RefinedWeb / SlimPajama data cards describe the same argmax-quality
+    rule). Each row is assigned a duplicate group:
+
+      * its near-dup cluster label when the content is in one, else
+      * its own content id — so EXACT duplicates (same hash, never
+        surfaced by the near-dup tier when they're near nothing else)
+        still collapse to one kept copy, and uniques keep trivially.
+
+    Within each group exactly ONE row survives: the argmax of
+    ``quality`` (any SQL expression over the input columns; default =
+    content length), ties broken by the lexicographically greatest
+    ``key_cols`` — fully deterministic, no RNG, no arrival order.
+
+    Returns ``key_cols + (id, grp_id, n_members, keep)`` with keep as
+    int 0/1, one row per input row.
+
+    Shape at 100 TB: NO windows — a window over the duplicate group
+    would put a mega-group (the empty-file / license-blob hash, easily
+    10^8 rows) in one task. The argmax is ``max(struct(quality, *keys))``
+    — a two-phase partial aggregation that reduces map-side, so the
+    mega-group costs one struct per upstream partition. The join back
+    is an equi-join on the group key (AQE splits the skewed build
+    rows); ``clusters`` joins on content id, not row key, so its size
+    is bounded by distinct contents.
+
+    ``clusters``: (id, cluster) rows — e.g. the relabeled output of
+    minhash.near_duplicate_clusters; extra columns are ignored and
+    duplicate (id, cluster) rows are collapsed.
+    """
+    if "id" in key_cols and id_col != "id":
+        raise ValueError(
+            "key_cols may not contain 'id' — that name is reserved for "
+            "the content-id output column"
+        )
+    q = F.expr(quality)
+    base = files.select(
+        *key_cols, F.col(id_col).alias("id"), q.cast("long").alias("quality")
+    )
+    lab = clusters.select("id", "cluster").distinct()
+    g = base.join(lab, "id", "left").withColumn(
+        "grp_id", F.coalesce("cluster", F.col("id"))
+    )
+    pick = F.struct("quality", *key_cols)
+    canon = g.groupBy("grp_id").agg(
+        F.max(pick).alias("_best"), F.count(F.lit(1)).alias("n_members")
+    )
+    out = g.join(canon, "grp_id").withColumn(
+        "keep", F.when(pick == F.col("_best"), 1).otherwise(0)
+    )
+    return out.select(*key_cols, "id", "grp_id", "n_members", "keep")

@@ -1,0 +1,143 @@
+"""Deterministic corpus splitting and stratified quota sampling.
+
+The two selection primitives every large-scale training-data pipeline
+needs downstream of dedup (C4 / The Pile / RefinedWeb data cards all
+describe both): (a) a STABLE train/validation/test assignment — the
+same row must land in the same split on every run, on any cluster
+size, after any repartition, so the split must be a pure function of
+the row's identity, never of Spark's partitioning or an RNG stream;
+(b) per-stratum quota capping ("at most N documents per domain/source")
+so mega-sources don't dominate the mix.
+
+Not in the reference (which selects nothing — it reports duplicates);
+this is the decision sibling of the dedup tiers, over the same tables.
+
+Determinism scheme: ``md5(key || ':' || salt)`` and take the first 8
+hex characters — an integer uniform in [0, 2^32) written in fixed-width
+lowercase hex, so LEXICOGRAPHIC comparison equals numeric comparison
+and the whole assignment stays a zero-shuffle JVM projection
+(``F.md5`` is whole-stage-codegen; no Python, no UDF). md5 rather than
+xxhash64 because every SQL engine agrees on md5's hex output — the
+DuckDB oracle (contract.py sp1) evaluates the same expression text —
+while DuckDB's ``hash()`` is a different function entirely.
+
+Shape at 100 TB: ``split_assign`` is a pure per-row projection (zero
+shuffles, trivially scale-free). ``stratified_cap`` needs a per-stratum
+rank, i.e. one shuffle on the stratum key; the rank-by-hash ordering
+makes the KEPT set stable under growth (a row kicked out by new
+arrivals is the highest-hash one, not a random victim). A mega-stratum
+puts its rows in one partition for the window — at 10^9-row strata,
+pre-filter with ``approx_threshold`` (below): a per-stratum count
+(two-phase agg, skew-free) turns the quota into a hash threshold that
+discards the overflow BEFORE the window sees it, so the window ranks
+at most ~cap * (1 + slack) rows per stratum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["hash_bucket_hex", "split_assign", "stratified_cap"]
+
+
+def _hex32(fraction: float) -> str:
+    """The 8-char lowercase hex threshold t with P(h8 < t) = fraction
+    for h8 uniform over 8-char hex strings."""
+    return format(min(int(fraction * 2**32), 2**32 - 1), "08x")
+
+
+def hash_bucket_hex(key: Column | str, salt: str = "") -> Column:
+    """First 8 hex chars of md5(key ':' salt) — a deterministic uniform
+    draw in [0, 2^32) as a fixed-width lowercase hex string (see module
+    docstring for why hex-string compare, and why md5)."""
+    k = F.col(key) if isinstance(key, str) else key
+    return F.substring(F.md5(F.concat(k.cast("string"), F.lit(f":{salt}"))), 1, 8)
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Append a stable split-assignment column: each row lands in split
+    s with probability weights[s], as a pure function of (key, salt).
+
+    ``weights`` must sum to ~1 (validated); assignment boundaries are
+    the cumulative-weight thresholds in hash space, so enlarging one
+    split's weight only MOVES rows across the adjacent boundary —
+    train rows never reshuffle among themselves (the monotone-split
+    property the fixed-boundary scheme exists for).
+    """
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1 (got {total})")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("split weights must be non-negative")
+    h = hash_bucket_hex(key_col, salt)
+    expr: Column | None = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = h < F.lit(_hex32(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, out)
+
+
+def stratified_cap(
+    df: DataFrame,
+    stratum_cols: tuple[str, ...] | list[str],
+    cap: int,
+    key_col: str,
+    salt: str = "cap",
+    keep_col: str = "in_cap",
+    approx_threshold: int | None = None,
+) -> DataFrame:
+    """Append ``keep_col`` (int 0/1): 1 for the ``cap`` rows of each
+    stratum with the smallest (hash, key) draw, 0 for the overflow.
+
+    Rank-by-hash (not rank-by-arrival) makes the kept set deterministic
+    and stable: re-running on a superset corpus keeps the same winners
+    until new rows draw a smaller hash. Ties are impossible while keys
+    are unique within a stratum (the hash-equal case falls back to the
+    key itself, pinned in the ORDER BY).
+
+    ``approx_threshold``: when a stratum may exceed this many rows, a
+    pre-pass counts strata (two-phase agg) and discards rows whose hash
+    falls above ~cap/count * 4 in hash space before the window — the
+    window then ranks a bounded sample per stratum instead of the full
+    mega-stratum. Overflow discarded this way is provably keep_col=0
+    (its rank exceeds cap with probability 1 - exp(-3cap/2), Chernoff;
+    slack 4x keeps the miss probability < 1e-9 for cap >= 32) — for
+    small caps where that bound is loose, leave it None (exact) or
+    raise the slack by passing a larger threshold.
+    """
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    strata = list(stratum_cols)
+    h = hash_bucket_hex(key_col, salt)
+    work = df.withColumn("_h8", h)
+    if approx_threshold is not None:
+        counts = work.groupBy(*strata).agg(F.count(F.lit(1)).alias("_n"))
+        work = work.join(counts, strata)
+        frac = F.least(F.lit(1.0), F.lit(4.0 * cap) / F.col("_n"))
+        # fixed-width hex threshold per row; lexicographic == numeric
+        thr = F.lpad(F.hex((frac * F.lit(float(2**32 - 1))).cast("long")), 8, "0")
+        pre_keep = (F.col("_n") <= F.lit(approx_threshold)) | (
+            F.col("_h8") <= F.lower(thr)
+        )
+        kept = work.filter(pre_keep)
+        dropped = work.filter(~pre_keep).withColumn(keep_col, F.lit(0))
+    else:
+        kept, dropped = work, None
+    w = Window.partitionBy(*strata).orderBy("_h8", key_col)
+    ranked = kept.withColumn(
+        keep_col, F.when(F.row_number().over(w) <= cap, 1).otherwise(0)
+    )
+    out = ranked if dropped is None else ranked.unionByName(dropped)
+    return out.drop("_h8", "_n")

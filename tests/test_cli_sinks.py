@@ -629,3 +629,78 @@ def test_cli_forkdetect_approx_band_warning(spark, tmp_path, capsys):
     msg = capsys.readouterr().out
     assert "signature-band" in msg and "CLUSTER" in msg
     assert spark.read.parquet(out).count() == 0  # all buckets dropped
+
+
+def test_cli_sample(spark, tmp_path):
+    """sample CLI: split + stratified cap columns, report accounting,
+    validation exits."""
+    import json
+
+    import pandas as pd
+
+    from backupdeduplicator_spark.__main__ import main
+
+    docs = pd.DataFrame({
+        "doc_id": range(120),
+        "source": [f"s{i % 3}" for i in range(120)],
+    })
+    src = str(tmp_path / "docs.parquet")
+    docs.to_parquet(src)
+    out = str(tmp_path / "sampled")
+    rep = str(tmp_path / "samplerep.json")
+    rc = main(["sample", "--input", src, "--output", out,
+               "--splits", "train=0.8,val=0.1,test=0.1",
+               "--stratify-cols", "source", "--cap", "10",
+               "--cores", "4", "--report-json", rep])
+    assert rc == 0
+    got = spark.read.parquet(out).toPandas()
+    assert set(got.columns) == {"doc_id", "source", "split", "in_cap"}
+    assert set(got.split.unique()) <= {"train", "val", "test"}
+    assert (got.groupby("source").in_cap.sum() == 10).all()
+    j = json.loads(open(rep).read())
+    assert j["rows"] == 120 and j["kept"] == 30
+    assert sum(j["by_split"].values()) == 120
+    # validation: bad splits / missing column / no-op both exit 2
+    assert main(["sample", "--input", src, "--output", out,
+                 "--splits", "a=0.5,b=x"]) == 2
+    assert main(["sample", "--input", src, "--output", out,
+                 "--splits", "a=0.5,b=0.1"]) == 2
+    assert main(["sample", "--input", src, "--output", out,
+                 "--cap", "5"]) == 2
+    assert main(["sample", "--input", src, "--output", out]) == 2
+    assert main(["sample", "--input", src, "--output", out,
+                 "--splits", "a=1.0", "--key-col", "nope"]) == 2
+
+
+def test_cli_docdedup_decisions(spark, tmp_path):
+    """docdedup --decisions: keep-best rows over minhash clusters +
+    exact-dup collapse; rejected for non-minhash tiers."""
+    import pandas as pd
+
+    from backupdeduplicator_spark.__main__ import main
+
+    base = ("def f(x):\n    return x + 1\n" * 30)
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            base,                           # near-dup cluster ...
+            base + "# trailing comment\n",  # ... longest -> keep
+            "unique tiny doc",
+            "exact pair", "exact pair",     # exact dups, no cluster
+        ],
+    })
+    src = str(tmp_path / "ddocs.parquet")
+    docs.to_parquet(src)
+    out = str(tmp_path / "decisions")
+    rc = main(["docdedup", "--input", src, "--output", out,
+               "--tier", "minhash", "--decisions", "--cores", "4"])
+    assert rc == 0
+    got = spark.read.parquet(out).toPandas().set_index("doc_id")
+    assert set(got.columns) == {"hash_hex", "grp_id", "n_members", "keep"}
+    assert got.loc[2].keep == 1 and got.loc[1].keep == 0
+    assert got.loc[1].n_members == 2
+    assert got.loc[3].keep == 1
+    assert sorted(got.loc[[4, 5]].keep) == [0, 1]
+    assert got.keep.sum() == 3
+    assert main(["docdedup", "--input", src, "--output", out,
+                 "--tier", "exact", "--decisions"]) == 2

@@ -1,0 +1,185 @@
+"""Deterministic split / stratified quota (operators/sampling.py) and
+keep-best dedup decisions (dedup_extra.dedup_decisions).
+
+Driver-level parity (engine vs the DuckDB window formulation) is pinned
+by the sp1/d4 contract queries; these tests pin the SEMANTIC properties
+the SQL twin can't express: split monotonicity under weight growth,
+quota stability under corpus growth, approx-prefilter exactness, and
+the decision invariants (one keep per group, exact-dup collapse,
+deterministic tie-break).
+"""
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from backupdeduplicator_spark.operators.dedup_extra import dedup_decisions
+from backupdeduplicator_spark.operators.sampling import (
+    _hex32, split_assign, stratified_cap)
+
+
+def _docs(spark, n=400, sources=4):
+    pdf = pd.DataFrame({
+        "doc_id": range(n),
+        "source": [f"s{i % sources}" for i in range(n)],
+    })
+    return spark.createDataFrame(pdf)
+
+
+def _md5h8(key, salt):
+    return hashlib.md5(f"{key}:{salt}".encode()).hexdigest()[:8]
+
+
+def test_split_assign_matches_reference_hash(spark):
+    out = split_assign(
+        _docs(spark), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).toPandas()
+    t_train, t_val = _hex32(0.8), _hex32(0.9)
+    for r in out.itertuples():
+        h = _md5h8(r.doc_id, "split")
+        want = "train" if h < t_train else ("val" if h < t_val else "test")
+        assert r.split == want
+    # rough distribution sanity on 400 rows
+    frac = (out["split"] == "train").mean()
+    assert 0.7 < frac < 0.9
+
+
+def test_split_assign_monotone_under_weight_growth(spark):
+    """Raising train's weight only converts OTHER rows to train — no row
+    already in train moves (the fixed-boundary property)."""
+    docs = _docs(spark)
+    a = split_assign(docs, "doc_id", {"train": 0.6, "rest": 0.4}).toPandas()
+    b = split_assign(docs, "doc_id", {"train": 0.8, "rest": 0.2}).toPandas()
+    j = a.merge(b, on="doc_id", suffixes=("_a", "_b"))
+    moved = j[j.split_a != j.split_b]
+    assert (moved.split_a == "rest").all() and (moved.split_b == "train").all()
+    assert len(moved) > 0  # boundaries actually shifted
+
+
+def test_split_assign_validates_weights(spark):
+    docs = _docs(spark, 10)
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_assign(docs, "doc_id", {"a": 0.5, "b": 0.1})
+    with pytest.raises(ValueError, match="non-negative"):
+        split_assign(docs, "doc_id", {"a": 1.2, "b": -0.2})
+
+
+def test_stratified_cap_exact_winners(spark):
+    """in_cap=1 rows per stratum are exactly the cap smallest
+    (md5 hash, key) draws, computed independently in pandas."""
+    docs = _docs(spark, 300, sources=3)
+    out = stratified_cap(docs, ["source"], cap=20, key_col="doc_id").toPandas()
+    pdf = docs.toPandas()
+    pdf["h"] = pdf.doc_id.map(lambda k: _md5h8(k, "cap"))
+    for src, grp in pdf.groupby("source"):
+        want = set(grp.sort_values(["h", "doc_id"]).head(20).doc_id)
+        got = set(out[(out.source == src) & (out.in_cap == 1)].doc_id)
+        assert got == want
+    # strata smaller than the cap keep everything
+    tiny = stratified_cap(
+        _docs(spark, 30, sources=10), ["source"], cap=20, key_col="doc_id"
+    ).toPandas()
+    assert (tiny.in_cap == 1).all()
+
+
+def test_stratified_cap_stable_under_growth(spark):
+    """Adding rows never evicts a kept row in favor of arrival order —
+    only a strictly smaller hash draw can displace a winner."""
+    small = _docs(spark, 200, sources=2)
+    big = _docs(spark, 400, sources=2)
+    ks = stratified_cap(small, ["source"], cap=15, key_col="doc_id").toPandas()
+    kb = stratified_cap(big, ["source"], cap=15, key_col="doc_id").toPandas()
+    kept_small = set(ks[ks.in_cap == 1].doc_id)
+    kept_big = set(kb[kb.in_cap == 1].doc_id)
+    # every winner dropped in the bigger corpus lost to a smaller hash,
+    # never to a later-arriving larger one
+    evicted = kept_small - kept_big
+    surv = kb[kb.in_cap == 1].copy()
+    surv["h"] = surv.doc_id.map(lambda k: _md5h8(k, "cap"))
+    max_kept = surv.groupby("source")["h"].max()
+    for d in evicted:
+        src = f"s{d % 2}"
+        assert _md5h8(d, "cap") > max_kept[src]
+
+
+def test_stratified_cap_approx_prefilter_exact(spark):
+    """The mega-stratum prefilter path returns the identical in_cap
+    assignment as the exact window (cap=32 clears the Chernoff bound the
+    docstring states)."""
+    docs = _docs(spark, 500, sources=2)  # 250 rows/stratum
+    exact = stratified_cap(
+        docs, ["source"], cap=32, key_col="doc_id"
+    ).toPandas().sort_values("doc_id").reset_index(drop=True)
+    approx = stratified_cap(
+        docs, ["source"], cap=32, key_col="doc_id", approx_threshold=100
+    ).toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        exact[["doc_id", "in_cap"]], approx[["doc_id", "in_cap"]]
+    )
+    assert (approx.groupby("source").in_cap.sum() == 32).all()
+
+
+def _decision_corpus(spark):
+    rows = [
+        # near-dup cluster c1: three distinct contents, quality by length
+        ("r1", "a.txt", "h1", "xxxxxxxxxx"),
+        ("r1", "b.txt", "h2", "xxxxxxxxxxxxxx"),     # longest -> keep
+        ("r2", "c.txt", "h3", "xxxxxx"),
+        # exact-dup group (no cluster): same hash twice -> one keep
+        ("r1", "d.txt", "h4", "same"),
+        ("r2", "d.txt", "h4", "same"),
+        # unique file -> keeps trivially
+        ("r3", "e.txt", "h5", "unique"),
+    ]
+    files = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["repo", "path", "id", "content"])
+    )
+    clusters = spark.createDataFrame(
+        pd.DataFrame({"id": ["h1", "h2", "h3"], "cluster": ["h1"] * 3})
+    )
+    return files, clusters
+
+
+def test_dedup_decisions_semantics(spark):
+    files, clusters = _decision_corpus(spark)
+    out = dedup_decisions(files, clusters).toPandas()
+    by_key = {(r.repo, r.path): r for r in out.itertuples()}
+    # exactly one keep per group
+    assert out.groupby("grp_id").keep.sum().eq(1).all()
+    # cluster winner = longest content
+    assert by_key[("r1", "b.txt")].keep == 1
+    assert by_key[("r1", "a.txt")].keep == 0
+    assert by_key[("r2", "c.txt")].keep == 0
+    assert by_key[("r1", "a.txt")].grp_id == "h1"
+    assert by_key[("r1", "a.txt")].n_members == 3
+    # exact dups collapse on content id; quality ties break to the
+    # lexicographically greatest (repo, path)
+    assert by_key[("r2", "d.txt")].keep == 1
+    assert by_key[("r1", "d.txt")].keep == 0
+    assert by_key[("r1", "d.txt")].grp_id == "h4"
+    # unique rows keep
+    assert by_key[("r3", "e.txt")].keep == 1
+    assert by_key[("r3", "e.txt")].n_members == 1
+
+
+def test_dedup_decisions_custom_quality(spark):
+    """quality accepts any SQL expression — inverted preference flips
+    the cluster winner to the SHORTEST content."""
+    files, clusters = _decision_corpus(spark)
+    out = dedup_decisions(
+        files, clusters, quality="-coalesce(length(content), -1)"
+    ).toPandas()
+    by_key = {(r.repo, r.path): r for r in out.itertuples()}
+    assert by_key[("r2", "c.txt")].keep == 1
+    assert by_key[("r1", "b.txt")].keep == 0
+
+
+def test_dedup_decisions_plan_shape(spark):
+    """100 TB shape pin: no Window node anywhere in the decision plan —
+    the argmax must stay a two-phase partial aggregation."""
+    files, clusters = _decision_corpus(spark)
+    plan = dedup_decisions(files, clusters)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_max" in plan or "HashAggregate" in plan
