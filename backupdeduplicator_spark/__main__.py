@@ -513,7 +513,8 @@ def cmd_sample(args) -> int:
     functions of (key, salt) — rerunning on any cluster size, after any
     repartition, reproduces the byte-identical selection."""
     spark = _spark(args)
-    from .operators.sampling import split_assign, stratified_cap
+    from .operators.sampling import (split_assign, stratified_cap,
+                                     stratified_sample)
 
     df = _read_input(spark, args.input)
     if args.key_col not in df.columns:
@@ -529,12 +530,25 @@ def cmd_sample(args) -> int:
             print(f"sample: cannot parse --splits '{args.splits}' "
                   f"(want name=weight,name=weight,...)")
             return 2
+    rates: dict[str, float] = {}
+    if args.rates:
+        try:
+            for part in args.rates.split(","):
+                name, _, r = part.partition("=")
+                rates[name.strip()] = float(r)
+        except ValueError:
+            print(f"sample: cannot parse --rates '{args.rates}' "
+                  f"(want stratum=rate,stratum=rate,...)")
+            return 2
     strata = [c.strip() for c in args.stratify_cols.split(",") if c.strip()]
     if args.cap and not strata:
         print("sample: --cap requires --stratify-cols")
         return 2
-    if not splits and not args.cap:
-        print("sample: nothing to do — give --splits and/or "
+    if rates and len(strata) != 1:
+        print("sample: --rates requires exactly one --stratify-cols column")
+        return 2
+    if not splits and not args.cap and not rates:
+        print("sample: nothing to do — give --splits, --rates, and/or "
               "--cap + --stratify-cols")
         return 2
     missing = [c for c in strata if c not in df.columns]
@@ -549,6 +563,14 @@ def cmd_sample(args) -> int:
         except ValueError as e:
             print(f"sample: {e}")
             return 2
+    if rates:
+        try:
+            out = stratified_sample(out, strata[0], rates, args.key_col,
+                                    default_rate=args.default_rate,
+                                    salt=f"{args.salt}mix")
+        except ValueError as e:
+            print(f"sample: {e}")
+            return 2
     if args.cap:
         out = stratified_cap(
             out, strata, args.cap, args.key_col, salt=f"{args.salt}cap",
@@ -559,12 +581,17 @@ def cmd_sample(args) -> int:
     aggs = [F.count(F.lit(1)).alias("rows")]
     if args.cap:
         aggs.append(F.sum("in_cap").alias("kept"))
+    if rates:
+        aggs.append(F.sum("sampled").alias("sampled"))
     stats = written.agg(*aggs).collect()[0]
     by_split = {}
     if splits:
         by_split = {r["split"]: r["n"] for r in written.groupBy("split")
                     .agg(F.count(F.lit(1)).alias("n")).collect()}
         print(f"sample: split counts {by_split}")
+    if rates:
+        print(f"sample: mixing rates keep {stats['sampled']}/"
+              f"{stats['rows']} rows")
     if args.cap:
         print(f"sample: quota kept {stats['kept']}/{stats['rows']} rows "
               f"(cap {args.cap} per {'+'.join(strata)})")
@@ -572,7 +599,43 @@ def cmd_sample(args) -> int:
     _emit_report(args, command="sample", rows=int(stats["rows"]),
                  by_split=by_split,
                  kept=int(stats["kept"]) if args.cap else None,
+                 sampled=int(stats["sampled"]) if rates else None,
                  cap=args.cap or None, output=args.output)
+    return 0
+
+
+def cmd_pack(args) -> int:
+    """Sequence packing (operators/packing.py): concat-and-chunk layout
+    over sharded streams — each row gets (shard, offset, chunk,
+    end_chunk); the example builder groups by (shard, chunk) and
+    slices. Prints stream/chunk accounting."""
+    spark = _spark(args)
+    from .operators.packing import pack_documents
+
+    df = _read_input(spark, args.input)
+    if args.key_col not in df.columns:
+        print(f"pack: input lacks key column '{args.key_col}'")
+        return 2
+    if args.target < 1:
+        print("pack: --target must be >= 1")
+        return 2
+    out = pack_documents(df, args.key_col, args.target,
+                         length=args.length_expr, n_shards=args.shards,
+                         shard=args.shard_expr or None)
+    out.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    stats = written.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("doc_len").alias("total_len"),
+        (F.countDistinct("shard", "chunk")).alias("chunks"),
+    ).collect()[0]
+    print(f"pack: {stats['rows']} rows, {stats['total_len']} length units "
+          f"into {stats['chunks']} chunks of {args.target} "
+          f"across {args.shards} shards -> {args.output}")
+    _emit_report(args, command="pack", rows=int(stats["rows"]),
+                 total_len=int(stats["total_len"] or 0),
+                 chunks=int(stats["chunks"]), target=args.target,
+                 shards=args.shards, output=args.output)
     return 0
 
 
@@ -1074,10 +1137,39 @@ def main(argv: list[str] | None = None) -> int:
                          "count are hash-thresholded before the quota "
                          "rank (see operators/sampling.py for the "
                          "exactness bound)")
+    sa.add_argument("--rates", default="",
+                    help="corpus-mixing rates: stratum_value=rate comma "
+                         "list over the single --stratify-cols column, "
+                         "e.g. en=0.3,zh=0.0 (sampled column; strata "
+                         "not listed use --default-rate)")
+    sa.add_argument("--default-rate", type=float, default=1.0,
+                    dest="default_rate",
+                    help="rate for strata absent from --rates")
     sa.add_argument("--salt", default="",
-                    help="prefix folded into both hash salts — a new "
+                    help="prefix folded into all hash salts — a new "
                          "salt is a fresh independent draw")
     sa.set_defaults(fn=cmd_sample)
+
+    pk = sub.add_parser("pack", parents=[common])
+    pk.add_argument("--input", required=True,
+                    help="any keyed table — parquet dir, .jsonl/.csv, or "
+                         "Iceberg identifier")
+    pk.add_argument("--output", required=True)
+    pk.add_argument("--key-col", default="doc_id", dest="key_col")
+    pk.add_argument("--target", type=int, default=2048,
+                    help="chunk size in length units (tokens, chars — "
+                         "whatever --length-expr measures)")
+    pk.add_argument("--length-expr", default="coalesce(length(text), 0)",
+                    dest="length_expr",
+                    help="SQL expression for each row's length")
+    pk.add_argument("--shards", type=int, default=64,
+                    help="independent packing streams (sets parallelism "
+                         "and the per-task row bound)")
+    pk.add_argument("--shard-expr", default="", dest="shard_expr",
+                    help="SQL expression overriding the default "
+                         "pmod(key, shards) shard assignment (e.g. a "
+                         "hash for string keys)")
+    pk.set_defaults(fn=cmd_pack)
 
     ds = sub.add_parser("docstats", parents=[common])
     ds.add_argument("--input", required=True,

@@ -844,6 +844,51 @@ FROM h
 """
 
 
+def q_sp2_stratified_sample(d: D) -> str:
+    """Corpus-mixing rates (sampling.stratified_sample): deterministic
+    per-stratum Bernoulli keep — lang 'en' downsampled to 30%, 'zh'
+    dropped, everything else kept at the 90% default. Thresholds are
+    the same _hex32 boundaries as sp1; DuckDB evaluates the identical
+    md5 expressions. DuckDB dialect only; the Spark side runs the real
+    operator (ENGINE_BACKED)."""
+    from .operators.sampling import _hex32
+
+    t_en, t_zh, t_def = _hex32(0.3), _hex32(0.0), _hex32(0.9)
+    return f"""
+SELECT doc_id,
+  CAST(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8)
+    < CASE lang WHEN 'en' THEN '{t_en}' WHEN 'zh' THEN '{t_zh}'
+                ELSE '{t_def}' END
+    THEN 1 ELSE 0 END AS INT) AS sampled
+FROM documents
+"""
+
+
+def q_pk1_pack_documents(d: D) -> str:
+    """Sequence packing (operators/packing.py): concat-and-chunk layout
+    over 64 sharded streams — offset = per-shard running length minus
+    own length, chunk = offset // 2048. The oracle re-derives the same
+    window relationally; the engine twin runs the real operator. DuckDB
+    dialect only; the Spark side is ENGINE_BACKED."""
+    return """
+WITH base AS (
+  SELECT doc_id, doc_id % 64 AS shard,
+    CAST(coalesce(length(text), 0) AS BIGINT) AS doc_len
+  FROM documents
+), packed AS (
+  SELECT doc_id, shard, doc_len,
+    SUM(doc_len) OVER (PARTITION BY shard ORDER BY doc_id) - doc_len
+      AS "offset"
+  FROM base
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard, doc_len, "offset",
+  CAST("offset" // 2048 AS BIGINT) AS chunk,
+  CAST(GREATEST("offset", "offset" + doc_len - 1) // 2048 AS BIGINT)
+    AS end_chunk
+FROM packed
+"""
+
+
 def q_ct1_contamination(d: D) -> str:
     """Benchmark decontamination (operators/contamination.py): the
     benchmark is a planted 25-token slice (tokens 4..28) of every 13th
@@ -1367,6 +1412,8 @@ SQL_QUERIES: dict[str, Callable[[D], str]] = {
     "d3_near_dup_oph": q_d3_near_dup_oph,
     "d4_dedup_keep_best": q_d4_dedup_keep_best,
     "sp1_split_stratified": q_sp1_split_stratified,
+    "sp2_stratified_sample": q_sp2_stratified_sample,
+    "pk1_pack_documents": q_pk1_pack_documents,
     "ct1_contamination": q_ct1_contamination,
     "rp1_repetition_signals": q_rp1_repetition_signals,
     "sc1_secret_counts": q_sc1_secret_counts,
@@ -1984,6 +2031,35 @@ def _spark_sp1_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ENGINE_BACKED["sp1_split_stratified"] = _spark_sp1_split_stratified
+
+
+def _spark_pk1_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine twin for pk1: pack_documents over the raw documents table
+    (64 shards, target 2048 chars)."""
+    from .operators.packing import pack_documents
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return pack_documents(spark.table("documents"), "doc_id", 2048)
+
+
+ENGINE_BACKED["pk1_pack_documents"] = _spark_pk1_pack_documents
+
+
+def _spark_sp2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine twin for sp2: stratified_sample over documents.lang."""
+    from .operators.sampling import stratified_sample
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    out = stratified_sample(
+        spark.table("documents"), "lang", {"en": 0.3, "zh": 0.0},
+        key_col="doc_id", default_rate=0.9,
+    )
+    return out.select("doc_id", F.col("sampled").cast("int").alias("sampled"))
+
+
+ENGINE_BACKED["sp2_stratified_sample"] = _spark_sp2_stratified_sample
 
 
 def _spark_d3_near_dup_oph(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,84 @@
+"""Sequence packing: assign documents to fixed-size training chunks.
+
+The standard pretraining data layout (GPT-3 appendix B; "concat and
+chunk"): documents are concatenated in a fixed order and the stream is
+cut every ``target`` units (tokens, chars — any per-row length); a
+document's training position is fully determined by its start offset
+in the stream. This module computes that layout RELATIONALLY — each
+row gets (shard, offset, chunk) — without ever materializing the
+concatenated stream, so the actual example-builder can later group by
+(shard, chunk) and slice.
+
+True first-fit bin packing is a sequential recurrence (a bin closes
+when the NEXT row would overflow) and cannot be expressed as a window
+— concat-and-chunk is what the big pipelines actually use, and it IS a
+window: offset = cumulative length minus own length.
+
+Shape at 100 TB: one global ordered window would serialize the corpus
+through a single task. Packing order is arbitrary by construction
+(documents are already shuffled upstream; any fixed order is as good
+as any other), so the stream is SHARDED: a deterministic shard
+expression splits the corpus into ``n_shards`` independent streams,
+each packed by its own window — shard count sets the parallelism and
+the per-task row bound. The layout stays a pure function of
+(key, shard expression), reproducible on any cluster size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["pack_documents"]
+
+
+def pack_documents(
+    df: DataFrame,
+    key_col: str,
+    target: int,
+    length: str = "coalesce(length(text), 0)",
+    n_shards: int = 64,
+    shard: str | None = None,
+) -> DataFrame:
+    """Assign each row its packed position: returns the input columns
+    minus the heavy ones (only ``key_col`` is carried) plus
+
+      * ``shard``   — which independent stream the row belongs to,
+      * ``doc_len`` — the evaluated length expression,
+      * ``offset``  — the row's start position in its shard's stream,
+      * ``chunk``   — offset // target: the fixed-size training chunk
+        the row STARTS in (a row longer than the remaining chunk space
+        spans into following chunks; ``end_chunk`` marks the last one).
+
+    ``length`` is any SQL expression (token counts, byte lengths);
+    ``shard`` overrides the default ``pmod(key, n_shards)`` with any
+    SQL expression — e.g. a hash of a string key. Zero-length rows
+    occupy no stream space but still get a position (their chunk =
+    where the cut currently is).
+    """
+    if target < 1:
+        raise ValueError("target must be >= 1")
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    shard_expr = F.expr(shard) if shard else F.pmod(
+        F.col(key_col).cast("long"), F.lit(n_shards)
+    )
+    base = df.select(
+        F.col(key_col),
+        shard_expr.cast("long").alias("shard"),
+        F.expr(length).cast("long").alias("doc_len"),
+    )
+    w = Window.partitionBy("shard").orderBy(key_col)
+    out = base.withColumn(
+        "offset", F.sum("doc_len").over(w) - F.col("doc_len")
+    )
+    return out.select(
+        key_col, "shard", "doc_len", "offset",
+        F.floor(F.col("offset") / target).cast("long").alias("chunk"),
+        F.floor(
+            F.greatest(
+                F.col("offset"),
+                F.col("offset") + F.col("doc_len") - 1,
+            ) / target
+        ).cast("long").alias("end_chunk"),
+    )

@@ -38,7 +38,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket_hex", "split_assign", "stratified_cap"]
+__all__ = [
+    "hash_bucket_hex", "split_assign", "stratified_cap",
+    "stratified_sample",
+]
 
 
 def _hex32(fraction: float) -> str:
@@ -141,3 +144,41 @@ def stratified_cap(
     )
     out = ranked if dropped is None else ranked.unionByName(dropped)
     return out.drop("_h8", "_n")
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 1.0,
+    salt: str = "mix",
+    keep_col: str = "sampled",
+) -> DataFrame:
+    """Append ``keep_col`` (int 0/1): a deterministic per-stratum
+    Bernoulli draw — row kept with probability rates[stratum] (strata
+    absent from ``rates`` use ``default_rate``). The corpus-mixing
+    primitive ("downsample web to 30%, keep books at 100%"): the draw
+    is a pure function of (key, salt), so reruns, repartitions, and
+    corpus growth never change an existing row's fate, and a row kept
+    at rate r stays kept at any rate >= r (nested-sample property —
+    raising a rate only ADDS rows).
+
+    Zero shuffles: the stratum rate becomes a literal CASE over hex
+    thresholds in one JVM projection.
+    """
+    for name, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {name!r} must be in [0, 1] (got {r})")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1] (got {default_rate})")
+    h = hash_bucket_hex(key_col, salt)
+    thr: Column = F.lit(_hex32(default_rate))
+    expr = None
+    for name, r in rates.items():
+        cond = F.col(stratum_col) == F.lit(name)
+        expr = F.when(cond, _hex32(r)) if expr is None else expr.when(
+            cond, _hex32(r))
+    if expr is not None:
+        thr = expr.otherwise(thr)
+    return df.withColumn(keep_col, F.when(h < thr, 1).otherwise(0))

@@ -704,3 +704,69 @@ def test_cli_docdedup_decisions(spark, tmp_path):
     assert got.keep.sum() == 3
     assert main(["docdedup", "--input", src, "--output", out,
                  "--tier", "exact", "--decisions"]) == 2
+
+
+def test_cli_sample_rates(spark, tmp_path):
+    """sample --rates: mixing column + accounting; validation exits."""
+    import json
+
+    import pandas as pd
+
+    from backupdeduplicator_spark.__main__ import main
+
+    docs = pd.DataFrame({
+        "doc_id": range(90),
+        "lang": ["en", "zh", "de"] * 30,
+    })
+    src = str(tmp_path / "mix.parquet")
+    docs.to_parquet(src)
+    out = str(tmp_path / "mixed")
+    rep = str(tmp_path / "mixrep.json")
+    rc = main(["sample", "--input", src, "--output", out,
+               "--stratify-cols", "lang", "--rates", "en=0.4,zh=0.0",
+               "--cores", "4", "--report-json", rep])
+    assert rc == 0
+    got = spark.read.parquet(out).toPandas()
+    by = got.groupby("lang").sampled.sum()
+    assert by["zh"] == 0 and by["de"] == 30 and 0 < by["en"] < 30
+    j = json.loads(open(rep).read())
+    assert j["sampled"] == int(by.sum())
+    assert main(["sample", "--input", src, "--output", out,
+                 "--rates", "en=0.4"]) == 2          # no stratify col
+    assert main(["sample", "--input", src, "--output", out,
+                 "--stratify-cols", "lang", "--rates", "en=1.4"]) == 2
+    assert main(["sample", "--input", src, "--output", out,
+                 "--stratify-cols", "lang", "--rates", "en=x"]) == 2
+
+
+def test_cli_pack(spark, tmp_path):
+    """pack CLI: layout columns + chunk accounting; validation exits."""
+    import json
+
+    import pandas as pd
+
+    from backupdeduplicator_spark.__main__ import main
+
+    docs = pd.DataFrame({
+        "doc_id": range(60),
+        "text": ["y" * (11 + (i % 7)) for i in range(60)],
+    })
+    src = str(tmp_path / "pdocs.parquet")
+    docs.to_parquet(src)
+    out = str(tmp_path / "packed")
+    rep = str(tmp_path / "packrep.json")
+    rc = main(["pack", "--input", src, "--output", out,
+               "--target", "40", "--shards", "4",
+               "--cores", "4", "--report-json", rep])
+    assert rc == 0
+    got = spark.read.parquet(out).toPandas()
+    assert set(got.columns) == {"doc_id", "shard", "doc_len", "offset",
+                                "chunk", "end_chunk"}
+    j = json.loads(open(rep).read())
+    assert j["rows"] == 60
+    assert j["total_len"] == int(got.doc_len.sum())
+    assert j["chunks"] == len(got.groupby(["shard", "chunk"]))
+    assert main(["pack", "--input", src, "--output", out,
+                 "--key-col", "nope"]) == 2
+    assert main(["pack", "--input", src, "--output", out,
+                 "--target", "0"]) == 2

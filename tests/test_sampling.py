@@ -183,3 +183,84 @@ def test_dedup_decisions_plan_shape(spark):
     plan = dedup_decisions(files, clusters)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "partial_max" in plan or "HashAggregate" in plan
+
+
+def test_stratified_sample_semantics(spark):
+    """Per-stratum deterministic Bernoulli: rate 0 drops all, rate 1
+    keeps all, and the nested-sample property holds (raising a rate
+    only ADDS rows)."""
+    from backupdeduplicator_spark.operators.sampling import stratified_sample
+
+    pdf = pd.DataFrame({
+        "doc_id": range(300),
+        "lang": ["en", "zh", "de"] * 100,
+    })
+    docs = spark.createDataFrame(pdf)
+    out = stratified_sample(
+        docs, "lang", {"en": 0.4, "zh": 0.0}, "doc_id", default_rate=1.0
+    ).toPandas()
+    by = out.groupby("lang").sampled.sum()
+    assert by["zh"] == 0 and by["de"] == 100
+    assert 20 < by["en"] < 60
+    # reference-hash check + nested property
+    t4 = _hex32(0.4)
+    for r in out[out.lang == "en"].itertuples():
+        assert r.sampled == int(_md5h8(r.doc_id, "mix") < t4)
+    up = stratified_sample(
+        docs, "lang", {"en": 0.7, "zh": 0.0}, "doc_id", default_rate=1.0
+    ).toPandas()
+    j = out.merge(up, on="doc_id", suffixes=("_lo", "_hi"))
+    assert (j[j.sampled_lo == 1].sampled_hi == 1).all()
+    with pytest.raises(ValueError, match="must be in"):
+        stratified_sample(docs, "lang", {"en": 1.5}, "doc_id")
+
+
+def test_pack_documents_layout(spark):
+    """Concat-and-chunk invariants per shard: offsets are the exact
+    running sums in key order, chunks cut every `target` units, and a
+    long row spans into end_chunk."""
+    from backupdeduplicator_spark.operators.packing import pack_documents
+
+    pdf = pd.DataFrame({
+        "doc_id": range(40),
+        "text": ["x" * (7 + 13 * (i % 5)) for i in range(40)],
+    })
+    docs = spark.createDataFrame(pdf)
+    out = pack_documents(docs, "doc_id", target=50, n_shards=4).toPandas()
+    assert len(out) == 40
+    for shard, grp in out.groupby("shard"):
+        g = grp.sort_values("doc_id")
+        assert (g.doc_id % 4 == shard).all()
+        run = 0
+        for r in g.itertuples():
+            assert r.offset == run
+            assert r.chunk == run // 50
+            assert r.end_chunk == max(run, run + r.doc_len - 1) // 50
+            run += r.doc_len
+    # rows longer than a chunk really span
+    assert (out.end_chunk > out.chunk).any()
+    with pytest.raises(ValueError, match="target"):
+        pack_documents(docs, "doc_id", target=0)
+
+
+def test_pack_documents_custom_shard_and_length(spark):
+    """shard/length accept SQL expressions — string keys shard via a
+    hash, token counts replace char lengths."""
+    from backupdeduplicator_spark.operators.packing import pack_documents
+
+    pdf = pd.DataFrame({
+        "name": [f"doc-{i}" for i in range(20)],
+        "text": ["a b c", "longer text with more tokens here"] * 10,
+    })
+    docs = spark.createDataFrame(pdf)
+    out = pack_documents(
+        docs, "name", target=10, n_shards=3,
+        length="size(split(trim(text), '\\\\s+'))",
+        shard="pmod(xxhash64(name), 3)",
+    ).toPandas()
+    assert set(out.doc_len.unique()) == {3, 6}
+    assert set(out.shard.unique()) <= {0, 1, 2}
+    # offsets still contiguous within each shard in key order
+    for _, grp in out.groupby("shard"):
+        g = grp.sort_values("name")
+        assert list(g.offset) == list(g.doc_len.cumsum() - g.doc_len)

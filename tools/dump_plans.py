@@ -153,6 +153,41 @@ def main() -> None:
         _explain(code_clone_groups(files, materialize=False)),
     ))
 
+    from backupdeduplicator_spark.functions.hashing import sha256_hex
+    from backupdeduplicator_spark.operators.dedup_extra import dedup_decisions
+
+    with_ids = files.select("repo", "path", sha256_hex("content").alias("id"),
+                            "content")
+    clusters = spark.createDataFrame([], "id string, cluster string")
+    sections.append((
+        "dedup keep-best decisions (two-phase max(struct) argmax — NO "
+        "window, mega-group safe; cluster labels join on content id)",
+        _explain(dedup_decisions(with_ids, clusters)),
+    ))
+
+    from backupdeduplicator_spark.operators.sampling import (
+        split_assign, stratified_cap)
+
+    sampled = split_assign(docs, "doc_id",
+                           {"train": 0.8, "val": 0.1, "test": 0.1})
+    sections.append((
+        "split + stratified quota (md5-hex boundary buckets: the split "
+        "is a zero-shuffle codegen projection; the quota is one "
+        "stratum-key exchange + window, mega-strata prefiltered via "
+        "approx_threshold)",
+        _explain(stratified_cap(sampled, ["source"], cap=50,
+                                key_col="doc_id")),
+    ))
+
+    from backupdeduplicator_spark.operators.packing import pack_documents
+
+    sections.append((
+        "sequence packing (sharded concat-and-chunk: one exchange on "
+        "the shard key, per-shard running-sum window, no content in "
+        "any shuffle)",
+        _explain(pack_documents(docs, "doc_id", 2048)),
+    ))
+
     out = ["# PLANS — formatted physical plans of the headline queries\n",
            f"Generated from `{sf_dir}`. Reviewed for: parquet pushdown, "
            "no content/vector/children payloads in any Exchange "
