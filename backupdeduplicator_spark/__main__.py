@@ -639,6 +639,37 @@ def cmd_pack(args) -> int:
     return 0
 
 
+def cmd_corpusstats(args) -> int:
+    """Per-stratum corpus accounting (operators/corpusstats.py): the
+    dataset-card summary — docs / chars / tokens / exact-dup exposure /
+    mean length per (lang, source, ...) stratum."""
+    spark = _spark(args)
+    from .operators.corpusstats import corpus_stats
+
+    df = _read_input(spark, args.input)
+    groups = [c.strip() for c in args.group_cols.split(",") if c.strip()]
+    missing = [c for c in (*groups, args.text_col) if c not in df.columns]
+    if missing:
+        print(f"corpusstats: input lacks column(s) {missing}")
+        return 2
+    if not groups:
+        print("corpusstats: --group-cols must name at least one column")
+        return 2
+    out = corpus_stats(df, group_cols=groups, text_col=args.text_col)
+    out.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    tot = written.agg(
+        F.count(F.lit(1)), F.sum("n_docs"), F.sum("total_tokens"),
+        F.sum("n_dup_docs"),
+    ).collect()[0]
+    print(f"corpusstats: {tot[0]} strata, {tot[1]} docs, {tot[2]} tokens, "
+          f"{tot[3]} exact-dup docs -> {args.output}")
+    _emit_report(args, command="corpusstats", strata=int(tot[0]),
+                 docs=int(tot[1]), tokens=int(tot[2] or 0),
+                 dup_docs=int(tot[3] or 0), output=args.output)
+    return 0
+
+
 def cmd_docstats(args) -> int:
     """Per-document repetition/quality signal vector — the Gopher-filter
     feature pass (operators/repetition.py, Rae et al. 2021 Table A1).
@@ -1170,6 +1201,17 @@ def main(argv: list[str] | None = None) -> int:
                          "pmod(key, shards) shard assignment (e.g. a "
                          "hash for string keys)")
     pk.set_defaults(fn=cmd_pack)
+
+    cst = sub.add_parser("corpusstats", parents=[common])
+    cst.add_argument("--input", required=True,
+                     help="any text table — parquet dir, .jsonl/.csv, or "
+                          "Iceberg identifier")
+    cst.add_argument("--output", required=True)
+    cst.add_argument("--group-cols", default="lang,source",
+                     dest="group_cols",
+                     help="comma list of stratum columns")
+    cst.add_argument("--text-col", default="text", dest="text_col")
+    cst.set_defaults(fn=cmd_corpusstats)
 
     ds = sub.add_parser("docstats", parents=[common])
     ds.add_argument("--input", required=True,

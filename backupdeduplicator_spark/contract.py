@@ -864,6 +864,41 @@ FROM documents
 """
 
 
+def q_cs1_corpus_stats(d: D) -> str:
+    """Per-stratum corpus accounting (operators/corpusstats.py): docs,
+    chars, whitespace tokens, exact-dup exposure (content sha appearing
+    >= 2x corpus-wide), mean length — grouped by (lang, source). The
+    oracle re-derives the same rollup relationally with the shared
+    dialect snippets. DuckDB dialect only; the Spark side runs the real
+    operator (ENGINE_BACKED)."""
+    sha = d.sha256("coalesce(text, '')")
+    tok = d.token_count("coalesce(text, '')")
+    return f"""
+WITH corpus AS (
+  SELECT lang, source,
+    CASE WHEN doc_id % 11 = 0 THEN 'the same license blob'
+         ELSE text END AS text
+  FROM documents
+), rows_ AS (
+  SELECT lang, source,
+    CAST(coalesce(length(text), 0) AS BIGINT) AS chars,
+    CAST({tok} AS BIGINT) AS tokens,
+    {sha} AS h
+  FROM corpus
+), freq AS (
+  SELECT h, COUNT(*) AS cnt FROM rows_ GROUP BY h
+)
+SELECT lang, source,
+  COUNT(*) AS n_docs,
+  SUM(chars) AS total_chars,
+  SUM(tokens) AS total_tokens,
+  SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS n_dup_docs,
+  ROUND(AVG(chars), 6) AS avg_chars
+FROM rows_ JOIN freq USING (h)
+GROUP BY lang, source
+"""
+
+
 def q_pk1_pack_documents(d: D) -> str:
     """Sequence packing (operators/packing.py): concat-and-chunk layout
     over 64 sharded streams — offset = per-shard running length minus
@@ -1414,6 +1449,7 @@ SQL_QUERIES: dict[str, Callable[[D], str]] = {
     "sp1_split_stratified": q_sp1_split_stratified,
     "sp2_stratified_sample": q_sp2_stratified_sample,
     "pk1_pack_documents": q_pk1_pack_documents,
+    "cs1_corpus_stats": q_cs1_corpus_stats,
     "ct1_contamination": q_ct1_contamination,
     "rp1_repetition_signals": q_rp1_repetition_signals,
     "sc1_secret_counts": q_sc1_secret_counts,
@@ -2060,6 +2096,24 @@ def _spark_sp2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ENGINE_BACKED["sp2_stratified_sample"] = _spark_sp2_stratified_sample
+
+
+def _spark_cs1_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine twin for cs1: corpus_stats over the planted corpus (every
+    11th doc replaced by a shared license blob, same SQL text as the
+    oracle prelude) — exercises the cross-stratum exact-dup arm."""
+    from .operators.corpusstats import corpus_stats
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    corpus = spark.sql(
+        "SELECT lang, source, CASE WHEN doc_id % 11 = 0 THEN "
+        "'the same license blob' ELSE text END AS text FROM documents"
+    )
+    return corpus_stats(corpus)
+
+
+ENGINE_BACKED["cs1_corpus_stats"] = _spark_cs1_corpus_stats
 
 
 def _spark_d3_near_dup_oph(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,63 @@
+"""Per-stratum corpus accounting: the summary table a dataset card is
+built from (C4 / The Pile / StarCoder cards all open with one): for
+each (lang, source, ...) stratum — document count, total characters,
+total whitespace tokens, how many documents are exact duplicates of
+ANY corpus document (cross-stratum, so a license file counted once per
+stratum it pollutes), and mean document length.
+
+Not in the reference (its analyze stage reports duplicate SETS, not
+corpus composition) — this is the reporting sibling of the dedup
+tiers, over the same tables.
+
+Shape at 100 TB: two shuffles total, both two-phase partial
+aggregations — the content-hash frequency table (distinct hashes, a
+few % of rows after dedup pressure) and the final stratum rollup (rows
+= |strata|, tiny). The frequency join is an equi-join on the 32-byte
+hash with AQE handling the empty-content / license mega-keys; content
+never shuffles (hashes are computed map-side by the JVM sha2
+intrinsic, functions/hashing.content_hash)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import sha256_hex
+from ..functions.text import token_count
+
+__all__ = ["corpus_stats"]
+
+
+def corpus_stats(
+    docs: DataFrame,
+    group_cols: tuple[str, ...] | list[str] = ("lang", "source"),
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per stratum: (group_cols..., n_docs, total_chars,
+    total_tokens, n_dup_docs, avg_chars). ``n_dup_docs`` counts rows
+    whose exact content (sha256 of the text, NULL treated as empty)
+    appears >= 2 times in the WHOLE corpus — the per-stratum exact-dup
+    exposure. ``avg_chars`` is rounded to 6 decimals for cross-engine
+    comparability."""
+    groups = list(group_cols)
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    rows = docs.select(
+        *groups,
+        F.length(t).cast("long").alias("_chars"),
+        token_count(t).alias("_tokens"),
+        sha256_hex(t).alias("_h"),
+    )
+    freq = rows.groupBy("_h").agg(F.count(F.lit(1)).alias("_cnt"))
+    joined = rows.join(freq, "_h")
+    return (
+        joined.groupBy(*groups)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_chars").alias("total_chars"),
+            F.sum("_tokens").alias("total_tokens"),
+            F.sum(F.when(F.col("_cnt") >= 2, 1).otherwise(0))
+            .alias("n_dup_docs"),
+            F.round(F.avg("_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy(*groups)
+    )

@@ -770,3 +770,40 @@ def test_cli_pack(spark, tmp_path):
                  "--key-col", "nope"]) == 2
     assert main(["pack", "--input", src, "--output", out,
                  "--target", "0"]) == 2
+
+
+def test_cli_corpusstats(spark, tmp_path):
+    """corpusstats CLI: stratum rollup with cross-stratum dup exposure."""
+    import json
+
+    import pandas as pd
+
+    from backupdeduplicator_spark.__main__ import main
+
+    docs = pd.DataFrame({
+        "doc_id": range(8),
+        "lang": ["en"] * 4 + ["de"] * 4,
+        "source": ["web"] * 8,
+        "text": ["unique one", "SAME", "two words here", "SAME",
+                 "SAME", "drei worte hier", "noch eins", None],
+    })
+    src = str(tmp_path / "cdocs.parquet")
+    docs.to_parquet(src)
+    out = str(tmp_path / "cstats")
+    rep = str(tmp_path / "csrep.json")
+    rc = main(["corpusstats", "--input", src, "--output", out,
+               "--cores", "4", "--report-json", rep])
+    assert rc == 0
+    got = spark.read.parquet(out).toPandas().set_index("lang")
+    # 'SAME' appears 3x across strata: 2 en rows + 1 de row all count
+    assert got.loc["en"].n_dup_docs == 2
+    assert got.loc["de"].n_dup_docs == 1
+    assert got.loc["en"].n_docs == 4 and got.loc["de"].n_docs == 4
+    # NULL text counts as an empty doc, not a crash or a dropped row
+    assert got.loc["de"].total_tokens == 3 + 2 + 0 + 1
+    j = json.loads(open(rep).read())
+    assert j["docs"] == 8 and j["dup_docs"] == 3 and j["strata"] == 2
+    assert main(["corpusstats", "--input", src, "--output", out,
+                 "--group-cols", "nope"]) == 2
+    assert main(["corpusstats", "--input", src, "--output", out,
+                 "--group-cols", ""]) == 2
