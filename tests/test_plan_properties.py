@@ -237,3 +237,54 @@ def test_containment_join_plan_shape(spark):
         "containment must not buffer member lists anywhere"
     )
     assert len(re.findall(r"\(\d+\) Window", plan)) >= 1
+
+
+def test_corpus_stats_plan_shape(spark):
+    """corpus_stats: both aggs two-phase (partial_count/partial_sum map-
+    side), no text payload in any Exchange key — only the 64-char hash
+    and the stratum columns shuffle."""
+    from backupdeduplicator_spark.operators.corpusstats import corpus_stats
+    from backupdeduplicator_spark.sources.tables import register_views
+
+    register_views(spark, SF_DIR)
+    plan = _plan(corpus_stats(spark.table("documents")))
+    assert "partial_count" in plan or "partial_sum(" in plan.lower() or \
+        "HashAggregate" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
+
+
+def test_split_assign_zero_shuffle(spark):
+    """split_assign / stratified_sample: pure codegen projections — the
+    plan has NO Exchange at all and the md5 sits inside a
+    WholeStageCodegen span."""
+    from backupdeduplicator_spark.operators.sampling import (
+        split_assign, stratified_sample)
+    from backupdeduplicator_spark.sources.tables import register_views
+
+    register_views(spark, SF_DIR)
+    docs = spark.table("documents")
+    out = stratified_sample(
+        split_assign(docs, "doc_id", {"a": 0.5, "b": 0.5}),
+        "lang", {"en": 0.5}, "doc_id",
+    )
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "codegen id" in plan  # the projection compiles into a WSC span
+
+
+def test_pack_documents_plan_shape(spark):
+    """pack_documents: exactly one Exchange (the shard key) feeding one
+    Window; no text column anywhere past the scan (length is computed
+    in the scan-side projection)."""
+    from backupdeduplicator_spark.operators.packing import pack_documents
+    from backupdeduplicator_spark.sources.tables import register_views
+
+    register_views(spark, SF_DIR)
+    plan = _plan(pack_documents(spark.table("documents"), "doc_id", 2048))
+    assert plan.count("+- Exchange") + plan.count(":- Exchange") == 1
+    assert "Window" in plan
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            assert "text" not in line, line
