@@ -1,0 +1,88 @@
+"""N -> 4N scaling sample for the round-5 selection/packing/stats tiers
+(split_assign + stratified_sample, stratified_cap, pack_documents,
+corpus_stats) over a deterministic 2M-row synthetic corpus generated
+JVM-side (spark.range + string exprs — no data files, no Python).
+
+Each op is forced end-to-end by an aggregate over every output column
+(sum of xxhash64), so column pruning can't skip the work being timed.
+
+Usage: python BENCH/selection_scaling.py [cpus] [n_rows]
+Run once per parallelism level in a fresh process (local-mode
+parallelism is fixed per JVM):
+    python BENCH/selection_scaling.py 2 2000000
+    python BENCH/selection_scaling.py 8 2000000
+"""
+import json
+import os
+import sys
+import time
+
+repo = os.environ.get("PYTHONPATH", "/root/repo").split(os.pathsep)[0]
+sys.path.insert(0, repo)
+
+cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from backupdeduplicator_spark.session import get_spark  # noqa: E402
+from backupdeduplicator_spark.operators.corpusstats import corpus_stats  # noqa: E402
+from backupdeduplicator_spark.operators.packing import pack_documents  # noqa: E402
+from backupdeduplicator_spark.operators.sampling import (  # noqa: E402
+    split_assign, stratified_cap, stratified_sample)
+
+spark = get_spark("selection-scaling", cores=cpus,
+                  shuffle_partitions=max(cpus * 2, 16),
+                  extra_conf={"spark.ui.showConsoleProgress": "false"})
+spark.sparkContext.setLogLevel("ERROR")
+
+docs = spark.range(n_rows, numPartitions=cpus * 4).select(
+    F.col("id").alias("doc_id"),
+    F.concat(F.lit("lang"), F.pmod(F.col("id"), F.lit(5))).alias("lang"),
+    F.concat(F.lit("src"), F.pmod(F.col("id"), F.lit(200))).alias("source"),
+    F.concat(
+        F.lit("doc body "),
+        F.repeat(
+            F.concat(F.lit("w"),
+                     F.pmod(F.xxhash64(F.col("id")), F.lit(997)),
+                     F.lit(" ")),
+            40,
+        ),
+    ).alias("text"),
+).persist()
+docs.count()  # materialize the corpus outside the timed region
+
+
+def force(df):
+    # xxhash64 over all columns at once; bit_xor aggregation can't
+    # overflow under ANSI mode (a sum of 2M hashes would)
+    h = F.xxhash64(*[F.col(c) for c in df.columns])
+    return df.agg(F.bit_xor(h)).collect()[0][0]
+
+
+results = {}
+
+t0 = time.time()
+force(stratified_sample(
+    split_assign(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}),
+    "lang", {"lang0": 0.3, "lang1": 0.0}, "doc_id",
+))
+results["split_sample_projection"] = round(time.time() - t0, 2)
+
+t0 = time.time()
+force(stratified_cap(docs, ["source"], cap=2000, key_col="doc_id",
+                     approx_threshold=5000))
+results["stratified_cap_quota"] = round(time.time() - t0, 2)
+
+t0 = time.time()
+force(pack_documents(docs, "doc_id", 2048, n_shards=max(cpus * 8, 64)))
+results["pack_documents"] = round(time.time() - t0, 2)
+
+t0 = time.time()
+corpus_stats(docs).collect()
+results["corpus_stats"] = round(time.time() - t0, 2)
+
+print(json.dumps({"cpus": cpus, "rows": n_rows, "sec": results,
+                  "rows_per_sec": {k: round(n_rows / v, 0)
+                                   for k, v in results.items()}}))
+spark.stop()
