@@ -670,6 +670,48 @@ def cmd_corpusstats(args) -> int:
     return 0
 
 
+def cmd_typicality(args) -> int:
+    """Corpus-trained trigram typicality scores
+    (operators/lmscore.py): the CCNet-style statistical quality filter
+    in integer-exact relational form — per-doc mean model frequency +
+    model coverage; --keep-expr appends a boolean keep column."""
+    spark = _spark(args)
+    from .operators.lmscore import trigram_typicality
+
+    df = _read_input(spark, args.input)
+    missing = [c for c in (args.id_col, args.text_col)
+               if c not in df.columns]
+    if missing:
+        print(f"typicality: input lacks column(s) {missing}")
+        return 2
+    if args.min_count < 1:
+        print("typicality: --min-count must be >= 1")
+        return 2
+    out = trigram_typicality(
+        df, id_col=args.id_col, text_col=args.text_col,
+        model_filter=args.model_filter, min_count=args.min_count,
+        broadcast_model=not args.no_broadcast,
+    )
+    if args.keep_expr:
+        out = out.withColumn("keep", F.expr(args.keep_expr))
+    out.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    aggs = [F.count(F.lit(1)).alias("rows"),
+            F.round(F.avg("coverage"), 4).alias("mean_cov")]
+    if args.keep_expr:
+        aggs.append(F.sum(F.col("keep").cast("int")).alias("kept"))
+    stats = written.agg(*aggs).collect()[0]
+    kept = int(stats["kept"]) if args.keep_expr else None
+    print(f"typicality: {stats['rows']} docs scored, mean coverage "
+          f"{stats['mean_cov']}"
+          + (f", keep {kept}/{stats['rows']}" if args.keep_expr else "")
+          + f" -> {args.output}")
+    _emit_report(args, command="typicality", rows=int(stats["rows"]),
+                 mean_coverage=float(stats["mean_cov"]), kept=kept,
+                 output=args.output)
+    return 0
+
+
 def cmd_docstats(args) -> int:
     """Per-document repetition/quality signal vector — the Gopher-filter
     feature pass (operators/repetition.py, Rae et al. 2021 Table A1).
@@ -1212,6 +1254,28 @@ def main(argv: list[str] | None = None) -> int:
                      help="comma list of stratum columns")
     cst.add_argument("--text-col", default="text", dest="text_col")
     cst.set_defaults(fn=cmd_corpusstats)
+
+    ty = sub.add_parser("typicality", parents=[common])
+    ty.add_argument("--input", required=True,
+                    help="parquet table of (id, text) docs")
+    ty.add_argument("--output", required=True)
+    ty.add_argument("--id-col", default="doc_id", dest="id_col")
+    ty.add_argument("--text-col", default="text", dest="text_col")
+    ty.add_argument("--model-filter", default="true", dest="model_filter",
+                    help="SQL predicate choosing the training sample, "
+                         "e.g. 'doc_id % 100 = 0' (default: whole corpus)")
+    ty.add_argument("--min-count", type=int, default=2, dest="min_count",
+                    help="drop trigrams rarer than this in the sample "
+                         "(bounds the broadcast model)")
+    ty.add_argument("--no-broadcast", action="store_true",
+                    dest="no_broadcast",
+                    help="shuffle-join the model instead of broadcasting "
+                         "(degenerate corpora with unbounded vocab)")
+    ty.add_argument("--keep-expr", default="", dest="keep_expr",
+                    help="SQL over (n_trigrams, avg_count, coverage) "
+                         "appended as a boolean keep column, e.g. "
+                         "'coverage >= 0.8'")
+    ty.set_defaults(fn=cmd_typicality)
 
     ds = sub.add_parser("docstats", parents=[common])
     ds.add_argument("--input", required=True,

@@ -864,6 +864,40 @@ FROM documents
 """
 
 
+def q_lm1_trigram_typicality(d: D) -> str:
+    """Corpus-trained trigram typicality (operators/lmscore.py): model =
+    trigram counts over the doc_id %% 7 == 0 sample with min_count 2;
+    score = mean model frequency + seen-fraction over each doc's
+    trigram occurrences. Counts are integers and sums stay far below
+    2^53, so the rounded doubles are exactly reproducible across
+    engines. DuckDB dialect only; the Spark side runs the real operator
+    (ENGINE_BACKED)."""
+    return """
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+), tri AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, greatest(length(t) - 2, 0) + 1),
+      i -> substr(t, i, 3))) AS g
+  FROM base WHERE length(t) >= 3
+), model AS (
+  SELECT g, COUNT(*) AS n FROM tri WHERE doc_id % 7 = 0
+  GROUP BY g HAVING COUNT(*) >= 2
+), sc AS (
+  SELECT tri.doc_id,
+    COUNT(*) AS n_trigrams,
+    ROUND(AVG(coalesce(m.n, 0)), 6) AS avg_count,
+    ROUND(AVG(CASE WHEN m.n IS NULL THEN 0 ELSE 1 END), 6) AS coverage
+  FROM tri LEFT JOIN model m USING (g) GROUP BY tri.doc_id
+)
+SELECT b.doc_id,
+  CAST(coalesce(sc.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+  coalesce(sc.avg_count, 0.0) AS avg_count,
+  coalesce(sc.coverage, 0.0) AS coverage
+FROM base b LEFT JOIN sc USING (doc_id)
+"""
+
+
 def q_cs1_corpus_stats(d: D) -> str:
     """Per-stratum corpus accounting (operators/corpusstats.py): docs,
     chars, whitespace tokens, exact-dup exposure (content sha appearing
@@ -1450,6 +1484,7 @@ SQL_QUERIES: dict[str, Callable[[D], str]] = {
     "sp2_stratified_sample": q_sp2_stratified_sample,
     "pk1_pack_documents": q_pk1_pack_documents,
     "cs1_corpus_stats": q_cs1_corpus_stats,
+    "lm1_trigram_typicality": q_lm1_trigram_typicality,
     "ct1_contamination": q_ct1_contamination,
     "rp1_repetition_signals": q_rp1_repetition_signals,
     "sc1_secret_counts": q_sc1_secret_counts,
@@ -2114,6 +2149,24 @@ def _spark_cs1_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ENGINE_BACKED["cs1_corpus_stats"] = _spark_cs1_corpus_stats
+
+
+def _spark_lm1_trigram_typicality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Engine twin for lm1: trigram_typicality over the raw documents
+    table, model = the doc_id % 7 == 0 sample at min_count 2."""
+    from .operators.lmscore import trigram_typicality
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return trigram_typicality(
+        spark.table("documents"), model_filter="doc_id % 7 = 0",
+        min_count=2,
+    )
+
+
+ENGINE_BACKED["lm1_trigram_typicality"] = _spark_lm1_trigram_typicality
 
 
 def _spark_d3_near_dup_oph(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,101 @@
+"""Corpus-trained character-trigram typicality scoring.
+
+The statistical quality filter of the CCNet / RedPajama lineage uses a
+language-model perplexity per document; this is that pass reduced to a
+fully-relational, integer-exact form: train a character-trigram
+frequency model on a deterministic sample of the corpus itself, then
+score every document by (a) the mean corpus frequency of its trigram
+occurrences and (b) the fraction of its trigrams the model has seen at
+all. Garbage — binary junk, encrypted blobs, wrong-language text,
+random identifiers — scores low on both; typical prose/code scores
+high. Integer counts (not log-probs) keep every value exactly
+reproducible across engines, which is what lets the lm1 contract
+oracle hash-compare doubles: sums of BIGINT counts are exact in both
+Spark and DuckDB far beyond any realistic corpus size, so avg = one
+exact division.
+
+Shape at 100 TB:
+
+* the trigram explode is MAP-SIDE ONLY — exploded rows never shuffle.
+  The model pass collapses them with a two-phase count (partial agg
+  reduces each partition to its distinct trigrams before the
+  exchange); the scoring pass joins against the broadcast model and
+  partially aggregates back to one row per document before its
+  exchange, so the score shuffle is one thin row per doc.
+* the model is bounded by ``min_count`` (drop trigrams rarer than k in
+  the sample) — character-trigram vocabularies saturate in the low
+  millions, so the broadcast stays MB-scale; pass
+  ``broadcast_model=False`` to fall back to a shuffle join if a
+  degenerate corpus (random bytes) explodes the vocabulary.
+* ``model_filter`` picks the training sample (e.g. ``doc_id % 100 =
+  0``) — training on a 1% sample is the standard shape; the model scan
+  is separate from the scoring scan by design (in production it is
+  trained once and persisted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["trigram_typicality"]
+
+
+def _trigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, g): one row per trigram OCCURRENCE (not distinct), docs
+    shorter than 3 chars contribute nothing. NULL text = empty."""
+    t = f"coalesce({text_col}, '')"
+    gs = (f"transform(sequence(1, greatest(length({t}) - 2, 0)), "
+          f"i -> substring({t}, i, 3))")
+    return (
+        docs.where(F.expr(f"length({t}) >= 3"))
+        .select(F.col(id_col), F.explode(F.expr(gs)).alias("g"))
+    )
+
+
+def trigram_typicality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model_filter: str = "true",
+    min_count: int = 1,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """One row per input document: (id_col, n_trigrams, avg_count,
+    coverage) — avg_count = mean model frequency over the doc's trigram
+    occurrences (unseen trigrams count 0), coverage = fraction of
+    occurrences the model has seen, both rounded to 6 decimals. Docs
+    with < 3 chars score (0, 0.0, 0.0)."""
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    tri = _trigrams(docs, id_col, text_col)
+    model = (
+        _trigrams(docs.where(F.expr(model_filter)), id_col, text_col)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+    )
+    if broadcast_model:
+        model = F.broadcast(model)
+    scored = (
+        tri.join(model, "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(F.avg(F.coalesce(F.col("_n"), F.lit(0))), 6)
+            .alias("avg_count"),
+            F.round(
+                F.avg(F.when(F.col("_n").isNull(), 0).otherwise(1)), 6
+            ).alias("coverage"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+            F.coalesce("avg_count", F.lit(0.0)).alias("avg_count"),
+            F.coalesce("coverage", F.lit(0.0)).alias("coverage"),
+        )
+    )

@@ -807,3 +807,33 @@ def test_cli_corpusstats(spark, tmp_path):
                  "--group-cols", "nope"]) == 2
     assert main(["corpusstats", "--input", src, "--output", out,
                  "--group-cols", ""]) == 2
+
+
+def test_cli_typicality(spark, tmp_path):
+    """typicality CLI: scores + --keep-expr accounting; validation."""
+    import json
+
+    import pandas as pd
+
+    from backupdeduplicator_spark.__main__ import main
+
+    docs = pd.DataFrame({
+        "doc_id": range(13),
+        "text": ["def f(): return 1\n"] * 12 + ["zqxjkvbnwpfmdygAB"],
+    })
+    src = str(tmp_path / "tydocs.parquet")
+    docs.to_parquet(src)
+    out = str(tmp_path / "tyscores")
+    rep = str(tmp_path / "tyrep.json")
+    rc = main(["typicality", "--input", src, "--output", out,
+               "--keep-expr", "coverage >= 0.5",
+               "--cores", "4", "--report-json", rep])
+    assert rc == 0
+    got = spark.read.parquet(out).toPandas().set_index("doc_id")
+    assert bool(got.loc[0].keep) and not bool(got.loc[12].keep)
+    j = json.loads(open(rep).read())
+    assert j["rows"] == 13 and j["kept"] == 12
+    assert main(["typicality", "--input", src, "--output", out,
+                 "--min-count", "0"]) == 2
+    assert main(["typicality", "--input", src, "--output", out,
+                 "--text-col", "nope"]) == 2

@@ -1,0 +1,82 @@
+"""Trigram typicality scoring (operators/lmscore.py): driver parity is
+pinned by the lm1 contract oracle; these tests pin the semantics —
+garbage discrimination, the short-doc/NULL path, min_count pruning,
+and the map-side-only explode plan shape."""
+
+import pandas as pd
+import pytest
+
+from backupdeduplicator_spark.operators.lmscore import trigram_typicality
+
+
+def _corpus(spark):
+    normal = [
+        "def compute_total(values):\n    return sum(values)\n",
+        "def compute_mean(values):\n    return sum(values) / len(values)\n",
+        "class TotalComputer:\n    def run(self, values):\n"
+        "        return sum(values)\n",
+        "def compute_max(values):\n    return max(values)\n",
+    ] * 6
+    pdf = pd.DataFrame({
+        "doc_id": range(len(normal) + 4),
+        "text": normal + [
+            "\x00\x01\x7f\x02qZ9@#\x03kW!\x04mX~\x05",  # binary junk
+            "ab",                                        # too short
+            None,                                        # NULL
+            "zqxjkvbnwpfmdyghZQXJKVBNWPFMDYGH",          # random letters
+            # (non-repeating: every trigram is a singleton, so
+            # min_count=2 prunes them from the self-trained model)
+        ],
+    })
+    return spark.createDataFrame(pdf)
+
+
+def test_typicality_discriminates_garbage(spark):
+    docs = _corpus(spark)
+    out = trigram_typicality(docs, min_count=2).toPandas().set_index("doc_id")
+    normal_cov = out.loc[:23].coverage
+    assert (normal_cov > 0.9).all()
+    junk = out.loc[24]
+    rand = out.loc[27]
+    assert junk.coverage < 0.2 and rand.coverage < 0.2
+    assert junk.avg_count < out.loc[:23].avg_count.min()
+    # short and NULL docs: zero trigrams, zero scores, still present
+    assert out.loc[25].n_trigrams == 0 and out.loc[25].avg_count == 0.0
+    assert out.loc[26].n_trigrams == 0 and out.loc[26].coverage == 0.0
+    assert len(out) == 28
+
+
+def test_typicality_model_filter_and_min_count(spark):
+    """A model trained only on even docs must not have seen trigrams
+    unique to odd docs; min_count prunes singletons."""
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["common base text"] * 2 + ["common base text", "UNIQ!"],
+    })
+    docs = spark.createDataFrame(pdf)
+    out = trigram_typicality(
+        docs, model_filter="doc_id % 2 = 0", min_count=1
+    ).toPandas().set_index("doc_id")
+    assert out.loc[3].coverage == 0.0          # 'UNIQ!' never in model
+    assert out.loc[1].coverage == 1.0          # same text as model docs
+    with pytest.raises(ValueError, match="min_count"):
+        trigram_typicality(docs, min_count=0)
+
+
+def test_typicality_plan_shape(spark):
+    """Scale pins: the model side joins as a broadcast, and no exchange
+    carries the exploded trigram column — trigrams collapse map-side
+    (partial aggs) before every shuffle."""
+    docs = _corpus(spark)
+    df = trigram_typicality(docs, min_count=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    lines = plan.splitlines()
+    g_exchanges = [i for i, ln in enumerate(lines)
+                   if "Exchange hashpartitioning(g#" in ln]
+    # exactly one exchange keyed on the trigram column — the model
+    # count — and its child must be the PARTIAL aggregate, i.e. only
+    # partition-distinct trigrams cross the wire, never occurrences
+    assert len(g_exchanges) == 1
+    child = lines[g_exchanges[0] + 1]
+    assert "HashAggregate" in child and "partial_count" in child, child
