@@ -82,6 +82,14 @@ t0 = time.time()
 corpus_stats(docs).collect()
 results["corpus_stats"] = round(time.time() - t0, 2)
 
+from backupdeduplicator_spark.operators.lmscore import (  # noqa: E402
+    trigram_typicality)
+
+t0 = time.time()
+force(trigram_typicality(docs, model_filter="doc_id % 50 = 0",
+                         min_count=2))
+results["trigram_typicality"] = round(time.time() - t0, 2)
+
 print(json.dumps({"cpus": cpus, "rows": n_rows, "sec": results,
                   "rows_per_sec": {k: round(n_rows / v, 0)
                                    for k, v in results.items()}}))

@@ -73,7 +73,7 @@ def test_typicality_plan_shape(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     lines = plan.splitlines()
     g_exchanges = [i for i, ln in enumerate(lines)
-                   if "Exchange hashpartitioning(g#" in ln]
+                   if "Exchange hashpartitioning(gh#" in ln]
     # exactly one exchange keyed on the trigram column — the model
     # count — and its child must be the PARTIAL aggregate, i.e. only
     # partition-distinct trigrams cross the wire, never occurrences

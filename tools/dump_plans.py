@@ -188,6 +188,16 @@ def main() -> None:
         _explain(pack_documents(docs, "doc_id", 2048)),
     ))
 
+    from backupdeduplicator_spark.operators.lmscore import trigram_typicality
+
+    sections.append((
+        "trigram typicality (map-side explode collapsed by partial aggs "
+        "before every exchange; broadcast model; one thin row per doc "
+        "in the score shuffle)",
+        _explain(trigram_typicality(docs, model_filter="doc_id % 7 = 0",
+                                    min_count=2)),
+    ))
+
     out = ["# PLANS — formatted physical plans of the headline queries\n",
            f"Generated from `{sf_dir}`. Reviewed for: parquet pushdown, "
            "no content/vector/children payloads in any Exchange "
