@@ -3,7 +3,7 @@
 entry(spark)   — flagship duplicate_sets pipeline on sf0.001.
 queries()      — SURVEY.md §2 operators over the driver's parquet tables
                  (see backupdeduplicator_spark/contract.py).
-oracle_sql()   — DuckDB twins for EVERY query (52/52; the MinHash/LSH/CC,
+oracle_sql()   — DuckDB twins for EVERY query (53/53; the MinHash/LSH/CC,
                  SimHash, and winnowing tiers have full SQL kernel
                  re-expressions — no rows-only checks remain).
 """

@@ -712,6 +712,47 @@ def cmd_typicality(args) -> int:
     return 0
 
 
+def cmd_licenses(args) -> int:
+    """License detection over a (.., content) table
+    (operators/licenses.py): per-file family (SPDX tag wins, else
+    phrase markers, else unknown); --summary rolls up per
+    (--group-cols, license) instead. Family totals always print."""
+    spark = _spark(args)
+    from .operators.licenses import detect_license, license_summary
+
+    df = _read_input(spark, args.input)
+    groups = [c.strip() for c in args.group_cols.split(",") if c.strip()]
+    missing = [c for c in (*groups, args.text_col) if c not in df.columns]
+    if missing:
+        print(f"licenses: input lacks column(s) {missing}")
+        return 2
+    if args.summary:
+        out = license_summary(df, text_col=args.text_col,
+                              group_cols=tuple(groups))
+    else:
+        out = df.select(*groups, detect_license(args.text_col)
+                        .alias("license"))
+    out.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    if args.summary:
+        fam = written.groupBy("license").agg(
+            F.sum("n_files").alias("n")).collect()
+        n_rows = int(sum(r["n"] for r in fam))
+    else:
+        fam = written.groupBy("license").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+        n_rows = int(written.count())
+    by_family = {r["license"]: int(r["n"]) for r in fam}
+    print(f"licenses: {n_rows} files across {len(by_family)} families "
+          f"-> {args.output}")
+    for lic, n in sorted(by_family.items(), key=lambda kv: -kv[1]):
+        print(f"licenses:   {lic}: {n}")
+    _emit_report(args, command="licenses", rows=n_rows,
+                 by_family=by_family, summary=args.summary,
+                 output=args.output)
+    return 0
+
+
 def cmd_docstats(args) -> int:
     """Per-document repetition/quality signal vector — the Gopher-filter
     feature pass (operators/repetition.py, Rae et al. 2021 Table A1).
@@ -1276,6 +1317,20 @@ def main(argv: list[str] | None = None) -> int:
                          "appended as a boolean keep column, e.g. "
                          "'coverage >= 0.8'")
     ty.set_defaults(fn=cmd_typicality)
+
+    lc = sub.add_parser("licenses", parents=[common])
+    lc.add_argument("--input", required=True,
+                    help="(.., content) table — parquet dir, .jsonl/.csv, "
+                         "or Iceberg identifier")
+    lc.add_argument("--output", required=True)
+    lc.add_argument("--text-col", default="content", dest="text_col")
+    lc.add_argument("--group-cols", default="repo,path", dest="group_cols",
+                    help="columns carried into per-file output / summary "
+                         "grouping")
+    lc.add_argument("--summary", action="store_true",
+                    help="write per-(group, license) counts instead of "
+                         "per-file rows")
+    lc.set_defaults(fn=cmd_licenses)
 
     ds = sub.add_parser("docstats", parents=[common])
     ds.add_argument("--input", required=True,

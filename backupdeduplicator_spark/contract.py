@@ -864,6 +864,58 @@ FROM documents
 """
 
 
+#: shared corpus for lc1 — one license family planted per residue class
+#: (identical SQL text on both engines), incl. an SPDX tag that must
+#: override a conflicting phrase and a GPL/LGPL precedence probe
+_LICENSES_CORPUS_SQL = """
+WITH corpus AS (
+  SELECT doc_id, CASE
+    WHEN doc_id % 10 = 0 THEN
+      '// SPDX-License-Identifier: BSL-1.0' || chr(10) ||
+      'Permission is hereby granted, free of charge' || chr(10) || text
+    WHEN doc_id % 10 = 1 THEN
+      'Licensed under the Apache License, Version 2.0' || chr(10) || text
+    WHEN doc_id % 10 = 2 THEN
+      'under the terms of the GNU General Public License' || chr(10) || text
+    WHEN doc_id % 10 = 3 THEN
+      'the GNU Lesser General Public License applies' || chr(10) || text
+    WHEN doc_id % 10 = 4 THEN
+      'Permission is hereby granted, free of charge, to any person'
+        || chr(10) || text
+    WHEN doc_id % 10 = 5 THEN
+      'Redistribution and use in source and binary forms' || chr(10) || text
+    WHEN doc_id % 10 = 6 THEN
+      'This is free and unencumbered software released into the public domain'
+        || chr(10) || text
+    ELSE text END AS text
+  FROM documents)"""
+
+
+def q_lc1_license_detection(d: D) -> str:
+    """License detection (operators/licenses.py): per-doc family over
+    the planted corpus — SPDX tag wins over phrases, family markers in
+    declared precedence order (LGPL before GPL). The oracle evaluates
+    the IDENTICAL pattern strings (module constants) through DuckDB's
+    RE2 and re-derives the same first-match CASE. DuckDB dialect only;
+    the Spark side runs the real operator (ENGINE_BACKED)."""
+    from .operators.licenses import LICENSE_MARKERS, SPDX_PATTERN
+
+    whens = "\n".join(
+        f"    WHEN regexp_extract(text, '{pat}', 0) <> '' THEN '{fam}'"
+        for fam, pat in LICENSE_MARKERS
+    )
+    return f"""{_LICENSES_CORPUS_SQL}
+SELECT doc_id,
+  CASE WHEN regexp_extract(text, '{SPDX_PATTERN}', 1) <> ''
+       THEN regexp_extract(text, '{SPDX_PATTERN}', 1)
+       ELSE CASE
+{whens}
+         ELSE 'unknown' END
+  END AS license
+FROM corpus
+"""
+
+
 def q_lm1_trigram_typicality(d: D) -> str:
     """Corpus-trained trigram typicality (operators/lmscore.py): model =
     trigram counts over the doc_id %% 7 == 0 sample with min_count 2;
@@ -1485,6 +1537,7 @@ SQL_QUERIES: dict[str, Callable[[D], str]] = {
     "pk1_pack_documents": q_pk1_pack_documents,
     "cs1_corpus_stats": q_cs1_corpus_stats,
     "lm1_trigram_typicality": q_lm1_trigram_typicality,
+    "lc1_license_detection": q_lc1_license_detection,
     "ct1_contamination": q_ct1_contamination,
     "rp1_repetition_signals": q_rp1_repetition_signals,
     "sc1_secret_counts": q_sc1_secret_counts,
@@ -2167,6 +2220,22 @@ def _spark_lm1_trigram_typicality(
 
 
 ENGINE_BACKED["lm1_trigram_typicality"] = _spark_lm1_trigram_typicality
+
+
+def _spark_lc1_license_detection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Engine twin for lc1: detect_license over the planted corpus
+    (same SQL text as the oracle prelude)."""
+    from .operators.licenses import detect_license
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    corpus = spark.sql(f"{_LICENSES_CORPUS_SQL} SELECT * FROM corpus")
+    return corpus.select("doc_id", detect_license("text").alias("license"))
+
+
+ENGINE_BACKED["lc1_license_detection"] = _spark_lc1_license_detection
 
 
 def _spark_d3_near_dup_oph(spark: SparkSession, sf_dir: str) -> DataFrame:

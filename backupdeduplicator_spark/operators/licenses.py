@@ -1,0 +1,77 @@
+"""License detection over source-code corpora.
+
+The compliance pass of every code-training pipeline (StarCoder/The
+Stack data cards: keep permissive, drop copyleft/unlicensed): classify
+each file by license family from (a) an explicit SPDX identifier tag
+when present, else (b) the characteristic header phrases of the common
+families. Not in the reference (it never reads content semantics) —
+the compliance sibling of the secrets tier, over the same
+(repo, path, content) tables.
+
+Detection is a pure zero-shuffle JVM projection (``regexp_extract`` +
+a literal CASE), same 100 TB shape as operators/secrets.py; every
+pattern stays in the shared Java-regex / RE2 subset so the lc1 oracle
+evaluates the IDENTICAL pattern text through DuckDB.
+
+Family markers (first match wins, SPDX tag always wins): curated from
+the license texts' own normative phrases — MIT ("Permission is hereby
+granted, free of charge"), Apache-2.0, BSD (redistribution clause),
+GPL/LGPL/AGPL, MPL-2.0, Unlicense, CC0. ``unknown`` = none matched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["LICENSE_MARKERS", "SPDX_PATTERN", "detect_license",
+           "license_summary"]
+
+#: SPDX short-form tag (SPDX spec annex E) — the authoritative signal.
+SPDX_PATTERN = r"SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)"
+
+#: (family, phrase-pattern) — ordered, first match wins. Patterns are
+#: plain substrings up to whitespace flexibility, shared-regex-subset.
+LICENSE_MARKERS: tuple[tuple[str, str], ...] = (
+    ("Apache-2.0", r"Apache License,?\s+Version 2\.0"),
+    ("AGPL-3.0", r"GNU Affero General Public License"),
+    ("LGPL", r"GNU Lesser General Public License"),
+    ("GPL", r"GNU General Public License"),
+    ("MPL-2.0", r"Mozilla Public License,?\s+v(ersion)?\.?\s*2\.0"),
+    ("MIT", r"Permission is hereby granted,\s+free of charge"),
+    ("BSD", r"Redistribution and use in source and binary forms"),
+    ("Unlicense", r"This is free and unencumbered software"),
+    ("CC0-1.0", r"CC0 1\.0 Universal"),
+)
+
+
+def detect_license(col: str | Column) -> Column:
+    """License family for one text column: the SPDX tag verbatim when
+    present, else the first matching family marker, else 'unknown'.
+    NULL text -> 'unknown'."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.coalesce(c, F.lit(""))
+    spdx = F.regexp_extract(t, SPDX_PATTERN, 1)
+    expr = None
+    for fam, pat in LICENSE_MARKERS:
+        cond = F.regexp_extract(t, pat, 0) != ""
+        expr = F.when(cond, fam) if expr is None else expr.when(cond, fam)
+    phrase = expr.otherwise("unknown")
+    return F.when(spdx != "", spdx).otherwise(phrase)
+
+
+def license_summary(
+    df: DataFrame,
+    text_col: str = "content",
+    group_cols: tuple[str, ...] = ("repo",),
+) -> DataFrame:
+    """Per-(group, license) file counts — one detection projection plus
+    one two-phase rollup. The repo-level compliance report: a repo with
+    any copyleft row is flagged by filtering this output, not by a
+    second scan."""
+    return (
+        df.select(*group_cols, detect_license(text_col).alias("license"))
+        .groupBy(*group_cols, "license")
+        .agg(F.count(F.lit(1)).alias("n_files"))
+        .orderBy(*group_cols, "license")
+    )

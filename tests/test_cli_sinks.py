@@ -837,3 +837,44 @@ def test_cli_typicality(spark, tmp_path):
                  "--min-count", "0"]) == 2
     assert main(["typicality", "--input", src, "--output", out,
                  "--text-col", "nope"]) == 2
+
+
+def test_cli_licenses(spark, tmp_path):
+    """licenses CLI: per-file + summary modes, report totals."""
+    import json
+
+    import pandas as pd
+
+    from backupdeduplicator_spark.__main__ import main
+
+    docs = pd.DataFrame({
+        "repo": ["a", "a", "b"],
+        "path": ["x.py", "y.py", "z.py"],
+        "content": [
+            "# SPDX-License-Identifier: MIT\nprint(1)",
+            "GNU General Public License",
+            "plain code",
+        ],
+    })
+    src = str(tmp_path / "lic.parquet")
+    docs.to_parquet(src)
+    out = str(tmp_path / "licout")
+    rep = str(tmp_path / "licrep.json")
+    rc = main(["licenses", "--input", src, "--output", out,
+               "--cores", "4", "--report-json", rep])
+    assert rc == 0
+    got = {(r.repo, r.path): r.license
+           for r in spark.read.parquet(out).toPandas().itertuples()}
+    assert got[("a", "x.py")] == "MIT" and got[("a", "y.py")] == "GPL"
+    assert got[("b", "z.py")] == "unknown"
+    j = json.loads(open(rep).read())
+    assert j["by_family"] == {"MIT": 1, "GPL": 1, "unknown": 1}
+    # summary mode
+    sout = str(tmp_path / "licsum")
+    assert main(["licenses", "--input", src, "--output", sout,
+                 "--summary", "--group-cols", "repo"]) == 0
+    s = {(r.repo, r.license): r.n_files
+         for r in spark.read.parquet(sout).toPandas().itertuples()}
+    assert s == {("a", "MIT"): 1, ("a", "GPL"): 1, ("b", "unknown"): 1}
+    assert main(["licenses", "--input", src, "--output", out,
+                 "--text-col", "nope"]) == 2

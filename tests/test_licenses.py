@@ -1,0 +1,57 @@
+"""License detection (operators/licenses.py): driver parity is pinned
+by lc1; these pin precedence semantics and the summary rollup."""
+
+import pandas as pd
+
+from backupdeduplicator_spark.operators.licenses import (
+    detect_license, license_summary)
+
+
+def test_detect_license_precedence(spark):
+    pdf = pd.DataFrame({
+        "i": range(7),
+        "content": [
+            # SPDX tag beats a conflicting phrase
+            "# SPDX-License-Identifier: GPL-3.0-only\n"
+            "Permission is hereby granted, free of charge",
+            # LGPL phrase must not fall through to the GPL marker
+            "under the GNU Lesser General Public License v2.1",
+            "licensed under the GNU General Public License v3",
+            "Apache License\n   Version 2.0, January 2004",
+            "Redistribution and use in source and binary forms, with or",
+            "no license text at all",
+            None,
+        ],
+    })
+    out = spark.createDataFrame(pdf).select(
+        "i", detect_license("content").alias("lic")
+    ).toPandas().set_index("i").lic
+    assert out[0] == "GPL-3.0-only"
+    assert out[1] == "LGPL"
+    assert out[2] == "GPL"
+    assert out[3] == "Apache-2.0"
+    assert out[4] == "BSD"
+    assert out[5] == "unknown"
+    assert out[6] == "unknown"
+
+
+def test_license_summary_rollup(spark):
+    pdf = pd.DataFrame({
+        "repo": ["a", "a", "a", "b"],
+        "content": [
+            "Permission is hereby granted, free of charge",
+            "Permission is hereby granted, free of charge",
+            "GNU General Public License",
+            "x",
+        ],
+    })
+    out = license_summary(spark.createDataFrame(pdf)).toPandas()
+    got = {(r.repo, r.license): r.n_files for r in out.itertuples()}
+    assert got == {("a", "MIT"): 2, ("a", "GPL"): 1, ("b", "unknown"): 1}
+
+
+def test_detect_license_zero_shuffle_plan(spark):
+    pdf = pd.DataFrame({"repo": ["a"], "content": ["x"]})
+    df = spark.createDataFrame(pdf).select(detect_license("content"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
