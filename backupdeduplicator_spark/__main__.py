@@ -341,6 +341,29 @@ def cmd_docdedup(args) -> int:
             ).withColumnRenamed("id", "hash_hex")
         else:
             out = clusters.select(F.col("path").alias("id"), "component")
+        if args.audit:
+            # sampled exact-Jaccard QA of the clustering: chain the
+            # --audit lowest-id members per cluster into adjacent pairs
+            # and verify with the exact char-5-gram kernel — a poisoned
+            # cluster surfaces as a low min_jaccard
+            from .operators.dedup_extra import cluster_quality_report
+
+            members = clusters.select(
+                F.col("path").alias("doc_id"), "component")
+            rep_df = cluster_quality_report(
+                docs.select(F.col(args.id_col).cast("string")
+                            .alias("doc_id"),
+                            F.col(args.text_col).alias("text")),
+                members, sample_per_cluster=args.audit,
+            )
+            audit_out = args.output.rstrip("/") + "_audit"
+            rep_df.write.mode("overwrite").parquet(audit_out)
+            audit = spark.read.parquet(audit_out).agg(
+                F.count(F.lit(1)), F.min("min_jaccard"),
+                F.round(F.avg("avg_jaccard"), 4),
+            ).collect()[0]
+            print(f"docdedup: audit of {audit[0]} clusters -> {audit_out} "
+                  f"(min pairwise jaccard {audit[1]}, mean {audit[2]})")
     elif args.tier == "simhash":
         from .operators.dedup_extra import simhash_pairs
 
@@ -1184,6 +1207,11 @@ def main(argv: list[str] | None = None) -> int:
                          "exact suffix-automaton LCS kernel and keep pairs "
                          "whose longest shared run is >= this many UTF-8 "
                          "bytes")
+    dd.add_argument("--audit", type=int, default=0,
+                    help="minhash tier: also write a sampled exact-Jaccard "
+                         "cluster QA table to <output>_audit, chaining this "
+                         "many lowest-id members per cluster (poisoned "
+                         "clusters surface as low min_jaccard)")
     dd.add_argument("--decisions", action="store_true",
                     help="minhash tier: emit keep-best canonicalization "
                          "decisions (one keep=1 row per near-dup cluster "

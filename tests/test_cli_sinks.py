@@ -878,3 +878,28 @@ def test_cli_licenses(spark, tmp_path):
     assert s == {("a", "MIT"): 1, ("a", "GPL"): 1, ("b", "unknown"): 1}
     assert main(["licenses", "--input", src, "--output", out,
                  "--text-col", "nope"]) == 2
+
+
+def test_cli_docdedup_audit(spark, tmp_path):
+    """docdedup --audit: sampled exact-Jaccard QA table lands at
+    <output>_audit with per-cluster members + jaccard stats."""
+    import pandas as pd
+
+    from backupdeduplicator_spark.__main__ import main
+
+    base = ("for i in range(100):\n    total += weights[i] * x[i]\n" * 20)
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [base, base + "# v2\n", "something unrelated"],
+    })
+    src = str(tmp_path / "adocs.parquet")
+    docs.to_parquet(src)
+    out = str(tmp_path / "aclusters")
+    rc = main(["docdedup", "--input", src, "--output", out,
+               "--tier", "minhash", "--audit", "3", "--cores", "4"])
+    assert rc == 0
+    audit = spark.read.parquet(out + "_audit").toPandas()
+    assert len(audit) == 1                       # one cluster
+    assert audit.iloc[0].n_members == 2
+    assert audit.iloc[0].n_checked_pairs == 1
+    assert audit.iloc[0].min_jaccard > 0.8       # true near-dups
