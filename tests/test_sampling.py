@@ -264,3 +264,40 @@ def test_pack_documents_custom_shard_and_length(spark):
     for _, grp in out.groupby("shard"):
         g = grp.sort_values("name")
         assert list(g.offset) == list(g.doc_len.cumsum() - g.doc_len)
+
+
+def test_round5_ops_on_empty_input(spark):
+    """Every round-5 operator must return an EMPTY result with the right
+    schema on an empty input — not crash, not emit phantom rows."""
+    from backupdeduplicator_spark.operators.corpusstats import corpus_stats
+    from backupdeduplicator_spark.operators.licenses import license_summary
+    from backupdeduplicator_spark.operators.lmscore import trigram_typicality
+    from backupdeduplicator_spark.operators.packing import pack_documents
+    from backupdeduplicator_spark.operators.sampling import stratified_sample
+    from backupdeduplicator_spark.operators.secrets import (
+        secret_counts, secret_summary)
+
+    docs = spark.createDataFrame(
+        [], "doc_id long, lang string, source string, text string")
+    files = spark.createDataFrame(
+        [], "repo string, path string, id string, content string")
+    clusters = spark.createDataFrame([], "id string, cluster string")
+
+    assert split_assign(docs, "doc_id", {"a": 1.0}).count() == 0
+    assert stratified_cap(docs, ["source"], 5, "doc_id").count() == 0
+    assert stratified_cap(docs, ["source"], 5, "doc_id",
+                          approx_threshold=10).count() == 0
+    assert stratified_sample(docs, "lang", {"en": 0.5}, "doc_id").count() == 0
+    p = pack_documents(docs, "doc_id", 100)
+    assert p.count() == 0
+    assert set(p.columns) == {"doc_id", "shard", "doc_len", "offset",
+                              "chunk", "end_chunk"}
+    assert corpus_stats(docs).count() == 0
+    assert trigram_typicality(docs).count() == 0
+    assert dedup_decisions(files, clusters).count() == 0
+    assert license_summary(files.withColumnRenamed("id", "x"),
+                           group_cols=("repo",)).count() == 0
+    counts = secret_counts(files.select("repo", "path", "content"))
+    assert counts.count() == 0
+    # empty corpus -> empty summary (no phantom zero rows per family)
+    assert secret_summary(counts).count() == 0
