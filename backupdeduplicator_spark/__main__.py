@@ -296,6 +296,9 @@ def cmd_docdedup(args) -> int:
     if args.decisions and args.tier != "minhash":
         print("docdedup: --decisions applies to --tier minhash only")
         return 2
+    if args.apply and not args.decisions:
+        print("docdedup: --apply requires --decisions")
+        return 2
     docs = spark.read.parquet(args.input)
     report: dict = {}
     if args.tier == "exact":
@@ -339,6 +342,13 @@ def cmd_docdedup(args) -> int:
                 quality=f"coalesce(length({args.text_col}), -1)",
                 id_col="_hash", key_cols=(args.id_col,),
             ).withColumnRenamed("id", "hash_hex")
+            if args.apply:
+                # emit the DEDUPLICATED CORPUS itself: original rows
+                # semi-joined on the keep set — the end product of the
+                # whole tier, ready to feed the next pipeline stage
+                keep_keys = out.filter(F.col("keep") == 1).select(
+                    args.id_col)
+                out = docs.join(keep_keys, args.id_col, "left_semi")
         else:
             out = clusters.select(F.col("path").alias("id"), "component")
         if args.audit:
@@ -434,9 +444,13 @@ def cmd_docdedup(args) -> int:
                   f"cap to trade runtime for recall")
     kept = None
     if args.decisions:
-        kept = int(spark.read.parquet(args.output)
-                   .agg(F.sum("keep")).collect()[0][0] or 0)
-        print(f"docdedup: decisions keep {kept}/{n} rows")
+        if args.apply:
+            kept = n  # the written corpus IS the keep set
+            print(f"docdedup: applied decisions — {kept} rows kept")
+        else:
+            kept = int(spark.read.parquet(args.output)
+                       .agg(F.sum("keep")).collect()[0][0] or 0)
+            print(f"docdedup: decisions keep {kept}/{n} rows")
     print(f"docdedup[{args.tier}]: {n} rows -> {args.output}")
     _emit_report(args, command="docdedup", tier=args.tier, rows=n,
                  output=args.output, dropped_buckets=int(dropped),
@@ -1217,6 +1231,10 @@ def main(argv: list[str] | None = None) -> int:
                          "decisions (one keep=1 row per near-dup cluster "
                          "/ exact-dup group, argmax text length) instead "
                          "of the raw cluster table")
+    dd.add_argument("--apply", action="store_true",
+                    help="with --decisions: write the DEDUPLICATED "
+                         "corpus (original rows semi-joined on the keep "
+                         "set) instead of the decision table")
     dd.set_defaults(fn=cmd_docdedup)
 
     dc = sub.add_parser("decontaminate", parents=[common])

@@ -903,3 +903,29 @@ def test_cli_docdedup_audit(spark, tmp_path):
     assert audit.iloc[0].n_members == 2
     assert audit.iloc[0].n_checked_pairs == 1
     assert audit.iloc[0].min_jaccard > 0.8       # true near-dups
+
+
+def test_cli_docdedup_decisions_apply(spark, tmp_path):
+    """--decisions --apply writes the deduplicated corpus itself."""
+    import pandas as pd
+
+    from backupdeduplicator_spark.__main__ import main
+
+    base = ("def f(x):\n    return x + 1\n" * 30)
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [base, base + "# v2\n", "unique", "same", "same"],
+    })
+    src = str(tmp_path / "apdocs.parquet")
+    docs.to_parquet(src)
+    out = str(tmp_path / "deduped")
+    rc = main(["docdedup", "--input", src, "--output", out,
+               "--tier", "minhash", "--decisions", "--apply",
+               "--cores", "4"])
+    assert rc == 0
+    got = spark.read.parquet(out).toPandas().sort_values("doc_id")
+    # near-dup cluster {1,2} -> keep 2 (longer); exact pair {4,5} -> one
+    assert list(got.doc_id) == [2, 3, 5]
+    assert set(got.columns) == {"doc_id", "text"}  # original schema
+    assert main(["docdedup", "--input", src, "--output", out,
+                 "--tier", "minhash", "--apply"]) == 2
