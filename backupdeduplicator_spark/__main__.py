@@ -588,6 +588,13 @@ def cmd_sample(args) -> int:
         print("sample: nothing to do — give --splits, --rates, and/or "
               "--cap + --stratify-cols")
         return 2
+    if args.keep_split and not (args.apply and splits):
+        print("sample: --keep-split requires --apply and --splits")
+        return 2
+    if args.keep_split and args.keep_split not in splits:
+        print(f"sample: --keep-split '{args.keep_split}' is not one of "
+              f"the --splits names {list(splits)}")
+        return 2
     missing = [c for c in strata if c not in df.columns]
     if missing:
         print(f"sample: input lacks stratify column(s) {missing}")
@@ -613,12 +620,24 @@ def cmd_sample(args) -> int:
             out, strata, args.cap, args.key_col, salt=f"{args.salt}cap",
             approx_threshold=args.approx_threshold or None,
         )
+    n_in = None
+    if args.apply:
+        # write the SELECTED corpus: rows passing every produced gate,
+        # gate columns dropped (split assignment is a label, not a
+        # gate — filter a split downstream with --keep-split)
+        n_in = df.count()
+        if args.keep_split:
+            out = out.filter(F.col("split") == args.keep_split)
+        if rates:
+            out = out.filter(F.col("sampled") == 1).drop("sampled")
+        if args.cap:
+            out = out.filter(F.col("in_cap") == 1).drop("in_cap")
     out.write.mode("overwrite").parquet(args.output)
     written = spark.read.parquet(args.output)
     aggs = [F.count(F.lit(1)).alias("rows")]
-    if args.cap:
+    if args.cap and not args.apply:
         aggs.append(F.sum("in_cap").alias("kept"))
-    if rates:
+    if rates and not args.apply:
         aggs.append(F.sum("sampled").alias("sampled"))
     stats = written.agg(*aggs).collect()[0]
     by_split = {}
@@ -626,17 +645,22 @@ def cmd_sample(args) -> int:
         by_split = {r["split"]: r["n"] for r in written.groupBy("split")
                     .agg(F.count(F.lit(1)).alias("n")).collect()}
         print(f"sample: split counts {by_split}")
-    if rates:
+    if args.apply:
+        print(f"sample: applied gates — kept {stats['rows']}/{n_in} rows")
+    if rates and not args.apply:
         print(f"sample: mixing rates keep {stats['sampled']}/"
               f"{stats['rows']} rows")
-    if args.cap:
+    if args.cap and not args.apply:
         print(f"sample: quota kept {stats['kept']}/{stats['rows']} rows "
               f"(cap {args.cap} per {'+'.join(strata)})")
     print(f"sample: {stats['rows']} rows -> {args.output}")
     _emit_report(args, command="sample", rows=int(stats["rows"]),
                  by_split=by_split,
-                 kept=int(stats["kept"]) if args.cap else None,
-                 sampled=int(stats["sampled"]) if rates else None,
+                 kept=int(stats["kept"]) if args.cap and not args.apply
+                 else None,
+                 sampled=int(stats["sampled"]) if rates and not args.apply
+                 else None,
+                 input_rows=int(n_in) if args.apply else None,
                  cap=args.cap or None, output=args.output)
     return 0
 
@@ -1308,6 +1332,13 @@ def main(argv: list[str] | None = None) -> int:
     sa.add_argument("--salt", default="",
                     help="prefix folded into all hash salts — a new "
                          "salt is a fresh independent draw")
+    sa.add_argument("--apply", action="store_true",
+                    help="write the SELECTED corpus (rows passing every "
+                         "produced gate, gate columns dropped) instead "
+                         "of the annotated table")
+    sa.add_argument("--keep-split", default="", dest="keep_split",
+                    help="with --apply and --splits: keep only this "
+                         "split's rows")
     sa.set_defaults(fn=cmd_sample)
 
     pk = sub.add_parser("pack", parents=[common])

@@ -929,3 +929,37 @@ def test_cli_docdedup_decisions_apply(spark, tmp_path):
     assert set(got.columns) == {"doc_id", "text"}  # original schema
     assert main(["docdedup", "--input", src, "--output", out,
                  "--tier", "minhash", "--apply"]) == 2
+
+
+def test_cli_sample_apply(spark, tmp_path):
+    """sample --apply: writes only rows passing every gate, gate columns
+    dropped; --keep-split narrows to one split; validation exits."""
+    import json
+
+    import pandas as pd
+
+    from backupdeduplicator_spark.__main__ import main
+
+    docs = pd.DataFrame({
+        "doc_id": range(200),
+        "source": [f"s{i % 2}" for i in range(200)],
+    })
+    src = str(tmp_path / "apsdocs.parquet")
+    docs.to_parquet(src)
+    out = str(tmp_path / "selected")
+    rep = str(tmp_path / "apsrep.json")
+    rc = main(["sample", "--input", src, "--output", out,
+               "--splits", "train=0.9,test=0.1", "--keep-split", "train",
+               "--stratify-cols", "source", "--cap", "30", "--apply",
+               "--cores", "4", "--report-json", rep])
+    assert rc == 0
+    got = spark.read.parquet(out).toPandas()
+    assert set(got.columns) == {"doc_id", "source", "split"}
+    assert (got.split == "train").all()
+    assert (got.groupby("source").size() <= 30).all()
+    j = json.loads(open(rep).read())
+    assert j["input_rows"] == 200 and j["rows"] == len(got)
+    assert main(["sample", "--input", src, "--output", out,
+                 "--splits", "a=1.0", "--keep-split", "a"]) == 2
+    assert main(["sample", "--input", src, "--output", out, "--apply",
+                 "--splits", "a=1.0", "--keep-split", "nope"]) == 2
