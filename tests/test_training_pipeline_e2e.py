@@ -1,0 +1,91 @@
+"""End-to-end training-data pipeline through the CLI: the full story a
+corpus owner runs — near-dedup with keep-best applied, statistical
+quality filter applied, deterministic split + per-source quota applied,
+then packed into fixed-size chunks. Each stage reads the previous
+stage's parquet output; every selection is a pure function of row
+identity, so the whole pipeline is reproducible byte-for-byte."""
+
+import pandas as pd
+
+from backupdeduplicator_spark.__main__ import main
+
+
+def test_training_pipeline_end_to_end(spark, tmp_path):
+    base = ("for i in range(50):\n    acc += w[i] * x[i]\n" * 25)
+    rows = []
+    for i in range(40):
+        if i < 6:            # near-dup cluster: keep exactly one
+            text = base + f"# variant {i % 2}\n" * (i % 3)
+        elif i < 10:         # exact dups: keep exactly one
+            text = "shared helper snippet that repeats verbatim " * 9
+        elif i == 10:        # garbage: typicality must drop it
+            text = "zq9@#xjKvB!wpF~mdYg7hQ%rT&cL*nS^"
+        else:                # unique healthy docs — genuinely distinct
+            # content (distinct tokens dominate the shingle sets)
+            text = "".join(
+                f"def handler_{i}_{j}(value_{i}):\n"
+                f"    state_{i}_{j} = value_{i} * {j} + {i}\n"
+                f"    return state_{i}_{j}\n"
+                for j in range(12)
+            )
+        rows.append((i, f"s{i % 2}", text))
+    docs = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    src = str(tmp_path / "corpus.parquet")
+    docs.to_parquet(src)
+
+    # 1. near-dedup, decisions applied -> deduplicated corpus
+    dd = str(tmp_path / "dedup")
+    assert main(["docdedup", "--input", src, "--output", dd,
+                 "--tier", "minhash", "--decisions", "--apply",
+                 "--cores", "4"]) == 0
+    deduped = spark.read.parquet(dd).toPandas()
+    ids = set(deduped.doc_id)
+    # exactly ONE survivor from the near-dup cluster {0..5} and ONE
+    # from the exact-dup group {6..9}; the unique garbage doc survives
+    # dedup (it is near nothing); handler docs may legitimately
+    # near-cluster among themselves (same code skeleton), so only
+    # bound them from below
+    assert len(ids & set(range(6))) == 1
+    assert len(ids & {6, 7, 8, 9}) == 1
+    assert 10 in ids
+    assert len(ids & set(range(11, 40))) >= 1
+    assert len(deduped) < 40
+
+    # 2. quality filter applied via typicality keep-expr
+    ty = str(tmp_path / "quality")
+    assert main(["typicality", "--input", dd, "--output", ty,
+                 "--keep-expr", "coverage >= 0.5", "--cores", "4"]) == 0
+    keep_ids = set(
+        spark.read.parquet(ty).toPandas().query("keep").doc_id)
+    assert 10 not in keep_ids and len(keep_ids) == len(deduped) - 1
+    filt = str(tmp_path / "filtered.parquet")
+    docs[docs.doc_id.isin(keep_ids)].to_parquet(filt)
+
+    # 3. split + per-source quota, gates applied, train split only
+    sel = str(tmp_path / "selected")
+    assert main(["sample", "--input", filt, "--output", sel,
+                 "--splits", "train=0.9,val=0.1", "--keep-split", "train",
+                 "--stratify-cols", "source", "--cap", "12", "--apply",
+                 "--cores", "4"]) == 0
+    selected = spark.read.parquet(sel).toPandas()
+    assert 0 < len(selected) <= 24
+    assert (selected.split == "train").all()
+    assert set(selected.doc_id) <= keep_ids
+
+    # 4. pack the survivors into fixed-size chunks
+    pk = str(tmp_path / "packed")
+    assert main(["pack", "--input", sel, "--output", pk,
+                 "--target", "512", "--shards", "4", "--cores", "4"]) == 0
+    packed = spark.read.parquet(pk).toPandas()
+    assert len(packed) == len(selected)
+    assert (packed.offset >= 0).all()
+    assert (packed.chunk == packed.offset // 512).all()
+
+    # reproducibility: rerunning stage 3 yields the identical selection
+    sel2 = str(tmp_path / "selected2")
+    assert main(["sample", "--input", filt, "--output", sel2,
+                 "--splits", "train=0.9,val=0.1", "--keep-split", "train",
+                 "--stratify-cols", "source", "--cap", "12", "--apply",
+                 "--cores", "4"]) == 0
+    again = spark.read.parquet(sel2).toPandas()
+    assert sorted(again.doc_id) == sorted(selected.doc_id)
