@@ -37,15 +37,26 @@ COUNT-FIRST (count_first=True) — hard per-task bound:
 
 AUTO MODE (count_first=None, the default): a cheap deterministic skew
 probe picks the plan. The probe counts members per key over a 1/64
-member-hash sample (one extra scan of ``buckets``, aggregating ~1.6% of
-its rows) and estimates the largest bucket; when that estimate exceeds
-``salt_buckets * max_bucket * probe_headroom`` — the point where even a
-salted phase-1 reducer buffer holds several caps' worth of one
-boilerplate key — the provable-bound count-first plan is selected,
-otherwise the cheaper salted plan. So benign corpora pay only the probe
-scan, and an adversarial corpus (10^7 identical payloads) gets the hard
-bound WITHOUT the caller having to know its skew in advance. Callers
-that do know can still force either plan explicitly.
+member-hash sample (one extra scan of ``buckets`` — or of the caller's
+pre-sampled ``probe_source`` — aggregating ~1.6% of the rows) and
+estimates the largest bucket; when that estimate exceeds
+``simple_max_members`` (default 10^6 ≈ an 8 MB worst-case reducer
+buffer) the provable-bound count-first plan is selected. Otherwise
+(r06) a SIMPLE single-exchange plan runs: one plain
+groupBy(key).collect_list with the size filter applied after — safe
+exactly because the probe just bounded every bucket's one-time buffer
+at ~8 MB (estimate reliability ±~20% once B >> probe_rate), where both
+insurance plans pay real extra passes: the salted two-phase a SECOND
+full exchange of the bucket table plus a double sort+flatten, the
+count-first plan a second full scan plus an anti-join. So benign
+corpora pay the probe scan + one exchange, and an adversarial corpus
+(10^7+ identical payloads) gets the hard bound WITHOUT the caller
+having to know its skew in advance. Callers that do know can still
+force either explicit plan: count_first=True for the hard bound,
+count_first=False for the salted two-phase (the shape to pick when
+buckets are *moderately* large and a count pass is too expensive — it
+remains the only plan whose reducer buffers stay bounded WITHOUT a
+probe or count).
 
 Dropped keys are returned, never silently ignored (the engine's
 no-silent-caps rule): callers surface/count them via the lazy
@@ -99,6 +110,8 @@ def bounded_bucket_pairs(
     count_first: bool | None = None,
     max_broadcast_keys: int = 4_000_000,
     probe_headroom: int = 4,
+    simple_max_members: int = 1_000_000,
+    probe_source: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(pairs, oversized) from a (key..., member) bucket table.
 
@@ -113,16 +126,53 @@ def bounded_bucket_pairs(
     path.
 
     ``count_first=None`` (default) auto-selects the plan via the skew
-    probe (module docstring): salted unless the largest estimated bucket
-    exceeds ``salt_buckets * max_bucket * probe_headroom``. The probe is
-    an eager (blocking) job — callers that persist a UDF-derived bucket
-    table upstream pay one cached scan; callers needing a fully lazy
-    plan (plan dumps) should pass an explicit False/True.
+    probe (module docstring): when the largest estimated bucket exceeds
+    ``simple_max_members`` the hard-bound count-first plan runs;
+    otherwise a SINGLE-exchange plain collect_list plan (r06: one
+    groupBy instead of the salted two-phase). The simple plan's only
+    extra cost over the theoretical floor is buffering each
+    to-be-dropped bucket's membership once in its reducer before the
+    size filter drops it — bounded by the probe at
+    ~simple_max_members * 8 B (8 MB default) per oversized key, which is
+    exactly the regime where a buffer is cheaper than the count-first
+    plan's second full scan + anti-join or the salted plan's second full
+    exchange + double sort/flatten (measured 1.5x on the LSH candidate
+    stage at bench scale, byte-identical pair set). True adversarial
+    buckets (10^7+ members, GB-scale buffers) still flip to count-first.
+    The probe is an eager (blocking) job — callers that persist a
+    UDF-derived bucket table upstream pay one cached scan; callers
+    needing a fully lazy plan (plan dumps) should pass an explicit
+    False (salted) / True (count-first).
+
+    ``probe_source`` (optional): a pre-restricted bucket table holding
+    exactly the rows of ``buckets`` whose member passes the probe's
+    1/probe_rate member-hash sample — lets callers whose bucket table is
+    derived by a per-row transform (e.g. LSH banding) apply the sample
+    BEFORE the transform, so the probe job touches 1/probe_rate of the
+    input instead of transforming everything and discarding 63/64 of it
+    (measured: LSH probe 1.5 s -> 0.2 s). The estimate is identical
+    because the sample predicate is a function of the member value
+    alone, which commutes with any per-row transform that preserves the
+    member column. Only consulted when ``count_first`` is None.
     """
+    simple = False
     if count_first is None:
-        est = probe_max_bucket(buckets, key_cols, member_col)
-        count_first = est > salt_buckets * max_bucket * probe_headroom
-    if count_first:
+        est = probe_max_bucket(
+            probe_source if probe_source is not None else buckets,
+            key_cols, member_col)
+        count_first = est > simple_max_members
+        simple = not count_first
+    if simple:
+        lists_all = buckets.groupBy(*key_cols).agg(
+            F.sort_array(F.collect_list(member_col)).alias("ms")
+        )
+        oversized = lists_all.filter(F.size("ms") > max_bucket).select(
+            *key_cols, F.size("ms").cast("long").alias("bn")
+        )
+        lists = lists_all.filter(
+            (F.size("ms") >= 2) & (F.size("ms") <= max_bucket)
+        ).select(*key_cols, "ms")
+    elif count_first:
         counts = buckets.groupBy(*key_cols).agg(
             F.count(F.lit(1)).alias("bn")
         )

@@ -101,8 +101,8 @@ def resolve_symlinks(files: DataFrame, max_hops: int = 8) -> DataFrame:
         # final consumer once more. Symlink rows are a sliver of any
         # corpus, so the checkpoint is tiny.
         links = links.localCheckpoint()
-        if links.rdd.isEmpty():
-            break
+        if links.isEmpty():  # DataFrame-native probe: limit-1 take, no
+            break            # RDD conversion (VERDICT r5 item 7)
         resolved = links.withColumn(
             "_rt", _resolve(F.col("_from"), F.col("link_target"))
         )

@@ -27,14 +27,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _canonical(edges: DataFrame) -> DataFrame:
-    """Undirected edge set as (u > v) pairs, no self-loops, distinct."""
-    e = edges.select(
-        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-    )
-    return e.filter(F.col("u") != F.col("v")).distinct()
-
-
 def _large_star(e: DataFrame) -> DataFrame:
     nbrs = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = nbrs.groupBy("u").agg(F.min("v").alias("mv"))
@@ -75,19 +67,33 @@ def connected_components(
     don't appear in ``edges`` and so get no row — callers union them back
     with component = own id if needed.
 
-    Graphs with <= ``local_threshold`` distinct edges take a driver-side
-    union-find fast path: at that size the distributed star rounds are
-    pure scheduling latency (measured ~20s of mostly-idle cores for a
-    1M-edge graph) while single-threaded union-find finishes in seconds.
-    Larger graphs (the 100 TB regime) run the distributed
+    Graphs with <= ``local_threshold`` canonical edge rows take a
+    driver-side union-find fast path: at that size the distributed star
+    rounds are pure scheduling latency (measured ~20s of mostly-idle
+    cores for a 1M-edge graph) while single-threaded union-find finishes
+    in seconds. Larger graphs (the 100 TB regime) run the distributed
     large-star/small-star loop. local_threshold=0 forces the distributed
     path (tests use both).
+
+    r06: the local path skips the ``distinct`` exchange — min-label
+    propagation is insensitive to duplicate edges, so the fast path
+    counts and ships RAW canonical rows (the threshold now gates on the
+    raw count, a conservative upper bound of the distinct count; callers
+    feeding already-distinct edges, like the LSH pair aggregation, see
+    the same decision). The distributed loop still canonicalizes with
+    ``distinct`` — it is the per-round invariant of the star steps.
     """
+    # canonical orientation without dedup: self-loops dropped here (they
+    # would add isolated-node output rows), duplicates tolerated by the
+    # local path. Lazy checkpoint: the count is the materializing action.
+    raw = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v")).localCheckpoint(eager=False)
+    if local_threshold > 0 and raw.count() <= local_threshold:
+        return _local_union_find(raw)
     # lazy checkpoints: the fingerprint aggregate is the materializing
     # action, so each round costs one job, not two
-    e = _canonical(edges).localCheckpoint(eager=False)
-    if local_threshold > 0 and e.count() <= local_threshold:
-        return _local_union_find(e)
+    e = raw.distinct().localCheckpoint(eager=False)
     prev = _fingerprint(e)
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=False)
@@ -109,8 +115,10 @@ def connected_components(
 
 
 def _local_union_find(e: DataFrame) -> DataFrame:
-    """Driver-side components over a small canonical edge set; labels are
-    shipped back as a DataFrame with the same (id, component) contract.
+    """Driver-side components over a small canonical edge set (oriented,
+    self-loop-free; duplicate rows are tolerated — min-propagation is
+    idempotent); labels are shipped back as a DataFrame with the same
+    (id, component) contract.
 
     Vectorized min-label propagation in numpy (edges in via Arrow
     toPandas, labels out via Arrow createDataFrame): per round, every

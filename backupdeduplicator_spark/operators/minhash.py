@@ -215,12 +215,19 @@ def lsh_candidate_pairs(
     Binomial(32, J^4) tail: at J=0.7, m=2 keeps 99.8% — the cheap knob
     that kills the boilerplate-corpus candidate explosion.
     """
-    from .buckets import bounded_bucket_pairs
+    from .buckets import _PROBE_RATE, bounded_bucket_pairs
 
     buckets = lsh_buckets(sigs)
+    # pre-transform probe sample (r06): the skew probe keeps only members
+    # with pmod(xxhash64(nid), rate) == 0, and nid survives the banding
+    # transform unchanged — so filtering SIGS first gives the probe an
+    # identical estimate while the transform+explode runs on 1/64 of the
+    # rows (measured 1.5 s -> 0.2 s on the 105k-sig bench table)
+    probe_src = lsh_buckets(sigs.filter(
+        F.pmod(F.xxhash64("nid"), F.lit(_PROBE_RATE)) == 0))
     pair_rows, oversized = bounded_bucket_pairs(
         buckets, ["band", "bandhash"], "nid", max_bucket,
-        count_first=count_first,
+        count_first=count_first, probe_source=probe_src,
     )
     pairs = pair_rows.groupBy(
         F.col("m1").alias("nid1"), F.col("m2").alias("nid2")

@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""Per-stage isolation bench for the headline pipeline (guide §1.4):
+times each sub-stage of q1..q4 with the noop sink so the computation is
+measured, not the sink, and labels jobs for UI/trace readability.
+
+This file is SEPARATE from bench.py (which is frozen for measurement);
+its numbers are cited in OPTIMIZATION_r06.md. Methodology matches
+bench.py: corpus from bench.bench_files at $SPARK_GRAFT_BENCH_MULT,
+$SPARK_GRAFT_CPUS cores, untimed JIT warmup, best-of-N per stage.
+
+Usage: python bench_extra.py [--stages q4] [--best-of 2]
+Prints one JSON line with per-stage seconds.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+
+def noop(df: DataFrame) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stages", default="q1,q2,q3,q4")
+    ap.add_argument("--best-of", type=int, default=2)
+    ap.add_argument("--warmup", type=int, default=1)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    mult = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "24"))
+
+    from backupdeduplicator_spark.operators.analyze import (
+        duplicate_pairs, duplicate_sets)
+    from backupdeduplicator_spark.operators.build import build_entries
+    from backupdeduplicator_spark.operators.components import (
+        connected_components)
+    from backupdeduplicator_spark.operators.minhash import (
+        distinct_content_signatures, lsh_candidate_pairs,
+        near_duplicate_clusters, signature_similarity)
+    from backupdeduplicator_spark.session import get_spark
+    from bench import bench_files
+
+    spark = get_spark(
+        "bd-spark-bench-extra", cores=cpus,
+        shuffle_partitions=max(cpus * 2, 16),
+        extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    sc = spark.sparkContext
+
+    files = bench_files(spark, sf_dir, mult).persist()
+    n_rows = files.count()
+
+    timings: dict[str, list[float]] = {}
+
+    def timed(name: str, fn) -> None:
+        sc.setJobDescription(name)
+        t0 = time.monotonic()
+        fn()
+        timings.setdefault(name, []).append(
+            round(time.monotonic() - t0, 3))
+        sc.setJobDescription(None)
+
+    stages = set(args.stages.split(","))
+
+    # untimed warmup over a 2k-row slice (same rationale as bench.py)
+    if args.warmup:
+        w = files.limit(2000).persist()
+        w.count()
+        we = build_entries(w).persist()
+        we.count()
+        duplicate_sets(we).count()
+        duplicate_pairs(we).count()
+        wi = we.filter(F.col("file_type") == "File").select(
+            "repo", "path", F.lower(F.hex("hash")).alias("id"))
+        near_duplicate_clusters(w, ids=wi).count()
+        we.unpersist()
+        w.unpersist()
+
+    for _ in range(max(args.best_of, 1)):
+        entries = None
+        if "q1" in stages or "q4" in stages:
+            def _build():
+                nonlocal entries
+                entries = build_entries(files).persist()
+                entries.count()
+            timed("q1_build", _build)
+        if "q2" in stages:
+            timed("q2_dup_sets", lambda: noop(duplicate_sets(entries)))
+        if "q3" in stages:
+            timed("q3_dup_pairs", lambda: noop(duplicate_pairs(entries)))
+        if "q4" in stages:
+            # --- q4 decomposed, same shapes as near_duplicate_clusters
+            sigs = None
+
+            def _sigs():
+                nonlocal sigs
+                sigs = distinct_content_signatures(files).persist()
+                sigs.count()
+            timed("q4a_signatures", _sigs)
+
+            cand_sel = None
+
+            def _cand():
+                nonlocal cand_sel
+                cand = lsh_candidate_pairs(sigs, max_bucket=128)
+                cand_sel = cand.pairs.filter(
+                    F.col("band_matches") >= 2).select("nid1", "nid2")
+                cand_sel = cand_sel.persist()
+                cand_sel.count()
+            timed("q4b_candidates", _cand)
+
+            edges = None
+
+            def _score():
+                nonlocal edges
+                edges = (signature_similarity(cand_sel, sigs)
+                         .filter(F.col("est_sim") >= 0.55)
+                         .select(F.col("nid1").alias("u"),
+                                 F.col("nid2").alias("v")).persist())
+                edges.count()
+            timed("q4c_scoring", _score)
+
+            labels = None
+
+            def _cc():
+                nonlocal labels
+                labels = connected_components(edges).persist()
+                labels.count()
+            timed("q4d_components", _cc)
+
+            def _join():
+                ids = entries.filter(
+                    F.col("file_type") == "File").select(
+                    "repo", "path", F.lower(F.hex("hash")).alias("id"))
+                out = ids.withColumn("nid", F.xxhash64("id")).join(
+                    labels.withColumnRenamed("id", "nid"), "nid")
+                noop(out.select("repo", "path", "id", "component"))
+            timed("q4e_label_join", _join)
+
+            for df in (sigs, cand_sel, edges, labels):
+                if df is not None:
+                    df.unpersist()
+        if entries is not None:
+            entries.unpersist()
+
+    spark.stop()
+    best = {k: min(v) for k, v in timings.items()}
+    print(json.dumps({
+        "metric": "stage_isolation_sec",
+        "stages": best,
+        "samples": timings,
+        "rows": n_rows,
+        "cpus": cpus,
+        "mult": mult,
+        "sf_dir": sf_dir,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -204,27 +204,48 @@ def test_probe_estimates_mega_bucket(spark):
 
 
 def test_auto_probe_picks_plan_by_skew(spark):
-    """DEFAULT call (count_first=None): a mega bucket that would overflow
-    even the salted phase-1 buffers flips the kernel to the hard-bound
-    count-first plan (no _salt column in the physical plan); a benign
-    table keeps the cheaper salted plan. Output is identical either way:
-    normal pairs kept, the mega key dropped + accounted."""
+    """DEFAULT call (count_first=None): a mega bucket whose estimated
+    membership exceeds simple_max_members (lowered here so the fixture
+    stays small) flips the kernel to the hard-bound count-first plan
+    (anti-join present, no _salt column); a benign table gets the r06
+    single-exchange SIMPLE plan (no _salt, no anti-join). Output is
+    identical either way: normal pairs kept, the mega key dropped +
+    accounted."""
     mega = spark.range(50_000).select(
         F.lit(0).alias("k"), F.col("id").alias("m"))
     normal = spark.createDataFrame(
         [(1, 100_001), (1, 100_002)], "k int, m long")
     skewed = mega.unionByName(normal)
-    pairs, oversized = bounded_bucket_pairs(skewed, ["k"], "m", max_bucket=64)
-    assert "_salt" not in _plan_str(pairs)  # probe chose count-first
+    pairs, oversized = bounded_bucket_pairs(
+        skewed, ["k"], "m", max_bucket=64, simple_max_members=10_000)
+    plan = _plan_str(pairs)
+    assert "_salt" not in plan  # probe chose count-first
+    assert "LeftAnti" in plan
     assert [(r["m1"], r["m2"]) for r in pairs.collect()] == [(100_001, 100_002)]
     assert [(r["k"], r["bn"]) for r in oversized.collect()] == [(0, 50_000)]
 
+    # the same mega bucket under the DEFAULT bound stays on the simple
+    # plan (50k members ≈ 400 KB buffer) with identical output
+    pairs_s, over_s = bounded_bucket_pairs(skewed, ["k"], "m", max_bucket=64)
+    plan_s = _plan_str(pairs_s)
+    assert "_salt" not in plan_s and "LeftAnti" not in plan_s
+    assert [(r["m1"], r["m2"]) for r in pairs_s.collect()] == [
+        (100_001, 100_002)]
+    assert [(r["k"], r["bn"]) for r in over_s.collect()] == [(0, 50_000)]
+
     benign = spark.createDataFrame(
         [(1, 1), (1, 2), (2, 5), (2, 6), (2, 7)], "k int, m long")
-    pairs2, _ = bounded_bucket_pairs(benign, ["k"], "m", max_bucket=64)
-    assert "_salt" in _plan_str(pairs2)  # probe kept the salted plan
+    pairs2, over2 = bounded_bucket_pairs(benign, ["k"], "m", max_bucket=64)
+    plan2 = _plan_str(pairs2)
+    assert "_salt" not in plan2 and "LeftAnti" not in plan2  # simple plan
     got = sorted((r["m1"], r["m2"]) for r in pairs2.collect())
     assert got == [(1, 2), (5, 6), (5, 7), (6, 7)]
+    assert over2.count() == 0
+
+    # simple plan still drops + accounts a bucket over the cap
+    smallcap, over3 = bounded_bucket_pairs(benign, ["k"], "m", max_bucket=2)
+    assert sorted((r["m1"], r["m2"]) for r in smallcap.collect()) == [(1, 2)]
+    assert [(r["k"], r["bn"]) for r in over3.collect()] == [(2, 3)]
 
 
 def test_bounded_probe_join_caps_build_buckets(spark):

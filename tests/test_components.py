@@ -38,3 +38,30 @@ def test_duplicate_and_reversed_edges(spark):
 def test_empty_edges(spark):
     df = spark.createDataFrame([], "u: string, v: string")
     assert connected_components(df).count() == 0
+
+
+def test_local_and_distributed_paths_agree_with_duplicates(spark):
+    """r06 pin: the local fast path consumes RAW canonical edges (no
+    distinct exchange) — with heavy duplication and reversed orientation
+    it must still equal the distributed star loop's labels."""
+    import random
+
+    rng = random.Random(2026)
+    edges = []
+    for i in range(200):
+        a, b = f"n{rng.randint(0, 59)}", f"n{rng.randint(0, 59)}"
+        if a == b:
+            continue
+        edges.append((a, b) if rng.random() < 0.5 else (b, a))
+        if rng.random() < 0.5:  # duplicate some edges
+            edges.append((a, b))
+    df = spark.createDataFrame(edges, "u: string, v: string")
+    local = {
+        r["id"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    dist = {
+        r["id"]: r["component"]
+        for r in connected_components(df, local_threshold=0).collect()
+    }
+    assert local == dist

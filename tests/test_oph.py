@@ -176,3 +176,49 @@ def test_prior_signatures_scheme_isolation(spark, tmp_path):
              lineage={"stage": "signatures", **SIG_CONFIG})
     assert prior_signatures(ck, scheme="perm128") is not None
     assert prior_signatures(ck, scheme="oph") is None
+
+
+def test_minhash_kernel_matches_direct_modulo():
+    """r06 kernel optimization pin: minhash_from_shingles (Mersenne-fold
+    modulo, one-shot/blocked hybrid) must be bit-identical to the direct
+    ``(a*x + b) % p`` definition on both sides of the block-size
+    crossover, and shingle_hashes' float64 correlate path must equal the
+    u64 strided-window formulation."""
+    from backupdeduplicator_spark.functions.shingles import (
+        _A, _B, _PERM_BLOCK_MAX, _pows, minhash_from_shingles)
+
+    rng = np.random.RandomState(11)
+    sizes = (1, 3, 64, _PERM_BLOCK_MAX - 1, _PERM_BLOCK_MAX,
+             _PERM_BLOCK_MAX + 1, 2048, 7000)
+    for n in sizes:
+        h = rng.randint(0, int(_P), n).astype(np.uint64)
+        want = np.empty(NUM_PERMS, dtype=np.int64)
+        for i in range(0, NUM_PERMS, 16):
+            blk = (_A[i:i + 16, None] * h[None, :] + _B[i:i + 16, None]) % _P
+            want[i:i + 16] = blk.min(axis=1).astype(np.int64)
+        assert np.array_equal(minhash_from_shingles(h), want), n
+    # adversarial residues: force a*x+b ≡ P-1, P, P+1 (mod 2^31 folds)
+    # by including x = 0 (hits b exactly) and x = P-1
+    edge = np.array([0, 1, int(_P) - 1], dtype=np.uint64)
+    want = np.empty(NUM_PERMS, dtype=np.int64)
+    for i in range(0, NUM_PERMS, 16):
+        blk = (_A[i:i + 16, None] * edge[None, :] + _B[i:i + 16, None]) % _P
+        want[i:i + 16] = blk.min(axis=1).astype(np.int64)
+    assert np.array_equal(minhash_from_shingles(edge), want)
+
+    # shingle_hashes correlate path vs the strided u64 formulation
+    texts = ["abcd", "abcde", "hello shingle world " * 40,
+             "x" * 5000, "ünïcode ßtring " * 9]
+    for txt in texts:
+        got = shingle_hashes(txt)
+        b = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8)
+        k = 5
+        if len(b) < k:
+            w = b.astype(np.uint64)[None, :]
+            pows = _pows(k)[-len(b):]
+        else:
+            w = np.lib.stride_tricks.sliding_window_view(b, k).astype(
+                np.uint64)
+            pows = _pows(k)
+        want = np.unique((w * pows[None, :]).sum(axis=1) % _P)
+        assert np.array_equal(got, want), txt[:20]

@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Dump `.explain("formatted")` for the four bench queries (and the q4
+sub-stages, whose checkpoint boundaries hide inner plans from the
+top-level explain) into plans/r06/<query>_<tag>.txt.
+
+Usage: python tools/dump_r06_plans.py before|after
+Runs on sf0.01 — plan SHAPE is scale-independent; timings come from
+bench.py / bench_extra.py, not from here.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    tag = sys.argv[1] if len(sys.argv) > 1 else "before"
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans", "r06")
+    os.makedirs(out_dir, exist_ok=True)
+
+    from backupdeduplicator_spark.operators.analyze import (
+        duplicate_pairs, duplicate_sets)
+    from backupdeduplicator_spark.operators.build import build_entries
+    from backupdeduplicator_spark.operators.minhash import (
+        distinct_content_signatures, lsh_candidate_pairs,
+        signature_similarity)
+    from backupdeduplicator_spark.session import get_spark
+    from bench import bench_files
+
+    spark = get_spark("r06-plan-dump", cores=8,
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    files = bench_files(
+        spark, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+        int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "8"))).persist()
+    files.count()
+
+    def dump(name: str, df) -> None:
+        with open(os.path.join(out_dir, f"{name}_{tag}.txt"), "w") as f:
+            f.write(_explain(df))
+
+    # q1: full logical shape (materialize/checkpoints off so the whole
+    # hash+Merkle plan is visible — the runtime shape truncates it)
+    dump("q1_build_hash_merkle",
+         build_entries(files, materialize=False, checkpoint_levels=False))
+
+    entries = build_entries(files).persist()
+    entries.count()
+    dump("q2_exact_dup_sets", duplicate_sets(entries))
+    dump("q3_dup_pairs", duplicate_pairs(entries))
+
+    sigs = distinct_content_signatures(files).persist()
+    sigs.count()
+    dump("q4a_signatures", sigs)
+    cand = lsh_candidate_pairs(sigs)  # auto probe picks the runtime plan
+    cand_sel = cand.pairs.filter(F.col("band_matches") >= 2).select(
+        "nid1", "nid2")
+    dump("q4b_candidates", cand_sel)
+    edges = (signature_similarity(cand_sel, sigs)
+             .filter(F.col("est_sim") >= 0.55)
+             .select(F.col("nid1").alias("u"), F.col("nid2").alias("v")))
+    dump("q4c_scoring_edges", edges)
+    spark.stop()
+    print(out_dir)
+
+
+if __name__ == "__main__":
+    main()
