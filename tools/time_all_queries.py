@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Time every declared contract query with the noop sink (guide §1.4).
+
+Usage: python tools/time_all_queries.py [sf_dir] [--best-of 2]
+Prints one line per query: name, best seconds, rows of the first run.
+Used by OPTIMIZATION_r06.md's operator checklist; does not touch
+bench.py or the frozen oracle surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    best_of = 2
+
+    from backupdeduplicator_spark.contract import build_queries
+    from backupdeduplicator_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    spark = get_spark("time-all-queries", cores=cpus,
+                      shuffle_partitions=max(cpus * 2, 16),
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    sc = spark.sparkContext
+
+    only = set(os.environ.get("SPARK_GRAFT_ONLY", "").split(",")) - {""}
+    out = {}
+    for name, fn in build_queries().items():
+        if only and name not in only:
+            continue
+        sc.setJobDescription(name)
+        samples = []
+        rows = None
+        for _ in range(best_of):
+            t0 = time.monotonic()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(round(time.monotonic() - t0, 3))
+        sc.setJobDescription(None)
+        out[name] = {"best": min(samples), "samples": samples}
+        print(f"{name:35s} best {min(samples):8.3f}s  {samples}",
+              flush=True)
+    spark.stop()
+    with open("/tmp/query_sweep.json", "w") as f:
+        json.dump({"sf_dir": sf_dir, "cpus": cpus, "queries": out}, f)
+
+
+if __name__ == "__main__":
+    main()
