@@ -157,6 +157,20 @@ def duplicate_pairs(entries: DataFrame) -> DataFrame:
     # never needs the array itself
     m = m.withColumn("ckey", F.xxhash64("children"))
     key = ["hash", "size", "file_type", "ckey"]
+    # NOTE (r06, measured and deliberately NOT "fixed"): m feeds two
+    # consumers (the stats aggregation and the final rejoin), and both
+    # reach it through broadcast joins only — no exchange boundary — so
+    # the flag subplan executes twice per run. The guide-§2.4 move (one
+    # explicit repartition on the group key shared by both branches)
+    # does NOT work here: the final (repo, path) != rep inequality
+    # pushes different isnotnull predicates into the two branches, the
+    # canonical plans diverge, ReuseExchange never fires, and the
+    # "shared" exchange just adds two shuffles on top of the double
+    # compute (verified on the executed AQE plan). A localCheckpoint
+    # would share it but materializes the colliding-entry table —
+    # corpus-scale — to executor storage. The recompute is two
+    # broadcast joins over the cached entries scan: the cheapest of the
+    # three shapes at the design point.
     stats = (
         m.groupBy(*key)
         .agg(
