@@ -226,7 +226,10 @@ def content_hash(content_col: str | Column, algo: str = "sha256") -> Column:
 
 @pandas_udf(BinaryType())
 def merkle_hash(children: pd.Series) -> pd.Series:
-    """Directory digest: sha256 of concatenated child digests.
+    """Directory digest: sha256 of concatenated child digests — the
+    Arrow-batch parity twin of the JVM fold in ``merkle_hash_algo``
+    (r06: hot paths use the built-in aggregate+sha2 form; this kernel
+    remains for parity tests and fused-Arrow contexts).
 
     The caller MUST pass children already sorted ascending by digest bytes
     (use ``F.sort_array`` — Spark's BinaryType ordering is unsigned
@@ -247,16 +250,14 @@ def merkle_hash(children: pd.Series) -> pd.Series:
 
 
 def _merkle_udf(algo: str):
-    """merkle_hash generalized over the registry: digest of the
-    concatenated (pre-sorted) child digest bytes with the selected
-    algorithm — the reference builds the directory hasher from the SAME
-    CLI hash type as file contents (directory.rs:82
-    GeneralHash::from_type(arg.hash_type)), so a non-sha256 tree gets
-    non-sha256 directory digests too."""
-    if algo in ("sha1", "sha512"):
-        def _digest(data: bytes) -> bytes:
-            return hashlib.new(algo, data).digest()
-    elif algo == "xxh64":
+    """merkle_hash generalized over the registry's xxh algorithms:
+    digest of the concatenated (pre-sorted) child digest bytes — the
+    reference builds the directory hasher from the SAME CLI hash type
+    as file contents (directory.rs:82 GeneralHash::from_type), so a
+    non-sha256 tree gets non-sha256 directory digests too. The sha
+    family runs JVM-side in merkle_hash_algo (r06); only the spec
+    kernels the JVM lacks at seed 0 remain here."""
+    if algo == "xxh64":
         def _digest(data: bytes) -> bytes:
             return xxh64_int(data).to_bytes(8, "big")
     else:  # xxh32
@@ -286,9 +287,28 @@ def merkle_hash_algo(children_col: str | Column, algo: str = "sha256") -> Column
     not reference-compatible)."""
     col = F.col(children_col) if isinstance(children_col, str) else children_col
     algo = algo.lower()
-    if algo == "sha256":
-        return merkle_hash(col)
-    if algo in ("sha1", "sha512", "xxh64", "xxh32"):
+    if algo in ("sha256", "sha1", "sha512"):
+        # r06: fully JVM-side — fold the (pre-sorted) child digests into
+        # one binary with a higher-order aggregate and digest via the
+        # sha intrinsics (guide §4.1: prefer built-ins; this removes the
+        # last ArrowEvalPython node from the per-level Merkle loop).
+        # coalesce(c, X'') reproduces the reference's NULL.as_bytes()
+        # == empty contribution (hash.rs:389-403); an empty children
+        # array digests the empty string, byte-identical to hashlib
+        # (pinned by tests/test_build_merkle.py and the a1/merkle_roots
+        # oracles). The fold's intermediate concats are O(total_bytes^2)
+        # per row in the worst case, but a directory's children column
+        # is digest-sized (32 B each) — a 10^3-child directory folds
+        # ~16 MB of transient buffers, far below any executor bound.
+        concat = F.aggregate(
+            col,
+            F.lit(b""),
+            lambda acc, c: F.concat(acc, F.coalesce(c, F.lit(b""))),
+        )
+        if algo == "sha1":
+            return F.unhex(F.sha1(concat))
+        return F.unhex(F.sha2(concat, 256 if algo == "sha256" else 512))
+    if algo in ("xxh64", "xxh32"):
         return _merkle_udf(algo)(col)
     if algo == "xxh64spark":
         concat = F.aggregate(

@@ -89,8 +89,10 @@ def test_merkle_level_plan_shape(spark):
         (ObjectHashAggregate partial+final pairs for collect_list),
     (c) content NEVER in any Exchange partitioning key — the per-level
         shuffles carry only (repo, parent-path, hash) rows,
-    (d) Python eval confined to the hash kernels (ArrowEvalPython), no
-        row-at-a-time BatchEvalPython."""
+    (d) NO Python evaluation anywhere (r06: the sha256 build is fully
+        JVM — content hashing via the sha2 intrinsic since r5, the
+        Merkle directory digest via the aggregate+sha2 fold since r6 —
+        so neither ArrowEvalPython nor BatchEvalPython may appear)."""
     from backupdeduplicator_spark.operators.build import build_entries
     from backupdeduplicator_spark.sources.tables import files_df
 
@@ -100,7 +102,7 @@ def test_merkle_level_plan_shape(spark):
     assert "Scan parquet" in plan and "Scan ExistingRDD" not in plan
     assert "ObjectHashAggregate" in plan
     assert "BatchEvalPython" not in plan
-    assert "ArrowEvalPython" in plan
+    assert "ArrowEvalPython" not in plan
     # (c): every Exchange is hashpartitioning on repo/path-derived keys;
     # the content column must not appear in any partitioning expression
     # (formatted mode: partitioning sits in "Arguments:" detail lines)
