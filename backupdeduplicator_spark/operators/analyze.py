@@ -53,16 +53,19 @@ def _with_parent_flag(entries: DataFrame) -> DataFrame:
     Repo roots (path='') have no parent -> not conflicting, matching the
     reference where the analysis root has no parent in the tree.
     """
-    dup_h = colliding_hashes(entries).select("hash")
     members = colliding_entries(entries)
 
-    parents = entries.select(
-        F.col("repo"),
-        F.col("path").alias("ppath"),
-        F.col("hash").alias("parent_hash"),
-    )
-    dup_parents = parents.join(
-        dup_h.withColumnRenamed("hash", "parent_hash"), "parent_hash", "left_semi"
+    # a parent is conflicting iff the parent's OWN row is a colliding
+    # entry — definitionally the same row set as ``members``, so derive
+    # it from the same subplan instead of a second parents-projection
+    # semi-joined against a RENAMED collision dictionary (r06). One
+    # logical dictionary + semi shape instead of two; physical exchange
+    # reuse across the branches still does not fire (divergent pushed
+    # predicates — same finding as the duplicate_pairs NOTE below), but
+    # the renamed-aggregation variant is gone and the executed plan is
+    # measurably no worse (duplicate_sets 4.27 -> 3.88 s same-session).
+    dup_parents = members.select(
+        F.col("repo"), F.col("path").alias("ppath")
     ).withColumn("parent_conflicting", F.lit(True))
 
     # repo roots (path='') have no parent: NULL join key never matches
